@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": "..."}
+
+Each query is timed end-to-end (plan + execute + collect). A warmup query
+runs first so JVM/codegen startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_pipeline_spark.registry import all_queries
+from event_pipeline_spark.session import get_session
+
+#: Headline set: the flagship aggregation, joins, windows, dedup, text.
+HEADLINE = [
+    "q1",
+    "q7",
+    "q9",
+    "q12",
+    "q17",
+    "q18",
+    "q20",
+    "q21",
+    "q23",
+    "q26",
+    "q27",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    queries = all_queries()
+
+    # warmup: touch every table + spin up codegen paths
+    queries["q20"](spark, sf_dir).collect()
+    queries["q1"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in queries]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in queries]
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

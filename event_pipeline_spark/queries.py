@@ -1,0 +1,599 @@
+"""Core query library: the SURVEY.md §2.10 oracle queries Q1–Q27.
+
+Each query exists twice, by design:
+
+- a **Spark DataFrame implementation** ``(spark, sf_dir) -> DataFrame`` —
+  declarative, Catalyst-optimizable (pushdown/pruning/broadcast come free);
+- an **ANSI-SQL oracle** string that DuckDB runs over the same parquet —
+  the driver hash-compares both at sf0.01 (CORRECTNESS_r{N}.json).
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing). Determinism conventions (SURVEY §2.10):
+every query ends its ORDER BY in a unique key; DOUBLE measures are cast
+to DECIMAL(18,2) before SUM; ratios are ROUND(x, 6) of one double division.
+
+Each query docstring cites the reference behavior it re-expresses
+(paths relative to /root/reference/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+DEC = T.DecimalType(18, 2)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query implementation and (optionally) its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Q1–Q16: the reference's own semantics re-expressed relationally
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1",
+    """SELECT event_type, COUNT(*) AS n FROM events
+       GROUP BY event_type ORDER BY event_type""",
+)
+def q1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + group-count.
+
+    Re-expresses ResultSet ``__len__``/store ``count()`` (reference
+    nexus/result.py:196-197, backends/stores/sqlite_store.py:233-243) and
+    the user_posts_etl group-count example (examples/user_posts_etl/
+    events.py:66-92). Map-side partial aggregation makes this one shuffle
+    of |distinct event_type| rows per partition at any scale.
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q2",
+    """SELECT user_id, COUNT(*) AS total,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+       FROM events GROUP BY user_id HAVING COUNT(*) > 5 ORDER BY user_id""",
+)
+def q2_retry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts + HAVING — the retry-stats shape of the
+    reference's telemetry reporter (nexus/telemetry/reporter.py:70-94)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errors"),
+        )
+        .where(F.col("total") > 5)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q3",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'click' AND value > 50 ORDER BY event_id""",
+)
+def q3_filter_exact_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup DSL ``__exact`` + ``__gt`` + AND-conjunction
+    (nexus/result.py:327-334,432-442,314-336). Both predicates push down
+    to the parquet scan (PushedFilters in the physical plan)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.where((F.col("event_type") == "click") & (F.col("value") > 50))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q4",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderpriority LIKE '%URGENT%' ORDER BY o_orderkey""",
+)
+def q4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup DSL ``__contains`` (nexus/result.py:414-417), which the
+    reference's SQLite store pushes down as LIKE (sqlite_store.py:252-254)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderpriority").contains("URGENT"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q5",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_name LIKE 'Customer%' AND lower(c_mktsegment) LIKE '%build%'
+       ORDER BY c_custkey""",
+)
+def q5_startswith_icontains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``__startswith`` + ``__icontains`` (nexus/result.py:419-430;
+    pushdown sqlite_store.py:255-263); also the case-insensitive
+    ``filter_by_event`` (task.py:590-603)."""
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.where(
+            F.col("c_name").startswith("Customer")
+            & F.lower(F.col("c_mktsegment")).contains("build")
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q6",
+    """SELECT n_nationkey, n_name FROM nation
+       WHERE n_regionkey IN (0, 2) AND n_name IS NOT NULL ORDER BY n_nationkey""",
+)
+def q6_in_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``__in`` + ``__isnull`` (nexus/result.py:444-451; pushdown
+    sqlite_store.py:268-273)."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.where(
+            F.col("n_regionkey").isin(0, 2) & F.col("n_name").isNotNull()
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q7",
+    """SELECT DISTINCT user_id, event_type FROM events
+       ORDER BY user_id, event_type""",
+)
+def q7_identity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResultSet's dict-on-id identity dedup (nexus/result.py:180-186)
+    as DISTINCT — a partial-aggregate shuffle, skew-safe under AQE."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q8",
+    """SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'click'
+       UNION SELECT user_id FROM events WHERE event_type = 'purchase') u
+       ORDER BY user_id""",
+)
+def q8_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ResultSet.add`` set-union with dedup (nexus/result.py:210-221)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.union(buys).distinct().orderBy("user_id")
+
+
+@query(
+    "q9",
+    """SELECT c_custkey FROM customer WHERE NOT EXISTS
+       (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+)
+def q9_discard_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ResultSet.discard`` (nexus/result.py:228-238) as a left-anti
+    join — Catalyst picks broadcast-anti when the probe side fits."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q10",
+    """SELECT c_custkey FROM customer WHERE EXISTS
+       (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+       ORDER BY c_custkey""",
+)
+def q10_contains_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ResultSet.__contains__`` (nexus/result.py:188-191) as a
+    left-semi join; the totalprice filter is applied pre-join so it
+    pushes to the orders scan."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q11",
+    """SELECT event_id, user_id, event_type FROM events
+       ORDER BY ts, event_id LIMIT 1""",
+)
+def q11_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ResultSet.first()`` (nexus/result.py:456-461). The reference
+    relies on insertion order; Spark has none, so order is explicit
+    (ts, event_id) — a documented divergence (SURVEY §7 hard parts).
+    ORDER BY + LIMIT 1 compiles to TakeOrderedAndProject (no full sort).
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.orderBy("ts", "event_id")
+        .select("event_id", "user_id", "event_type")
+        .limit(1)
+    )
+
+
+@query(
+    "q12",
+    """SELECT user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+              COUNT(*) AS n
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def q12_duration_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PipelineExecutionMetrics duration aggregates
+    (nexus/pipeline.py:603-617) as exact decimal SUM + COUNT.
+    Decimal pre-cast makes the SUM order-independent (hash-stable)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q13",
+    """SELECT user_id,
+              MIN(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS all_success,
+              MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS any_error
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def q13_evaluation_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four EventExecutionEvaluationState outcomes (nexus/base.py:
+    276-308) derived from two aggregates: all_success = bool_and(NOT
+    error), any_error = bool_or(error), encoded as MIN/MAX over 0/1."""
+    events = _t(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min(1 - is_err).alias("all_success"),
+            F.max(is_err).alias("any_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q14",
+    """SELECT event_type,
+              ROUND(CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*), 6) AS rate
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q14_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """success_rate / completion_rate (nexus/pipeline.py:595-625):
+    one double division of two exact counts, rounded to 6 places."""
+    events = _t(spark, sf_dir, "events")
+    ok = F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(ok.cast("double") / F.count("*"), 6).alias("rate"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q15",
+    """SELECT event_id, value FROM events WHERE value > 99.0 ORDER BY event_id""",
+)
+def q15_slow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-event threshold filter (nexus/telemetry/reporter.py:54-68,
+    network.py:119-137)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("value") > 99.0)
+        .select("event_id", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q16",
+    """SELECT event_id,
+              CASE WHEN event_type = 'error' THEN 'on_failure'
+                   WHEN value > 90 THEN 'descriptor_3'
+                   ELSE 'on_success' END AS branch
+       FROM events ORDER BY event_id""",
+)
+def q16_conditional_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level analogue of Pointy conditional/descriptor routing
+    (nexus/task.py:1133-1147; descriptors task.py:606-632) as CASE WHEN."""
+    events = _t(spark, sf_dir, "events")
+    branch = (
+        F.when(F.col("event_type") == "error", "on_failure")
+        .when(F.col("value") > 90, "descriptor_3")
+        .otherwise("on_success")
+    )
+    return events.select("event_id", branch.alias("branch")).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q17–Q25: relational/streaming-analogue extensions [ext]
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17",
+    """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+       FROM events GROUP BY date_trunc('hour', ts), event_type
+       ORDER BY h, event_type""",
+)
+def q17_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch analogue (SURVEY §2.8): hour truncation +
+    group-count. The streaming twin uses F.window(ts, '1 hour')."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("h", "event_type")
+    )
+
+
+@query(
+    "q18",
+    """SELECT event_id, user_id,
+              CASE WHEN ts > prev_ts + INTERVAL 30 MINUTE OR prev_ts IS NULL
+                   THEN 1 ELSE 0 END AS new_session
+       FROM (SELECT event_id, user_id, ts,
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events) t
+       ORDER BY user_id, event_id""",
+)
+def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization scaffold (SURVEY §2.8): lag + 30-minute gap flag.
+    One shuffle on user_id; the streaming twin is session_window."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES"))
+        | prev_ts.isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        events.select(
+            "event_id", "user_id", new_session.alias("new_session")
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q19",
+    """SELECT n_name, COUNT(*) AS suppliers FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+def q19_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + aggregate. nation is a 25-row dim at every SF:
+    broadcast it explicitly so the join never shuffles the fact side."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("suppliers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q20",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+              COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def q20_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: filter pushes to the scan, then
+    one partial+final aggregate over a handful of groups — the flagship
+    shape for 100 TB (shuffle carries only |groups| x partials)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q21",
+    """SELECT c_custkey, COALESCE(o.cnt, 0) AS order_cnt
+       FROM customer LEFT JOIN
+            (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+       ON c_custkey = o_custkey ORDER BY c_custkey""",
+)
+def q21_left_join_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + COALESCE null handling. Aggregating orders BEFORE the
+    join shrinks the shuffled build side to |customers with orders|."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+        )
+        .select(
+            "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("order_cnt")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q22",
+    """SELECT event_id, upper(event_type) AS et, substr(event_type, 1, 3) AS et3,
+              abs(value - 50.0) AS dist, round(value, 1) AS v1,
+              strftime(ts, '%Y-%m-%d') AS d, CAST(EXTRACT(YEAR FROM ts) AS INT) AS y
+       FROM events ORDER BY event_id""",
+)
+def q22_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function layer (string/math/date) — all JVM-side builtins,
+    whole-stage-codegen'd; no Python in the row path."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.upper("event_type").alias("et"),
+        F.substring("event_type", 1, 3).alias("et3"),
+        F.abs(F.col("value") - 50.0).alias("dist"),
+        F.round(F.col("value"), 1).alias("v1"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.year("ts").alias("y"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q23",
+    """SELECT user_id, event_id, rnk FROM (
+         SELECT user_id, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+         FROM events) t WHERE rnk <= 3 ORDER BY user_id, rnk, event_id""",
+)
+def q23_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ROW_NUMBER. Spark's WindowGroupLimit pushes
+    the rnk<=3 limit into the window sort (no full materialization)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.select(
+            "user_id", "event_id", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("user_id", "rnk", "event_id")
+    )
+
+
+@query(
+    "q24",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+       ORDER BY user_id""",
+)
+def q24_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")
+
+
+@query(
+    "q25",
+    """SELECT COALESCE(event_type, 'ALL') AS et, COUNT(*) AS n
+       FROM events GROUP BY ROLLUP(event_type) ORDER BY et""",
+)
+def q25_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with a grand-total row."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("et"), "n")
+        .orderBy("et")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26–Q27: north-star document operators (more in operators/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26",
+    """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+       FROM documents WHERE n_chars > 100 GROUP BY lang ORDER BY lang""",
+)
+def q26_text_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis scaffold: length filter + per-language stats."""
+    documents = _t(spark, sf_dir, "documents")
+    return (
+        documents.where(F.col("n_chars") > 100)
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q27",
+    """SELECT text, COUNT(*) AS dupes FROM documents GROUP BY text
+       HAVING COUNT(*) > 1 ORDER BY dupes DESC, text""",
+)
+def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text. At 100 TB you group on a hash of the
+    text, not the text itself (see operators/dedup.py exact_duplicates);
+    the oracle query keeps the raw-text form for checkability."""
+    documents = _t(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("text")
+        .agg(F.count("*").alias("dupes"))
+        .where(F.col("dupes") > 1)
+        .orderBy(F.desc("dupes"), "text")
+    )

@@ -1,0 +1,122 @@
+"""SparkSession factory and table loading.
+
+Defaults are tuned for correctness-vs-oracle comparison (UTC timestamps,
+ANSI off to mirror DuckDB's permissive casts) and for scale (AQE on,
+Arrow on, shuffle partitions sized to the data rather than the 200
+default). On a real cluster the same settings hold; only
+``shuffle_partitions`` and memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_session(
+    app_name: str = "event_pipeline_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    - AQE enabled: runtime partition coalescing + skew-join splitting, so
+      a plan written once survives 100x data movement.
+    - Arrow enabled: pandas_udf / toPandas cross the Python boundary in
+      columnar batches, not row-at-a-time pickle.
+    - UTC session timezone: parquet timestamps compare bit-stable against
+      the DuckDB oracle.
+    - shuffle partitions default to local core count (local mode); on a
+      cluster leave AQE's coalescing to right-size them.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Broadcast threshold: dims (region/nation/supplier at test SF) stay
+        # broadcast; at 100 TB the fact tables never qualify, which is correct.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one benchmark table as a DataFrame (lazy parquet scan).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects by default. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+    microsecond timestamp with integer arithmetic (``ts div 1000`` — a
+    double division would lose precision above 2^53 ns). DuckDB keeps ns
+    precision; comparisons are at microsecond precision per FIXTURES.md.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    *,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the benchmark tables lazily; optionally register temp views.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst;
+    nothing is materialized here.
+    """
+    tables: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        tables[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return tables
