@@ -1,0 +1,278 @@
+"""Text-analysis operators for LLM-data pipelines (north-star surface).
+
+All hot-path expressions are JVM built-ins (split/regexp/length/xxhash64)
+— no Python in the row path, whole-stage codegen end to end, so a 100 TB
+corpus is one scan + narrow projections. Language ID is the one
+heuristic that profits from declarative scoring: stopword-hit counts per
+language computed as array intersections against broadcast literals.
+
+Registered queries (driver-checkable):
+- ``text_tokens``       [oracle] token counts per doc
+- ``text_punct_stats``  [oracle] per-language punctuation/char stats
+- ``text_fingerprint``  [oracle] normalized-text fingerprint duplicates
+- ``text_quality``      [oracle] length/word-ratio quality components
+- ``text_lang_id``      rows-only (heuristic; accuracy asserted in tests)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, fn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (array<string>)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-ish proxy: count word pieces + punctuation marks separately,
+    the standard cheap estimator when no tokenizer model ships with the
+    engine. regexp_count is JVM-side."""
+    return (
+        F.regexp_count(col, F.lit(r"[A-Za-z0-9]+"))
+        + F.regexp_count(col, F.lit(r"[^\sA-Za-z0-9]"))
+    )
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(
+        F.regexp_replace(col, r"[^a-zA-Z0-9 ]", "")
+    )
+
+
+def upper_ratio(col: Column) -> Column:
+    return F.when(
+        F.length(col) > 0,
+        F.length(F.regexp_replace(col, r"[^A-Z]", "")).cast("double")
+        / F.length(col),
+    ).otherwise(F.lit(0.0))
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: lowercase, collapse whitespace, md5 — the
+    canonical near-exact-dup key (case/spacing-insensitive)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over character n-grams.
+    Robust to small edits at either end; built-ins only (substring via
+    transform over a position sequence)."""
+    n = F.greatest(F.length(col) - F.lit(window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(col.substr(i, F.lit(window))),
+    )
+    return F.array_min(grams)
+
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "por", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "que"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "zu"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "为"],
+}
+
+
+def language_scores(col: Column) -> Column:
+    """Struct of stopword-hit counts per language. Token-set intersection
+    against broadcast literal arrays — one projection, no shuffle."""
+    toks = F.transform(tokens(col), F.lower)
+    fields = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        # zh rarely whitespace-tokenizes: also count char hits
+        if lang == "zh":
+            char_hits = sum(
+                (F.length(col) - F.length(F.regexp_replace(col, w, "")))
+                for w in words
+            )
+            hits = hits + char_hits
+        fields.append(hits.alias(lang))
+    return F.struct(*fields)
+
+
+def predict_language(col: Column) -> Column:
+    scores = language_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(
+                scores.getField(lang).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in LANG_PROFILES
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, ties by lang
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def quality_components(col: Column) -> Column:
+    """Quality-score components: length, tokens, mean word length,
+    punctuation ratio, uppercase ratio, stopword ratio (en)."""
+    n_tok = token_count(col)
+    return F.struct(
+        F.length(col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(col).cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "chars_per_token"
+        ),
+        (punct_count(col).cast("double") / F.greatest(F.length(col), F.lit(1))).alias(
+            "punct_ratio"
+        ),
+        upper_ratio(col).alias("upper_ratio"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length, high
+    punctuation, shouting. Weights are illustrative; the point is the
+    vectorized shape."""
+    q = quality_components(col)
+    len_ok = F.when(
+        (q.getField("n_chars") >= 50) & (q.getField("n_chars") <= 10000), 1.0
+    ).otherwise(0.5)
+    punct_ok = 1.0 - F.least(q.getField("punct_ratio") * 4, F.lit(1.0))
+    upper_ok = 1.0 - F.least(q.getField("upper_ratio") * 5, F.lit(1.0))
+    return F.round((len_ok * 0.4 + punct_ok * 0.4 + upper_ok * 0.2), 6)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace) per document."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "text_tokens",
+    q_text_tokens,
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+       FROM documents ORDER BY doc_id""",
+)
+
+
+def q_text_punct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language punctuation totals — quality-scoring scaffold."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(punct_count(F.col("text"))).cast("long").alias("punct_chars"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_register(
+    "text_punct_stats",
+    q_text_punct_stats,
+    """SELECT lang,
+              CAST(SUM(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS BIGINT) AS punct_chars,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang ORDER BY lang""",
+)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-level duplicate groups (case/whitespace-insensitive)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(normalized_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("docs"))
+        .where(F.col("docs") > 1)
+        .orderBy(F.desc("docs"), "fp")
+    )
+
+
+_register(
+    "text_fingerprint",
+    q_text_fingerprint,
+    """SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              COUNT(*) AS docs
+       FROM documents GROUP BY fp HAVING COUNT(*) > 1 ORDER BY docs DESC, fp""",
+)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality components + composite score per doc."""
+    docs = _docs(spark, sf_dir)
+    q = quality_components(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q.getField("n_tokens").alias("n_tokens"),
+        F.round(q.getField("punct_ratio"), 6).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_register(
+    "text_quality",
+    q_text_quality,
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+              ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1), 6) AS punct_ratio,
+              ROUND(
+                (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.5 END) * 0.4
+                + (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                               / GREATEST(length(text), 1) * 4, 1.0)) * 0.4
+                + (1.0 - LEAST(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                               / GREATEST(length(text), 1) * 5, 1.0)) * 0.2, 6) AS quality
+       FROM documents ORDER BY doc_id""",
+)
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs ground truth (rows-only check;
+    accuracy is asserted in tests/test_text.py)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", "lang", predict_language(F.col("text")).alias("pred")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_register("text_lang_id", q_text_lang_id)

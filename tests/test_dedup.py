@@ -1,0 +1,95 @@
+"""Dedup operators: exactness, recall vs brute force, self-consistency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard,
+    minhash_near_duplicates,
+    shingles,
+    simhash64,
+    simhash_near_duplicates,
+)
+from event_pipeline_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+def brute_force_jaccard_pairs(docs, threshold):
+    small = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    left, right = small.alias("l"), small.alias("r")
+    return (
+        left.join(right, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            jaccard(F.col("l.sh"), F.col("r.sh")).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+    )
+
+
+def test_exact_duplicates_matches_text_groups(docs):
+    by_hash = exact_duplicates(docs).agg(F.sum("dupes")).collect()[0][0] or 0
+    by_text = (
+        docs.groupBy("text").count().where(F.col("count") > 1)
+        .agg(F.sum("count")).collect()[0][0] or 0
+    )
+    assert by_hash == by_text
+
+
+def test_dedup_exact_keeps_one_per_text(docs):
+    survivors = dedup_exact(docs)
+    n_distinct = docs.select("text").distinct().count()
+    assert survivors.count() == n_distinct
+    # survivors keep min doc_id per group
+    assert survivors.select("text").distinct().count() == n_distinct
+
+
+def test_minhash_recall_and_precision(docs):
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_jaccard_pairs(docs, 0.7).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.7).collect()
+    }
+    # precision is exact by construction (candidates are re-verified)
+    assert found <= truth
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.9, f"minhash recall {recall} over {len(truth)} pairs"
+
+
+def test_simhash_pairs_are_close(docs, spark):
+    pairs = simhash_near_duplicates(docs, max_hamming=3)
+    rows = pairs.collect()
+    assert all(r["hamming"] <= 3 for r in rows)
+    # exact dups must be found (hamming 0 shares every block)
+    dup_ids = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .collect()
+    )
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    for grp in dup_ids:
+        ids = sorted(grp["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in found
+
+
+def test_simhash_is_deterministic(docs):
+    a = docs.select(simhash64(F.col("text")).alias("s")).collect()
+    b = docs.select(simhash64(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+    assert all(r["s"] >= 0 for r in a)  # sign bit unused

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from event_pipeline_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def numpy_topk(emb_rows, query_ids, k):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    mat = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid in query_ids:
+        qv = mat_n[ids == qid][0]
+        scores = mat_n @ qv
+        order = sorted(
+            [(s, i) for s, i in zip(scores, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qid] = [i for _, i in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(emb, queries):
+    rows = emb.collect()
+    expected = numpy_topk(rows, [0, 1, 2, 3, 4], 5)
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert by_q == expected
+
+
+def test_lsh_recall(emb, queries):
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in lsh_topk(emb, queries, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"LSH recall@5 = {recall}"
+
+
+def test_neardup_pairs_verified(emb):
+    rows = embedding_near_duplicates(
+        emb, threshold=0.45, n_planes=4, n_tables=8
+    ).collect()
+    assert all(r["cosine"] >= 0.45 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
