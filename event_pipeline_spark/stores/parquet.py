@@ -1,0 +1,162 @@
+"""Parquet table-per-schema store — the bulk/scale path.
+
+The reference persists every ``EventResult`` through a store backend
+(nexus/mixins/backend.py:28-71 auto-``save()``); SURVEY §2.4 maps that to
+"table per schema on parquet/Delta, MERGE-style upsert". This backend is
+that mapping, dependency-free:
+
+- ``write_table(schema, df)`` — bulk append, the hot path. Results are
+  written by executors in parallel; nothing flows through the driver.
+- ``upsert_table(schema, df, key)`` — MERGE semantics (match on key →
+  replace, else insert), implemented as ``old LEFT ANTI new UNION new``
+  into a staging directory, then an atomic-ish directory swap via the
+  Hadoop ``FileSystem`` rename. On Delta/Iceberg this becomes a real
+  ``MERGE INTO``; the API is deliberately identical so swapping the
+  format is a one-class change.
+- reads are plain ``spark.read.parquet`` — lookup-DSL filters compile to
+  Catalyst predicates and arrive at the scan as PushedFilters.
+
+Single-record CRUD exists for contract parity with the reference
+(insert-raises-on-duplicate etc., sqlite_store.py:100-160) but each write
+rewrites the table — correct, documented, and fine for run ledgers; NOT
+for data. At 100 TB you use the bulk methods, partitioned by a time or
+hash column via ``partition_by``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.stores.base import (
+    ObjectDoesNotExist,
+    ObjectExistError,
+    Record,
+    StoreBackend,
+)
+
+
+class ParquetTableStore(StoreBackend):
+    def __init__(
+        self,
+        root: str,
+        spark: SparkSession | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        self.spark = spark or SparkSession.active()
+        self.root = root.rstrip("/")
+        self.partition_by = partition_by or []
+        jvm = self.spark._jvm
+        self._hpath = jvm.org.apache.hadoop.fs.Path  # type: ignore[union-attr]
+        self._fs = self._hpath(self.root).getFileSystem(  # type: ignore[misc]
+            self.spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+
+    def _path(self, schema_name: str) -> str:
+        return f"{self.root}/{schema_name}"
+
+    def _exists_table(self, schema_name: str) -> bool:
+        return bool(self._fs.exists(self._hpath(self._path(schema_name))))
+
+    # -- bulk surface (the real API at scale) ----------------------------
+
+    def write_table(self, schema_name: str, df: DataFrame, mode: str = "append") -> None:
+        writer = df.write.mode(mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._path(schema_name))
+
+    def upsert_table(self, schema_name: str, df: DataFrame, key: str = "id") -> None:
+        """MERGE: rows in ``df`` replace same-key rows, others append.
+
+        One shuffle (the anti join, broadcast when ``df`` is small) + one
+        rewrite of the table — the parquet-without-transaction-log floor.
+        Delta's MERGE INTO with file skipping is the upgrade path.
+        """
+        if not self._exists_table(schema_name):
+            self.write_table(schema_name, df, mode="overwrite")
+            return
+        current = self.as_dataframe(schema_name)
+        merged = current.join(df.select(key).distinct(), key, "left_anti").unionByName(df)
+        staging = self._path(f"__staging__{schema_name}")
+        writer = merged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        target = self._hpath(self._path(schema_name))
+        self._fs.delete(target, True)
+        self._fs.rename(self._hpath(staging), target)
+
+    def delete_where(self, schema_name: str, **filter_kwargs: Any) -> None:
+        """Anti-delete: rewrite the table without matching rows."""
+        from event_pipeline_spark.core.lookup import compile_filters
+
+        df = self.as_dataframe(schema_name)
+        kept = df.where(~compile_filters(df.schema, **filter_kwargs))
+        staging = self._path(f"__staging__{schema_name}")
+        kept.write.mode("overwrite").parquet(staging)
+        target = self._hpath(self._path(schema_name))
+        self._fs.delete(target, True)
+        self._fs.rename(self._hpath(staging), target)
+
+    # -- record CRUD (contract parity; table-rewrite writes) -------------
+
+    def exists(self, schema_name: str, record_key: str) -> bool:
+        if not self._exists_table(schema_name):
+            return False
+        return (
+            self.as_dataframe(schema_name)
+            .where(F.col("id") == record_key)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def insert_record(self, schema_name: str, record_key: str, record: Record) -> None:
+        if self.exists(schema_name, record_key):
+            raise ObjectExistError(
+                f"record {record_key!r} already exists in {schema_name!r}"
+            )
+        row_df = self.spark.createDataFrame([{**record, "id": record_key}])
+        self.write_table(schema_name, row_df, mode="append")
+
+    def update_record(self, schema_name: str, record_key: str, record: Record) -> None:
+        if not self.exists(schema_name, record_key):
+            raise ObjectDoesNotExist(record_key)
+        self.upsert_table(
+            schema_name,
+            self.spark.createDataFrame([{**record, "id": record_key}]),
+        )
+
+    def delete_record(self, schema_name: str, record_key: str) -> None:
+        if not self.exists(schema_name, record_key):
+            raise ObjectDoesNotExist(record_key)
+        self.delete_where(schema_name, id=record_key)
+
+    def get_record(self, schema_name: str, record_key: str) -> Record:
+        if not self._exists_table(schema_name):
+            raise ObjectDoesNotExist(record_key)
+        rows = (
+            self.as_dataframe(schema_name)
+            .where(F.col("id") == record_key)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise ObjectDoesNotExist(record_key)
+        return rows[0].asDict(recursive=True)
+
+    def count(self, schema_name: str) -> int:
+        if not self._exists_table(schema_name):
+            return 0
+        # COUNT(*) over parquet resolves from footer metadata — no data read.
+        return self.as_dataframe(schema_name).count()
+
+    # -- DataFrame surface -------------------------------------------------
+
+    def as_dataframe(self, schema_name: str) -> DataFrame:
+        if not self._exists_table(schema_name):
+            raise ObjectDoesNotExist(f"schema {schema_name!r} has no table")
+        return self.spark.read.parquet(self._path(schema_name))

@@ -1,0 +1,131 @@
+"""Store-backend contract tests (reference: tests/unittests/stores/*).
+
+Same CRUD + filter + count contract exercised per backend, as the
+reference does for inmemory/sqlite/postgres/redis; here over
+InMemoryStore / FileJSONStore / ParquetTableStore, plus the bulk
+upsert/pushdown paths the Spark design adds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.stores import (
+    FileJSONStore,
+    InMemoryStore,
+    JDBCStore,
+    ObjectDoesNotExist,
+    ObjectExistError,
+    ParquetTableStore,
+)
+
+REC1 = {"event_name": "fetch", "error": False, "n": 1}
+REC2 = {"event_name": "parse", "error": True, "n": 2}
+
+
+@pytest.fixture(params=["inmemory", "files", "parquet"])
+def store(request, spark, tmp_path):
+    if request.param == "inmemory":
+        return InMemoryStore(spark)
+    if request.param == "files":
+        return FileJSONStore(f"file://{tmp_path}/store", spark)
+    return ParquetTableStore(f"file://{tmp_path}/ptab", spark)
+
+
+def test_crud_contract(store):
+    assert not store.exists("results", "a")
+    assert store.count("results") == 0
+
+    store.insert_record("results", "a", REC1)
+    assert store.exists("results", "a")
+    with pytest.raises(ObjectExistError):
+        store.insert_record("results", "a", REC1)
+
+    store.insert_record("results", "b", REC2)
+    assert store.count("results") == 2
+
+    got = store.get_record("results", "a")
+    assert got["event_name"] == "fetch" and got["id"] == "a"
+
+    store.update_record("results", "a", {**REC1, "n": 99})
+    assert store.get_record("results", "a")["n"] == 99
+    with pytest.raises(ObjectDoesNotExist):
+        store.update_record("results", "zz", REC1)
+
+    # save() semantics: insert-or-update (mixins/backend.py:151-160)
+    store.upsert_record("results", "c", REC1)
+    store.upsert_record("results", "c", {**REC1, "n": 7})
+    assert store.get_record("results", "c")["n"] == 7
+    assert store.count("results") == 3
+
+    store.delete_record("results", "b")
+    assert store.count("results") == 2
+    with pytest.raises(ObjectDoesNotExist):
+        store.get_record("results", "b")
+    with pytest.raises(ObjectDoesNotExist):
+        store.delete_record("results", "b")
+
+
+def test_filter_record_lookup_dsl(store):
+    store.insert_record("evts", "x", REC1)
+    store.insert_record("evts", "y", REC2)
+    rows = store.filter_record("evts", error=False).collect()
+    assert [r["id"] for r in rows] == ["x"]
+    rows = store.filter_record("evts", event_name__startswith="pa", n__gte=2).collect()
+    assert [r["id"] for r in rows] == ["y"]
+    assert list(store.filter_records("evts", n__in=[1, 2])).__len__() == 2
+
+
+def test_parquet_bulk_upsert(spark, tmp_path):
+    store = ParquetTableStore(f"file://{tmp_path}/bulk", spark)
+    df1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, v int"
+    )
+    store.upsert_table("t", df1)
+    assert store.count("t") == 3
+
+    df2 = spark.createDataFrame([("b", 20), ("d", 4)], "id string, v int")
+    store.upsert_table("t", df2)
+    out = {r["id"]: r["v"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a": 1, "b": 20, "c": 3, "d": 4}
+
+    store.delete_where("t", v__gte=4)
+    out = {r["id"]: r["v"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a": 1, "c": 3}
+
+
+def test_parquet_filter_pushdown_reaches_scan(spark, tmp_path):
+    store = ParquetTableStore(f"file://{tmp_path}/push", spark)
+    store.write_table(
+        "t", spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    )
+    plan = store.filter_record("t", v__gt=1)._sc is not None and (
+        store.filter_record("t", v__gt=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(v,1)" in plan
+
+
+def test_jdbc_store_builds_options(spark):
+    store = JDBCStore(
+        "jdbc:postgresql://db:5432/nexus",
+        spark,
+        user="u",
+        password="p",
+        driver="org.postgresql.Driver",
+        partition_options={
+            "partitionColumn": "id",
+            "lowerBound": 0,
+            "upperBound": 1000,
+            "numPartitions": 16,
+        },
+    )
+    opts = store.reader_options("results")
+    assert opts["url"].startswith("jdbc:postgresql")
+    assert opts["dbtable"] == "results"
+    assert opts["numPartitions"] == "16"
+    with pytest.raises(NotImplementedError):
+        store.update_record("results", "a", {})
