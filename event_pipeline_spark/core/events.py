@@ -166,6 +166,8 @@ class EventBase:
 
     def run_with_retry(self, call: Callable[[], tuple[bool, DataFrame | None]]
                        ) -> tuple[bool, DataFrame | None]:
+        from event_pipeline_spark.telemetry import signals as S
+
         policy = self.get_retry_policy()
         if policy is None:
             return call()
@@ -173,6 +175,14 @@ class EventBase:
         while self._retry_count < policy.max_attempts:
             self._retry_count += 1
             backoff = policy.backoff_time(self._retry_count)
+            if self._retry_count > 1:
+                # a retry, not the first attempt (base.py:155-209)
+                S.event_execution_retry.emit(
+                    sender=type(self), event=self, execution_context=None,
+                    task_id=None, backoff=backoff,
+                    retry_count=self._retry_count,
+                    max_attempts=policy.max_attempts,
+                )
             if backoff:
                 time.sleep(backoff)
             try:
@@ -181,6 +191,10 @@ class EventBase:
                 if not policy.retryable(exc):
                     raise
                 last = exc
+        S.event_execution_retry_done.emit(
+            sender=type(self), event=self, execution_context=None,
+            task_id=None, max_attempts=policy.max_attempts,
+        )
         raise MaxRetryError(self._retry_count, last or RuntimeError("no attempt ran"))
 
 

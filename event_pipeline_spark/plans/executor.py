@@ -45,6 +45,8 @@ from event_pipeline_spark.core.events import (
     SwitchTask,
 )
 from event_pipeline_spark.plans.dag import PipelineNode, PipeType
+from event_pipeline_spark.telemetry import signals as S
+from event_pipeline_spark.telemetry.metrics import TelemetryLogger
 
 
 class RunState(Enum):
@@ -121,9 +123,15 @@ class RunResult:
 class PipelineRunner:
     """Executes a DAG over a SparkSession with bound pipeline params."""
 
-    def __init__(self, spark: SparkSession, params: dict[str, Any] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        params: dict[str, Any] | None = None,
+        telemetry: "TelemetryLogger | None" = None,
+    ):
         self.spark = spark
         self.params = params or {}
+        self.telemetry = telemetry
 
     # -- single event ---------------------------------------------------
 
@@ -137,6 +145,24 @@ class PipelineRunner:
         klass = EventRegistry.resolve(node.event)
         piped = previous if incoming_pipe is PipeType.PIPE_POINTER else None
         instance: EventBase = klass(self.spark, previous_result=piped)
+        S.event_init.emit(sender=klass, event=instance, init_kwargs=None)
+
+        task_id = uuid.uuid4().hex
+        if self.telemetry is not None:
+            self.telemetry.start_event(
+                node.event, task_id, pipeline_id=self._current_run_id
+            )
+
+        def _finish(error: str | None) -> None:
+            if self.telemetry is not None:
+                for _ in range(instance._retry_count - 1 if instance._retry_count else 0):
+                    self.telemetry.record_retry(
+                        task_id, node.event, pipeline_id=self._current_run_id
+                    )
+                self.telemetry.end_event(
+                    task_id, node.event, error=error,
+                    pipeline_id=self._current_run_id,
+                )
 
         if node.retries is not None and instance.get_retry_policy() is None:
             # `A * 3` in the DSL overrides an absent class policy
@@ -147,6 +173,7 @@ class PipelineRunner:
         if instance.can_bypass_current_event():
             # identity pass-through (base.py:499-521, 619-634)
             record.retry_counts[node.event] = 0
+            _finish(None)
             return True, piped, None
 
         def call() -> tuple[bool, DataFrame | None]:
@@ -159,19 +186,24 @@ class PipelineRunner:
             ok, df = instance.run_with_retry(call)
         except SwitchTask as sw:
             record.retry_counts[node.event] = instance._retry_count
+            _finish(None)
             return True, sw.result, sw
         except StopProcessingError:
+            _finish("StopProcessingError")
             raise
         except MaxRetryError as exc:
             record.errors.append(str(exc))
             record.retry_counts[node.event] = instance._retry_count
+            _finish(str(exc))
             return False, None, None
         except Exception as exc:  # noqa: BLE001 — ledger carries it
             record.errors.append(f"{type(exc).__name__}: {exc}")
             record.retry_counts[node.event] = instance._retry_count
+            _finish(f"{type(exc).__name__}: {exc}")
             return False, None, None
 
         record.retry_counts[node.event] = instance._retry_count
+        _finish(None if ok else f"{node.event}: process() returned failure")
         if not ok:
             record.errors.append(f"{node.event}: process() returned failure")
         if instance.stop_on_success and ok:
@@ -225,6 +257,8 @@ class PipelineRunner:
 
     def run(self, root: PipelineNode) -> RunResult:
         run_id = uuid.uuid4().hex
+        self._current_run_id = run_id
+        S.pipeline_execution_start.emit(sender=type(self), pipeline=root)
         records: list[StageRecord] = []
         sink_stack: list[PipelineNode] = []
         state = RunState.RUNNING
@@ -260,6 +294,9 @@ class PipelineRunner:
                 events=[g[0].event for g in group],
                 started=_dt.datetime.now(_dt.timezone.utc),
             )
+            S.event_execution_start.emit(
+                sender=type(self), event=record.events, execution_context=record
+            )
             outputs: list[DataFrame] = []
             switch: SwitchTask | None = None
 
@@ -277,6 +314,10 @@ class PipelineRunner:
                 record.success = False
                 records.append(record)
                 state = RunState.CANCELLED
+                S.event_execution_cancelled.emit(
+                    sender=type(self), task_profiles=record.events,
+                    execution_context=record, state=state,
+                )
                 break
 
             # context result: union of member outputs
@@ -289,6 +330,9 @@ class PipelineRunner:
             record.finished = _dt.datetime.now(_dt.timezone.utc)
             record.success = self._evaluate(last_node, record, outputs)
             records.append(record)
+            S.event_execution_end.emit(
+                sender=type(self), event=record.events, execution_context=record
+            )
 
             if switch is not None:
                 cfg = last_node.descriptors.get(switch.descriptor)
@@ -319,4 +363,6 @@ class PipelineRunner:
 
         if state is RunState.RUNNING:
             state = RunState.COMPLETED
-        return RunResult(run_id=run_id, state=state, records=records)
+        run = RunResult(run_id=run_id, state=state, records=records)
+        S.pipeline_execution_end.emit(sender=type(self), execution_context=run)
+        return run

@@ -19,6 +19,8 @@ from pyspark.sql import SparkSession
 from event_pipeline_spark.core.fields import EMPTY, InputDataField
 from event_pipeline_spark.plans.dag import PipelineNode, build_dag
 from event_pipeline_spark.plans.executor import PipelineRunner, RunResult
+from event_pipeline_spark.telemetry import signals as S
+from event_pipeline_spark.telemetry.metrics import TelemetryLogger
 
 
 class PipelineMeta(type):
@@ -59,12 +61,14 @@ class Pipeline(metaclass=PipelineMeta):
     __dag__: PipelineNode | None
 
     def __init__(self, **kwargs: Any):
+        S.pipeline_pre_init.emit(sender=type(self), args=None, kwargs=kwargs)
         for fname, f in self.__pipeline_fields__.items():
             value = kwargs.pop(fname, EMPTY)
             setattr(self, fname, value)  # descriptor validates
         if kwargs:
             raise TypeError(f"unexpected fields: {sorted(kwargs)}")
         self._last_run: RunResult | None = None
+        S.pipeline_post_init.emit(sender=type(self), pipeline=self)
 
     def field_values(self) -> dict[str, Any]:
         return {
@@ -78,16 +82,32 @@ class Pipeline(metaclass=PipelineMeta):
             )
         return self.__dag__
 
-    def start(self, spark: SparkSession, force_rerun: bool = False) -> RunResult:
+    def start(
+        self,
+        spark: SparkSession,
+        force_rerun: bool = False,
+        telemetry: "TelemetryLogger | None" = None,
+    ) -> RunResult:
         """Execute the DAG. Re-running without force_rerun raises, like the
         reference's EventDone rerun guard (pipeline.py:304-360)."""
         if self._last_run is not None and not force_rerun:
             raise RuntimeError(
                 "pipeline already executed; pass force_rerun=True to rerun"
             )
-        runner = PipelineRunner(spark, params=self.field_values())
+        runner = PipelineRunner(spark, params=self.field_values(), telemetry=telemetry)
         self._last_run = runner.run(self.get_dag())
         return self._last_run
+
+    def stop(self) -> None:
+        """Signal-only stop hook (reference pipeline.py stop/shutdown)."""
+        S.pipeline_stop.emit(
+            sender=type(self), pipeline=self, execution_context=self._last_run
+        )
+
+    def shutdown(self) -> None:
+        S.pipeline_shutdown.emit(
+            sender=type(self), pipeline=self, execution_context=self._last_run
+        )
 
     def explain(self) -> str:
         return self.get_dag().explain()
@@ -124,8 +144,16 @@ class BatchPipeline(Pipeline):
             if processor is not None and value is not None:
                 batch_iters[fname] = processor(value, f.batch_size or 1)
 
+        import time as _time
+
+        t0 = _time.time()
+        S.batch_pipeline_started.emit(
+            sender=type(self), batch=self, total_pipelines=None, timestamp=t0
+        )
         if not batch_iters:
-            return [self.start(spark, force_rerun=True)]
+            out = [self.start(spark, force_rerun=True)]
+            self._emit_batch_finished(out, t0)
+            return out
 
         results: list[RunResult] = []
         static = {
@@ -147,4 +175,23 @@ class BatchPipeline(Pipeline):
                 break
             runner = PipelineRunner(spark, params=params)
             results.append(runner.run(self.get_dag()))
+        self._emit_batch_finished(results, t0)
         return results
+
+    def _emit_batch_finished(self, results: list[RunResult], t0: float) -> None:
+        import time as _time
+
+        from event_pipeline_spark.plans.executor import RunState
+
+        completed = sum(1 for r in results if r.state is RunState.COMPLETED)
+        failed = len(results) - completed
+        finished = completed + failed
+        S.batch_pipeline_finished.emit(
+            sender=type(self),
+            batch=self,
+            metrics={"total_pipelines": len(results), "completed": completed,
+                     "failed": failed},
+            success_rate=(completed / finished * 100.0) if finished else 0.0,
+            total_duration=_time.time() - t0,
+            timestamp=_time.time(),
+        )

@@ -1,0 +1,37 @@
+"""Telemetry (SURVEY §2.6, §2.8): signal bus, metric capture, and
+DataFrame-native reporting aggregates."""
+
+from event_pipeline_spark.telemetry.metrics import (
+    EVENT_METRICS_SCHEMA,
+    NETWORK_METRICS_SCHEMA,
+    EventMetrics,
+    NetworkMetrics,
+    NetworkTelemetry,
+    TelemetryLogger,
+)
+from event_pipeline_spark.telemetry.reporter import (
+    execution_metrics,
+    failed_events,
+    failed_network_ops,
+    retry_stats,
+    slow_events,
+    slow_network_ops,
+)
+from event_pipeline_spark.telemetry.signals import ALL_SIGNALS, SoftSignal
+
+__all__ = [
+    "ALL_SIGNALS",
+    "EVENT_METRICS_SCHEMA",
+    "EventMetrics",
+    "NETWORK_METRICS_SCHEMA",
+    "NetworkMetrics",
+    "NetworkTelemetry",
+    "SoftSignal",
+    "TelemetryLogger",
+    "execution_metrics",
+    "failed_events",
+    "failed_network_ops",
+    "retry_stats",
+    "slow_events",
+    "slow_network_ops",
+]
