@@ -597,3 +597,36 @@ def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dupes") > 1)
         .orderBy(F.desc("dupes"), "text")
     )
+
+
+@query(
+    "q28",
+    """SELECT event_id, user_id,
+              CAST(SUM(CASE WHEN prev_ts IS NULL
+                            OR ts > prev_ts + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+       FROM (SELECT event_id, user_id, ts,
+                    LAG(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_ts
+             FROM events) t
+       ORDER BY user_id, event_id""",
+)
+def q28_full_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sessionization: per-user session ids from 30-minute gaps
+    (streaming/windows.py sessionize — the batch twin of
+    ``session_window``). Q18's flag made cumulative; one shuffle on
+    user_id shared by both window functions."""
+    from event_pipeline_spark.streaming.windows import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        sessionize(
+            events.select("event_id", "user_id", "ts"),
+            "ts", 30 * 60, "user_id", tiebreakers=("event_id",),
+        )
+        .select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,33 @@
+"""Structured Streaming surface (SURVEY §2.8): windows + watermarks,
+stateful per-key processing, foreachBatch DAG execution, trigger mapping,
+listener→signal bridge."""
+
+from event_pipeline_spark.streaming.listeners import SignalBridgeListener
+from event_pipeline_spark.streaming.runner import (
+    StreamingPipeline,
+    read_parquet_stream,
+)
+from event_pipeline_spark.streaming.schedule import ScheduleError, make_trigger
+from event_pipeline_spark.streaming.stateful import running_counts, stateful_apply
+from event_pipeline_spark.streaming.windows import (
+    session,
+    sessionize,
+    sliding,
+    tumbling,
+    with_watermark,
+)
+
+__all__ = [
+    "ScheduleError",
+    "SignalBridgeListener",
+    "StreamingPipeline",
+    "make_trigger",
+    "read_parquet_stream",
+    "running_counts",
+    "session",
+    "sessionize",
+    "sliding",
+    "stateful_apply",
+    "tumbling",
+    "with_watermark",
+]

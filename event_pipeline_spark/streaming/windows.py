@@ -1,0 +1,75 @@
+"""Windowed aggregation + watermark helpers (SURVEY §2.8).
+
+The reference has no streaming engine (its comparison chart lists
+"Streaming Support: Planned"); these are the [ext] operators mandated by
+the blueprint, built directly on Structured Streaming primitives. Every
+helper works identically on a batch DataFrame (``window`` /
+``session_window`` are ordinary expressions), which is how the
+differential tests pin semantics: stream(availableNow) == batch.
+
+Scale notes: windowed aggregations shuffle on (window, keys) — partial
+aggregation happens map-side first; watermarks bound state size, so a
+100 TB/day stream holds only (watermark horizon x key cardinality) rows
+of state. ``sessionize`` is the batch analogue of ``session_window``
+(lag + running flag — one shuffle per window spec over user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column as ColumnType
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data horizon, e.g. ``with_watermark(df, "ts", "10 minutes")``.
+    No-op semantics on batch DataFrames (Spark ignores it there)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling(df: DataFrame, ts_col: str, duration: str, *keys: str | Column):
+    """Non-overlapping windows: ``groupBy(window(ts, duration), *keys)``.
+    Returns GroupedData — chain ``.agg(...)``."""
+    return df.groupBy(F.window(ts_col, duration), *keys)
+
+
+def sliding(
+    df: DataFrame, ts_col: str, duration: str, slide: str, *keys: str | Column
+):
+    """Overlapping windows: each row lands in duration/slide windows."""
+    return df.groupBy(F.window(ts_col, duration, slide), *keys)
+
+
+def session(df: DataFrame, ts_col: str, gap: str, *keys: str | Column):
+    """Gap-based session windows (dynamic length, merged on overlap)."""
+    return df.groupBy(F.session_window(ts_col, gap), *keys)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    *keys: str,
+    session_col: str = "session_id",
+    tiebreakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Batch sessionization: assign a per-key session index via
+    lag + cumulative-sum of new-session flags (the Q18 scaffold made
+    total). One shuffle on ``keys``; both window functions share the
+    same partitioning so Catalyst plans a single Exchange.
+
+    ``tiebreakers`` make the order total when timestamps collide —
+    required for cross-engine determinism (FIXTURES.md conventions).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreakers]
+    part = Window.partitionBy(*keys).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(part)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(new_session).over(running))

@@ -1,0 +1,223 @@
+"""Streaming semantics tests (SURVEY §5(d)): stream(availableNow) ==
+batch for windows; watermark drops late rows; foreachBatch runs the DAG;
+stateful per-key counts survive micro-batches; trigger mapping parity."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.core.events import EventBase, EventRegistry, event
+from event_pipeline_spark.streaming import (
+    ScheduleError,
+    StreamingPipeline,
+    make_trigger,
+    read_parquet_stream,
+    running_counts,
+    session,
+    sessionize,
+    sliding,
+    tumbling,
+    with_watermark,
+)
+
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, sf_dir, tmp_path_factory):
+    """events.parquet stores TIMESTAMP(NANOS), which streaming file
+    sources reject; materialize the micros-converted copy once."""
+    from event_pipeline_spark.session import read_table
+
+    out = tmp_path_factory.mktemp("stream_events") / "events"
+    read_table(spark, sf_dir, "events").write.parquet(str(out))
+    return f"file://{out}"
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+# -- trigger mapping -------------------------------------------------------
+
+def test_make_trigger_interval():
+    assert make_trigger("interval", minutes=2, seconds=30) == {
+        "processingTime": "150 seconds"
+    }
+    assert make_trigger("once") == {"availableNow": True}
+
+
+def test_make_trigger_rejects_bad_kwargs():
+    with pytest.raises(ScheduleError, match="takes"):
+        make_trigger("interval", run_date="2026-01-01")
+    with pytest.raises(ScheduleError, match="external scheduler"):
+        make_trigger("cron", minute="*/5")
+    with pytest.raises(ScheduleError, match="unknown"):
+        make_trigger("nope")
+
+
+# -- windows: stream == batch ----------------------------------------------
+
+def test_tumbling_stream_equals_batch(spark, events_path, tmp_path):
+    src = read_parquet_stream(spark, events_path)
+    agg = tumbling(src, "ts", "1 hour", "event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumb")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r["window"]["start"], r["event_type"]): r["count"]
+        for r in spark.table("tumb").collect()
+    }
+    batch = spark.read.parquet(events_path)
+    want = {
+        (r["window"]["start"], r["event_type"]): r["count"]
+        for r in tumbling(batch, "ts", "1 hour", "event_type").count().collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_window_stream_equals_batch(spark, events_path, tmp_path):
+    src = read_parquet_stream(spark, events_path)
+    agg = session(with_watermark(src, "ts", "1 day"), "ts", "30 minutes", "user_id").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    batch = spark.read.parquet(events_path)
+    want = session(batch, "ts", "30 minutes", "user_id").count().count()
+    assert spark.table("sess").count() == want > 0
+
+
+def test_sliding_window_batch_shape(spark, events_path):
+    df = spark.read.parquet(events_path)
+    tumb = tumbling(df, "ts", "1 hour").count().count()
+    slid = sliding(df, "ts", "1 hour", "30 minutes").count().count()
+    assert slid > tumb  # overlapping windows produce more groups
+
+
+def test_sessionize_batch_matches_session_window_counts(spark, events_path):
+    df = spark.read.parquet(events_path).select("user_id", "ts")
+    n_sessions_sql = session(df, "ts", "30 minutes", "user_id").count().count()
+    ses = sessionize(df, "ts", 30 * 60, "user_id")
+    n_sessions_flag = (
+        ses.groupBy("user_id").agg(F.max("session_id").alias("m"))
+        .agg(F.sum("m")).first()[0]
+    )
+    assert n_sessions_flag == n_sessions_sql
+
+
+# -- watermark: late rows dropped -------------------------------------------
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src_dir = f"file://{tmp_path}/wm_src"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "id long, ts_s string").select(
+            "id", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)  # distinct mod times → one file per micro-batch
+
+    # Spark filters late records with the PREVIOUS batch's watermark, so
+    # the drop needs two batches after the watermark-advancing data: the
+    # 10:05 row arrives when the late-event watermark is already 10:40.
+    write_batch([(0, "2026-01-01 10:00:00"), (1, "2026-01-01 10:10:00"),
+                 (2, "2026-01-01 10:50:00")])
+    write_batch([(3, "2026-01-01 10:52:00")])
+    write_batch([(99, "2026-01-01 10:05:00")])  # late beyond the horizon
+
+    stream = read_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+    agg = tumbling(with_watermark(stream, "ts", "10 minutes"), "ts", "5 minutes").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/wm_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the 10:05 row was dropped, not aggregated
+
+
+# -- foreachBatch DAG execution ---------------------------------------------
+
+@event
+def CountToSink(spark, previous_result, batch_df, sink_dir):
+    out = batch_df.where(F.col("event_type") == "click")
+    out.write.mode("append").parquet(sink_dir)
+    return True, out
+
+
+@event
+def SummarizeClicks(spark, previous_result):
+    return True, previous_result.groupBy("user_id").count()
+
+
+def test_streaming_pipeline_foreach_batch(spark, events_path, tmp_path):
+    EventRegistry.register(CountToSink)
+    EventRegistry.register(SummarizeClicks)
+    sink = f"file://{tmp_path}/sink"
+    sp = StreamingPipeline(
+        "CountToSink |-> SummarizeClicks", params={"sink_dir": sink}
+    )
+    src = read_parquet_stream(spark, events_path)
+    q = sp.start(src, checkpoint=f"{tmp_path}/fb_ckpt")
+    _await(q)
+
+    batch = spark.read.parquet(events_path)
+    want_clicks = batch.where(F.col("event_type") == "click").count()
+    assert spark.read.parquet(sink).count() == want_clicks
+    assert len(sp.runs) >= 1
+    # last context's DataFrame is the piped summary
+    _, run = sp.runs[-1]
+    assert run.result is not None and "count" in run.result.columns
+
+
+# -- stateful per-key processing ---------------------------------------------
+
+def test_running_counts_stateful(spark, tmp_path):
+    src_dir = f"file://{tmp_path}/state_src"
+    mk = lambda rows: spark.createDataFrame(rows, "user_id string, v long")  # noqa: E731
+    mk([("a", 1), ("a", 2), ("b", 1)]).coalesce(1).write.mode("append").parquet(src_dir)
+    time.sleep(1.1)
+    mk([("a", 3), ("c", 1)]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = read_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        running_counts(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("rc")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/rc_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    final = {
+        r["user_id"]: r["m"]
+        for r in spark.table("rc")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("m"))
+        .collect()
+    }
+    assert final == {"a": 3, "b": 1, "c": 1}
