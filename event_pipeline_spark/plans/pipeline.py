@@ -48,6 +48,13 @@ class PipelineMeta(type):
             if os.path.exists(candidate):
                 with open(candidate) as fh:
                     pointy = fh.read()
+        if pointy is None:
+            # inherit the parent's source, like the reference's MRO lookup
+            pointy = next(
+                (getattr(b, "__pointy_source__", None) for b in bases
+                 if getattr(b, "__pointy_source__", None)),
+                None,
+            )
         cls.__pointy_source__ = pointy
         cls.__dag__ = build_dag(pointy) if pointy else None
         return cls

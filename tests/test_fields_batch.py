@@ -1,0 +1,138 @@
+"""Batch-field semantics tests (reference: tests/unittests/
+test_batch_pipeline.py:40-260) + the HTTP source pattern."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.core.events import EventRegistry, event
+from event_pipeline_spark.core.fields import (
+    InputDataField,
+    file_stream_batch_processor,
+    list_batch_processor,
+    validate_batch_processor,
+)
+from event_pipeline_spark.plans.pipeline import BatchPipeline
+from event_pipeline_spark.sources.http import fetch_json
+from event_pipeline_spark.telemetry import signals as S
+
+
+# -- processors ------------------------------------------------------------
+
+def test_list_batch_processor_chunks():
+    assert list(list_batch_processor([1, 2, 3, 4, 5], 2)) == [[1, 2], [3, 4], [5]]
+
+
+def test_file_stream_batch_processor(tmp_path):
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"abcdefghij")
+    assert list(file_stream_batch_processor(str(p), 4)) == [b"abcd", b"efgh", b"ij"]
+
+
+def test_validate_batch_processor_rejects_bad_signature():
+    with pytest.raises(TypeError, match="values, batch_size"):
+        validate_batch_processor(lambda only_one: None)
+    with pytest.raises(TypeError, match="callable"):
+        validate_batch_processor(42)
+
+
+# -- BatchPipeline round-robin + signals -------------------------------------
+
+@event
+def RecordBatch(spark, items, tags):
+    RecordBatch.__wrapped__.seen.append((items, tags))
+    return True, None
+
+
+RecordBatch.__wrapped__.seen = []
+
+
+class TwoFieldBatch(BatchPipeline):
+    items = InputDataField(list, batch_size=2)
+    tags = InputDataField(list, batch_size=1)
+
+    class Meta:
+        pointy = "RecordBatch"
+
+
+def test_round_robin_none_padding(spark):
+    """Unequal batch counts co-advance; exhausted fields pad with None
+    (reference pipeline.py:1158-1189)."""
+    EventRegistry.register(RecordBatch)
+    RecordBatch.__wrapped__.seen.clear()
+    finished = []
+    on_done = lambda sender, signal, **kw: finished.append(kw)  # noqa: E731
+    S.batch_pipeline_finished.connect(on_done, weak=False)
+    try:
+        bp = TwoFieldBatch(items=[1, 2, 3, 4, 5], tags=["a"])
+        results = bp.execute(spark)
+    finally:
+        S.batch_pipeline_finished.disconnect(on_done)
+
+    assert RecordBatch.__wrapped__.seen == [
+        ([1, 2], ["a"]),
+        ([3, 4], None),
+        ([5], None),
+    ]
+    assert len(results) == 3
+    assert len(finished) == 1 and finished[0]["success_rate"] == 100.0
+
+
+def test_custom_field_batch_override(spark):
+    """<field>_batch methods override the processor
+    (reference pipeline.py:1133-1145)."""
+    EventRegistry.register(RecordBatch)
+    RecordBatch.__wrapped__.seen.clear()
+
+    class Override(TwoFieldBatch):
+        def items_batch(self, values, batch_size):
+            yield values  # single batch regardless of size
+
+    bp = Override(items=[1, 2, 3], tags=["x", "y"])
+    bp.execute(spark)
+    assert RecordBatch.__wrapped__.seen == [
+        ([1, 2, 3], ["x"]),
+        (None, ["y"]),
+    ]
+
+
+# -- HTTP source --------------------------------------------------------------
+
+class _Handler(BaseHTTPRequestHandler):
+    payload = [{"userId": 1, "title": "a"}, {"userId": 1, "title": "b"},
+               {"userId": 2, "title": "c"}]
+
+    def do_GET(self):
+        body = json.dumps(self.payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture()
+def http_url():
+    server = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}/posts"
+    server.shutdown()
+
+
+def test_fetch_json_group_count(spark, http_url):
+    """The reference's user-posts ETL shape (examples/user_posts_etl):
+    fetch JSON → group-count per user."""
+    df = fetch_json(spark, http_url)
+    got = {
+        r["userId"]: r["n"]
+        for r in df.groupBy("userId").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {1: 2, 2: 1}
