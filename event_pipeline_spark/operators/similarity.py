@@ -2,17 +2,16 @@
 
 Two paths, one semantic:
 
-- **brute force** — exact cosine top-k. Dot products run as
-  ``F.zip_with`` + ``F.aggregate`` (JVM-side, no Python). Per-query
-  cost is one scan; right for small query batches or as the recall
-  oracle. Top-k per query via window row_number (WindowGroupLimit
-  pushes the k cutoff into the sort).
-- **LSH (random hyperplanes)** — sign-bit signature over fixed random
-  hyperplanes → bucket join on signature blocks → exact cosine re-rank
-  inside buckets. The 100 TB path: candidate generation shuffles
-  (block, value, id) rows only; re-rank touches a tiny candidate set.
-  Hyperplanes are seeded deterministically and built as literal arrays
-  (broadcast with the plan).
+- **brute force** — exact cosine top-k. Scoring is a vectorized Arrow
+  batch (one (n x d) @ (d,) matmul per batch); queries broadcast, so the
+  corpus is scanned once with no shuffle of vectors. Top-k per query via
+  window row_number (WindowGroupLimit pushes the k cutoff into the sort).
+- **LSH (random hyperplanes)** — sign-bit signature per hash table →
+  bucket join on (table, bucket) → exact cosine re-rank of candidates.
+  The 100 TB path: candidate generation shuffles ~24-byte (table,
+  bucket, id) rows ONLY — vectors are fetched by id for the surviving
+  candidate set. All signatures for all tables come from one
+  (n x d) @ (d, tables*planes) matmul per Arrow batch.
 
 An IVF variant (k-means coarse quantizer) is the classic third option;
 with no trained codebook shipped, LSH is the stateless choice.
@@ -24,14 +23,18 @@ tests/test_similarity.py): ``sim_topk_bruteforce``, ``sim_lsh_topk``,
 
 from __future__ import annotations
 
-import math
-import random
+import functools as _functools
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
 ORACLES = {}
+
+#: embeddings.parquet vector dimensionality (FIXTURES.md)
+DIM = 64
 
 
 def _register(name: str, fn, oracle: str | None = None) -> None:
@@ -47,11 +50,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# vector math as Catalyst expressions
+# vector math
 # ---------------------------------------------------------------------------
 
 
 def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product (zip_with + aggregate). Fine for a handful of
+    evaluations; the batch paths below use the Arrow kernel instead —
+    HOF lambdas run interpreted and measure ~10x slower per element."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -60,9 +66,7 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -72,6 +76,27 @@ def cosine(a: Column, b: Column) -> Column:
 
 def as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
+
+
+@_functools.lru_cache(maxsize=1)
+def _cosine_udf():
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        if ma.size == 0:
+            return pd.Series(np.zeros(0))
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        return pd.Series(out)
+
+    return cos
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Vectorized cosine over Arrow batches — the hot-path form."""
+    return _cosine_udf()(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -94,28 +119,19 @@ def cosine_topk(
     broadcast, so the corpus is scanned once with no shuffle of vectors;
     only (query_id, corpus_id, score) triples shuffle for the window.
     """
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cv")
-    )
-    q = queries.select(
-        F.col(query_id_col), as_double(F.col(vec_col)).alias("qv")
-    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
     scored = (
         c.join(F.broadcast(q))
         .where(F.col(query_id_col) != F.col("corpus_id"))
         .select(
             query_id_col,
             "corpus_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+            F.round(cosine_batch(F.col("cv"), F.col("qv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("corpus_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 # ---------------------------------------------------------------------------
@@ -123,24 +139,24 @@ def cosine_topk(
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = random.Random(seed)
-    return [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
+@_functools.lru_cache(maxsize=8)
+def _bucket_udf(n_planes: int, n_tables: int, seed: int, dim: int = DIM):
+    rng = np.random.RandomState(seed)
+    # (dim, tables*planes): ALL tables' signatures in one matmul
+    planes = rng.normal(size=(dim, n_tables * n_planes))
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
+    @F.pandas_udf("array<long>")
+    def bk(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (m @ planes) >= 0  # (n, T*P)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(buckets.astype(np.int64)))
 
-def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign bit per hyperplane, packed into a long per 16-plane block is
-    done by the caller; here: array<int> of 0/1."""
-    return F.array(
-        *[
-            F.when(
-                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, 1
-            ).otherwise(0)
-            for plane in planes
-        ]
-    )
+    return bk
 
 
 def lsh_buckets(
@@ -152,24 +168,14 @@ def lsh_buckets(
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """(table, bucket, id, vec) rows: one signature per hash table, each
-    from an independent set of hyperplanes. More tables = higher recall."""
-    out = None
-    v = as_double(F.col(vec_col))
-    for t in range(n_tables):
-        planes = _hyperplanes(64, n_planes, seed=seed + 1000 * t)
-        bits = signature_bits(v, planes)
-        bucket = F.aggregate(
-            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
-        )
-        part = df.select(
-            F.lit(t).alias("table"),
-            bucket.alias("bucket"),
-            F.col(id_col).alias("_id"),
-            v.alias("_vec"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    """(table, bucket, _id) rows — one signature per hash table, all
+    computed in a single Arrow pass. Deliberately NARROW: vectors stay
+    behind; fetch them by id for candidates only."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        _bucket_udf(n_planes, n_tables, seed)(F.col(vec_col)).alias("_bks"),
+    )
+    return sig.select("_id", F.posexplode("_bks").alias("table", "bucket"))
 
 
 def lsh_topk(
@@ -199,26 +205,29 @@ def lsh_topk(
         .select(
             F.col("q._id").alias(query_id_col),
             F.col("c._id").alias("corpus_id"),
-            F.col("c._vec").alias("cv"),
-            F.col("q._vec").alias("qv"),
         )
+        .where(F.col(query_id_col) != F.col("corpus_id"))
         .dropDuplicates([query_id_col, "corpus_id"])
     )
     scored = (
-        cand.where(F.col(query_id_col) != F.col("corpus_id"))
+        cand.join(
+            corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("qv"))
+            ),
+            query_id_col,
+        )
         .select(
             query_id_col,
             "corpus_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+            F.round(cosine_batch(F.col("cv"), F.col("qv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("corpus_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def embedding_near_duplicates(
@@ -230,8 +239,9 @@ def embedding_near_duplicates(
     n_planes: int = 10,
     n_tables: int = 6,
 ) -> DataFrame:
-    """Near-dup pairs by cosine >= threshold, candidates via shared LSH
-    buckets (self-join on narrow bucket rows, then exact re-check)."""
+    """Near-dup pairs by cosine >= threshold: self-join on narrow bucket
+    rows, dedup the candidate ids, THEN fetch vectors for candidates and
+    re-check exactly — the 64-dim arrays never ride the bucket join."""
     b = lsh_buckets(df, id_col=id_col, vec_col=vec_col,
                     n_planes=n_planes, n_tables=n_tables)
     left, right = b.alias("l"), b.alias("r")
@@ -242,19 +252,23 @@ def embedding_near_duplicates(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._vec").alias("va"),
-            F.col("r._vec").alias("vb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
     return (
-        pairs.select(
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+            "id_b",
+        )
+        .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

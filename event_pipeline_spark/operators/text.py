@@ -16,6 +16,9 @@ Registered queries (driver-checkable):
 
 from __future__ import annotations
 
+import functools as _functools
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,20 +124,41 @@ def language_scores(col: Column) -> Column:
     return F.struct(*fields)
 
 
+@_functools.lru_cache(maxsize=1)
+def _predict_language_udf():
+    profiles = {lang: set(ws) for lang, ws in LANG_PROFILES.items()}
+
+    @F.pandas_udf("string")
+    def pred(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = set(t.lower().split())
+            best_score, best_lang = 0, "unknown"
+            for lang, words in profiles.items():
+                score = len(toks & words)
+                if lang == "zh":
+                    score += sum(t.count(w) for w in words)
+                # ties break toward the lexicographically larger lang,
+                # matching struct-compare array_max semantics
+                if score > best_score or (score == best_score and score > 0
+                                          and lang > best_lang):
+                    best_score, best_lang = score, lang
+            out.append(best_lang)
+        return pd.Series(out)
+
+    return pred
+
+
 def predict_language(col: Column) -> Column:
-    scores = language_scores(col)
-    pairs = F.array(
-        *[
-            F.struct(
-                scores.getField(lang).alias("score"), F.lit(lang).alias("lang")
-            )
-            for lang in LANG_PROFILES
-        ]
-    )
-    best = F.array_max(pairs)  # struct compare: score first, ties by lang
-    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
-        F.lit("unknown")
-    )
+    """Argmax over the per-language stopword scores.
+
+    Arrow-batched pandas UDF: the pure-Column form (array_max over
+    structs referencing the ``language_scores`` struct) inlines the full
+    score expression once per language — Catalyst duplicates it 6x and
+    every copy re-runs the tokenizer, measured 65s for 5k docs vs ~1s
+    here. ``language_scores`` remains the Column form for single-use
+    contexts."""
+    return _predict_language_udf()(col)
 
 
 def quality_components(col: Column) -> Column:

@@ -10,6 +10,7 @@ from event_pipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard,
     minhash_near_duplicates,
+    ngram_jaccard_pairs,
     shingles,
     simhash64,
     simhash_near_duplicates,
@@ -86,6 +87,20 @@ def test_simhash_pairs_are_close(docs, spark):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in found
+
+
+def test_prefix_filter_join_is_exact(docs):
+    """ngram_jaccard_pairs (prefix filtering) must equal brute force —
+    the optimization admits no false negatives by construction."""
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_jaccard_pairs(docs, 0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == truth
 
 
 def test_simhash_is_deterministic(docs):
