@@ -11,6 +11,7 @@ from event_pipeline_spark.stores.files import FileJSONStore
 from event_pipeline_spark.stores.inmemory import InMemoryStore
 from event_pipeline_spark.stores.jdbc import JDBCStore
 from event_pipeline_spark.stores.parquet import ParquetTableStore
+from event_pipeline_spark.stores.redis import RedisStore
 
 __all__ = [
     "FileJSONStore",
@@ -20,5 +21,6 @@ __all__ = [
     "ObjectExistError",
     "ParquetTableStore",
     "Record",
+    "RedisStore",
     "StoreBackend",
 ]
