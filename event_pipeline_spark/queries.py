@@ -630,3 +630,156 @@ def q28_full_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q29–Q34: extended relational surface (JSON, cube, pivot, subqueries,
+# trend windows, percentiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29",
+    """SELECT event_type,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_sum,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q29_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the Any-typed ``props`` column —
+    the reference's nested a__b__c lookups on dict content
+    (nexus/result.py:338-370) when content is serialized JSON
+    (hdfs_store.py:62-64). get_json_object stays JVM-side."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("k_sum"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q30",
+    """SELECT COALESCE(event_type, 'ALL') AS et,
+              COALESCE(CAST(user_id % 2 AS VARCHAR), 'ALL') AS parity,
+              COUNT(*) AS n
+       FROM events GROUP BY CUBE(event_type, user_id % 2)
+       ORDER BY et, parity""",
+)
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass (rollup Q25's
+    big sibling). One shuffle; Spark expands grouping sets map-side."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("par", (F.col("user_id") % 2).cast("string"))
+        .cube("event_type", "par")
+        .count()
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("et"),
+            F.coalesce("par", F.lit("ALL")).alias("parity"),
+            F.col("count").alias("n"),
+        )
+        .orderBy("et", "parity")
+    )
+
+
+@query(
+    "q31",
+    """SELECT user_id,
+              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+              SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def q31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — the portable (and shuffle-
+    minimal) form: one pass, partial aggregation map-side, vs
+    ``groupBy().pivot()`` which needs a distinct-values pass first."""
+    events = _t(spark, sf_dir, "events")
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(name)
+        for t, name in [("click", "clicks"), ("view", "views"),
+                        ("purchase", "purchases")]
+    ]
+    return events.groupBy("user_id").agg(*agg).orderBy("user_id")
+
+
+@query(
+    "q32",
+    """SELECT c_custkey, c_acctbal
+       FROM customer c
+       WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey)
+       ORDER BY c_custkey""",
+)
+def q32_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's mean
+    balance. Catalyst de-correlates this into an aggregate + join —
+    written as such so the plan is explicit (one small agg broadcast)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation_avg = customer.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("nav")
+    )
+    return (
+        customer.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nav"))
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q33",
+    """SELECT user_id, m, n,
+              n - LAG(n) OVER (PARTITION BY user_id ORDER BY m) AS delta
+       FROM (SELECT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS m,
+                    COUNT(*) AS n
+             FROM events GROUP BY user_id, strftime(date_trunc('month', ts), '%Y-%m')) t
+       ORDER BY user_id, m""",
+)
+def q33_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend query: per-user monthly activity + month-over-month delta.
+    The window re-uses the groupBy's hash partitioning on user_id (one
+    exchange feeds both)."""
+    events = _t(spark, sf_dir, "events")
+    monthly = (
+        events.select(
+            "user_id", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("m")
+        )
+        .groupBy("user_id", "m")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("m")
+    return (
+        monthly.withColumn("delta", F.col("n") - F.lag("n").over(w))
+        .orderBy("user_id", "m")
+    )
+
+
+@query(
+    "q34",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.95), 6) AS p95
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (reference's slow-event
+    thresholding, reporter.py:54-68, generalized to distribution
+    analysis). Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear-interpolation semantics; approx_percentile is the sketch
+    alternative at extreme cardinalities."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
