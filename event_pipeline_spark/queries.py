@@ -783,3 +783,49 @@ def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q35",
+    """SELECT vec_id,
+              ROUND(sqrt(list_sum(list_transform(embedding,
+                                                 x -> CAST(x AS DOUBLE) *
+                                                      CAST(x AS DOUBLE)))), 6)
+                    AS l2
+       FROM embeddings ORDER BY vec_id""",
+)
+def q35_array_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math over the embedding column: per-vector L2 norm via
+    aggregate/transform. Element order is fixed in both engines, so the
+    float sum is deterministic; ROUND(,6) absorbs the last ulp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id", F.round(F.sqrt(sq_sum), 6).alias("l2")
+    ).orderBy("vec_id")
+
+
+@query(
+    "q36",
+    """SELECT event_type,
+              COUNT(DISTINCT user_id) AS users,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q36_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per group (the oracle-checkable twin
+    of approx_count_distinct — the HLL sketch is the 100 TB form but
+    differs across engines by design, SURVEY §2.10 note)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

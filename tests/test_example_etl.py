@@ -1,0 +1,46 @@
+"""Integration test: the examples/user_posts_etl pipeline end-to-end —
+DSL parse → DAG run → piped stages → store write → telemetry roll-up."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from examples.user_posts_etl import UserPostsETL
+from event_pipeline_spark.core.events import EventRegistry
+from event_pipeline_spark.plans.executor import RunState
+from event_pipeline_spark.telemetry import TelemetryLogger, execution_metrics
+
+
+def test_user_posts_etl_end_to_end(spark, sf_dir, tmp_path):
+    import examples.user_posts_etl as mod
+
+    for klass_name in ("LoadData", "ProcessData", "StoreData"):
+        EventRegistry.register(getattr(mod, klass_name))
+
+    out = f"file://{tmp_path}/etl_out"
+    telemetry = TelemetryLogger()
+    pipe = UserPostsETL(sf_dir=sf_dir, out_dir=out)
+    assert "LoadData" in pipe.explain()
+
+    run = pipe.start(spark, telemetry=telemetry)
+    assert run.state is RunState.COMPLETED
+    assert len(run.records) == 3  # three piped stages
+
+    stored = spark.read.parquet(f"{out}/user_activity")
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert stored.count() == n_users
+    assert stored.agg(F.sum("n_events")).first()[0] == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+
+    m = execution_metrics(telemetry.to_df(spark))
+    assert m["completed"] == 3 and m["failed"] == 0
+    assert m["success_rate"] == 100.0
