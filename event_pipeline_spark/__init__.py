@@ -11,8 +11,33 @@ Architecture is idiomatic Spark (DataFrame/SQL/Catalyst/Structured
 Streaming), NOT a port of the reference's thread/process execution engine.
 """
 
+from event_pipeline_spark.core.events import (
+    EvaluationState,
+    EventBase,
+    RetryPolicy,
+    event,
+)
+from event_pipeline_spark.core.fields import FileInputDataField, InputDataField
+from event_pipeline_spark.core.lookup import compile_filters, where
+from event_pipeline_spark.core.result import ResultSet
+from event_pipeline_spark.plans.pipeline import BatchPipeline, Pipeline
 from event_pipeline_spark.session import get_session, load_tables
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "load_tables", "__version__"]
+__all__ = [
+    "BatchPipeline",
+    "EvaluationState",
+    "EventBase",
+    "FileInputDataField",
+    "InputDataField",
+    "Pipeline",
+    "ResultSet",
+    "RetryPolicy",
+    "compile_filters",
+    "event",
+    "get_session",
+    "load_tables",
+    "where",
+    "__version__",
+]

@@ -98,6 +98,11 @@ class RunResult:
             if any(e.lower() == name.lower() for e in r.events)
         ]
 
+    def first_error_record(self) -> StageRecord | None:
+        """First failed context, walking run order (the reference's
+        ``get_first_error_execution_node``, nexus/pipeline.py:561-567)."""
+        return next((r for r in self.records if not r.success), None)
+
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """The run ledger as a DataFrame — telemetry queries (SURVEY §2.6)
         run over this."""
@@ -118,6 +123,17 @@ class RunResult:
             " retry_count int, start_time timestamp, end_time timestamp"
         )
         return spark.createDataFrame(rows, schema=schema)
+
+
+#: run ledger keyed by run id — the reference's pipeline state cache /
+#: ``load_class_by_id`` (nexus/pipeline.py:68-147, 498-535) re-expressed:
+#: runs are looked up by id, not pickled class state.
+_RUN_REGISTRY: dict[str, RunResult] = {}
+
+
+def get_run(run_id: str) -> RunResult:
+    """Fetch a completed run by id (raises KeyError when unknown)."""
+    return _RUN_REGISTRY[run_id]
 
 
 class PipelineRunner:
@@ -364,5 +380,6 @@ class PipelineRunner:
         if state is RunState.RUNNING:
             state = RunState.COMPLETED
         run = RunResult(run_id=run_id, state=state, records=records)
+        _RUN_REGISTRY[run_id] = run
         S.pipeline_execution_end.emit(sender=type(self), execution_context=run)
         return run

@@ -173,3 +173,23 @@ def test_network_telemetry(spark):
     df = nt.to_df(spark)
     assert df.count() == 2
     assert [r["task_id"] for r in failed_network_ops(df).collect()] == ["op2"]
+
+
+def test_run_registry_and_first_error(spark):
+    from event_pipeline_spark.core.events import EventBase, EventRegistry
+    from event_pipeline_spark.plans.executor import PipelineRunner, get_run
+
+    class RegOk(EventBase):
+        def process(self, **params):
+            return True, self.spark.range(1).toDF("id")
+
+    class RegBad(EventBase):
+        def process(self, **params):
+            raise ValueError("boom")
+
+    EventRegistry.register(RegOk)
+    EventRegistry.register(RegBad)
+    run = PipelineRunner(spark).run(build_dag("RegOk -> RegBad"))
+    assert get_run(run.run_id) is run  # state cache (pipeline.py:68-147)
+    err = run.first_error_record()
+    assert err is not None and "RegBad" in err.events
