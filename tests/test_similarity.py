@@ -71,3 +71,20 @@ def test_neardup_pairs_verified(emb):
     ).collect()
     assert all(r["cosine"] >= 0.45 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_ivf_recall(emb, queries):
+    from event_pipeline_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    centroids = train_ivf_centroids(emb, n_clusters=8)
+    assert centroids.shape == (8, 64)
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk(emb, queries, centroids, k=5, n_probe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 = {recall}"
