@@ -132,6 +132,11 @@ class EventBase:
     #: stop flags (base.py:553-608)
     stop_on_success = False
     stop_on_error = False
+    #: opt in to row-level evaluation: the stage's ``error`` boolean column
+    #: feeds the evaluation state. Evaluation rides on ONE materializing
+    #: action via ``df.observe()`` and the result is cached for downstream
+    #: stages (SURVEY §4.3) — no separate counting scan.
+    row_level_errors = False
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)

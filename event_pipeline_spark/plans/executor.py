@@ -98,6 +98,13 @@ class RunResult:
             if any(e.lower() == name.lower() for e in r.events)
         ]
 
+    def unpersist(self) -> None:
+        """Release any stage results the run cached (row-level evaluation
+        persists the evaluated DataFrame so downstream branches reuse it)."""
+        for rec in self.records:
+            if rec.result is not None and rec.result.is_cached:
+                rec.result.unpersist()
+
     def first_error_record(self) -> StageRecord | None:
         """First failed context, walking run order (the reference's
         ``get_first_error_execution_node``, nexus/pipeline.py:561-567)."""
@@ -258,16 +265,40 @@ class PipelineRunner:
 
         if getattr(klass, "row_level_errors", False) and record.result is not None \
                 and "error" in record.result.columns:
-            # one small aggregate action; the declared alternative at scale
-            # is df.observe() + listener (SURVEY §4.3)
-            agg = record.result.agg(
-                F.count("*").alias("n"),
-                F.count_if(F.col("error")).alias("errs"),
-            ).first()
-            has_success = has_success or (agg["n"] - agg["errs"]) > 0
-            has_error = has_error or agg["errs"] > 0
+            n, errs = self._observe_row_errors(record)
+            has_success = has_success or (n - errs) > 0
+            has_error = has_error or errs > 0
 
         return state.success(has_success, has_error)
+
+    def _observe_row_errors(self, record: StageRecord) -> tuple[int, int]:
+        """Row-level evaluation without a second scan (SURVEY §4.3).
+
+        A conditional node must know the success bit *now* (it decides
+        which branch plan to build), so one action is unavoidable. The
+        design makes that single action pay twice: ``df.observe()``
+        piggybacks the (count, error-count) metrics on a noop-sink
+        materialization of the *persisted* stage result, so the branch
+        that consumes the result reads the cache instead of recomputing
+        the stage plan. The previous design — a separate ``agg`` action —
+        re-ran the whole stage (at 100 TB: the whole stage twice).
+
+        Persist is MEMORY_AND_DISK (DataFrame default), so an
+        executor-memory-sized result spills rather than OOMs; call
+        ``RunResult.unpersist()`` when done with the run.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = record.result.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("error")).alias("errs"),
+        ).persist()
+        observed.write.format("noop").mode("overwrite").save()
+        metrics = obs.get
+        record.result = observed
+        return int(metrics["n"]), int(metrics["errs"])
 
     # -- the walk -------------------------------------------------------
 

@@ -338,3 +338,77 @@ class TestPipelineAPI:
         results = bp.execute(spark)
         assert batches == [(["a", "b"], 30), (["c"], 30)]
         assert len(results) == 2
+
+
+class TestRowLevelEvaluation:
+    """row_level_errors: the stage's ``error`` column feeds the evaluation
+    state via ONE observed materialization (no second scan), and the
+    evaluated result is cached for the branch that consumes it."""
+
+    def _error_event(self, spark, n_errors: int):
+        from pyspark.sql import functions as F
+
+        def process(self, **params):
+            VISITS.append("A")
+            df = self.spark.range(10).withColumn(
+                "error", F.col("id") < n_errors
+            )
+            return True, df
+
+        type("A", (EventBase,), {
+            "process": process,
+            "row_level_errors": True,
+            "execution_evaluation_state": EvaluationState.FAILURE_FOR_PARTIAL_ERROR,
+        })
+
+    def test_row_errors_route_to_failure_branch(self, spark):
+        self._error_event(spark, n_errors=2)
+        _simple("B"), _simple("C")
+        res = PipelineRunner(spark).run(build_dag("A(0->B,1->C)"))
+        assert VISITS == ["A", "B"]
+        assert res.records[0].success is False
+        # the evaluated result was cached for the downstream branch
+        assert res.records[0].result.is_cached
+        res.unpersist()
+        assert not res.records[0].result.is_cached
+
+    def test_no_row_errors_route_to_success_branch(self, spark):
+        self._error_event(spark, n_errors=0)
+        _simple("B"), _simple("C")
+        res = PipelineRunner(spark).run(build_dag("A(0->B,1->C)"))
+        assert VISITS == ["A", "C"]
+        assert res.records[0].success is True
+        res.unpersist()
+
+    def test_evaluation_does_not_rescan_stage(self, spark):
+        """The stage plan runs ONCE: evaluation metrics ride the observed
+        materialization and the downstream read hits the cache."""
+        from pyspark.sql import functions as F
+
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.udf("long")
+        def tick(x):
+            acc.add(1)
+            return x
+
+        def process(self, **params):
+            df = (
+                self.spark.range(100)
+                .withColumn("y", tick("id"))
+                .withColumn("error", F.lit(False))
+            )
+            return True, df
+
+        type("A", (EventBase,), {
+            "process": process,
+            "row_level_errors": True,
+        })
+        res = PipelineRunner(spark).run(build_dag("A"))
+        assert res.records[0].success is True
+        after_eval = acc.value
+        assert after_eval == 100
+        # downstream consumption reuses the cache — no recompute
+        assert res.records[0].result.count() == 100
+        assert acc.value == after_eval
+        res.unpersist()

@@ -1,0 +1,62 @@
+"""Scale smoke at sf0.1 (SURVEY §5(e)): headline queries run at 100x the
+unit-test scale AND produce the plans we designed for — filters reach the
+parquet scan, small dims broadcast, aggregates are partial (map-side).
+
+Set SPARK_GRAFT_SKIP_SCALE=1 to skip (e.g. on laptops)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from event_pipeline_spark.registry import all_queries
+
+SF01 = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_SCALE") == "1"
+    or not os.path.exists(SF01),
+    reason="sf0.1 fixtures unavailable or scale smoke disabled",
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q20_runs_and_aggregates_partially(spark):
+    df = all_queries()["q20"](spark, SF01)
+    rows = df.collect()
+    assert len(rows) >= 4  # returnflag x linestatus combos
+    plan = _plan(df)
+    # partial (map-side) aggregation before the exchange
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # the shipdate filter reached the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q19_broadcasts_the_dim_side(spark):
+    df = all_queries()["q19"](spark, SF01)
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_q3_filter_pushdown(spark):
+    df = all_queries()["q3"](spark, SF01)
+    df.limit(1).collect()
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "EqualTo(event_type,click)" in plan
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark):
+    from event_pipeline_spark.operators.dedup import exact_duplicates
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, SF01, "documents")
+    df = exact_duplicates(docs)
+    df.collect()
+    plan = _plan(df)
+    # the exchange operates on the md5 digest column, not raw text
+    exchange = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange and all("text" not in l for l in exchange)
