@@ -20,6 +20,7 @@ from event_pipeline_spark.core.events import (
 from event_pipeline_spark.core.fields import FileInputDataField, InputDataField
 from event_pipeline_spark.core.lookup import compile_filters, where
 from event_pipeline_spark.core.result import ResultSet
+from event_pipeline_spark.operators.skew import key_skew, salted_agg, salted_join
 from event_pipeline_spark.plans.pipeline import BatchPipeline, Pipeline
 from event_pipeline_spark.session import get_session, load_tables
 
@@ -37,7 +38,10 @@ __all__ = [
     "compile_filters",
     "event",
     "get_session",
+    "key_skew",
     "load_tables",
+    "salted_agg",
+    "salted_join",
     "where",
     "__version__",
 ]

@@ -8,7 +8,15 @@ from event_pipeline_spark.streaming.runner import (
     read_parquet_stream,
 )
 from event_pipeline_spark.streaming.schedule import ScheduleError, make_trigger
-from event_pipeline_spark.streaming.stateful import running_counts, stateful_apply
+from event_pipeline_spark.streaming.stateful import (
+    ROCKSDB_PROVIDER,
+    RUNNING_STATS_SCHEMA,
+    has_transform_with_state,
+    make_running_stats_processor,
+    running_counts,
+    stateful_apply,
+    transform_with_state,
+)
 from event_pipeline_spark.streaming.windows import (
     session,
     sessionize,
@@ -18,12 +26,17 @@ from event_pipeline_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ROCKSDB_PROVIDER",
+    "RUNNING_STATS_SCHEMA",
     "ScheduleError",
     "SignalBridgeListener",
     "StreamingPipeline",
+    "has_transform_with_state",
+    "make_running_stats_processor",
     "make_trigger",
     "read_parquet_stream",
     "running_counts",
+    "transform_with_state",
     "session",
     "sessionize",
     "sliding",

@@ -57,3 +57,105 @@ def running_counts(df: DataFrame, key: str = "user_id") -> DataFrame:
         state_schema="n long",
         output_mode="update",
     )
+
+
+# -- state API v2: transformWithStateInPandas ------------------------------
+#
+# Spark 4's successor to applyInPandasWithState: a StatefulProcessor object
+# with named state variables (value/list/map), timers, and per-state TTL,
+# backed by the RocksDB state store provider. The PySpark client talks to
+# the state server over protobuf, so the API needs the `protobuf` package
+# at runtime — absent in some environments; `has_transform_with_state()`
+# reports availability and `transform_with_state` raises a clear error
+# when the dependency is missing (the rest of this module keeps working).
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def has_transform_with_state() -> bool:
+    """True when the state-v2 Python client can run (protobuf installed)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def transform_with_state(
+    df: DataFrame,
+    keys: list[str],
+    processor: "Any",
+    output_schema: str,
+    output_mode: str = "Update",
+    time_mode: str = "None",
+) -> DataFrame:
+    """``df.groupBy(keys).transformWithStateInPandas(...)`` with this
+    codebase's argument order.
+
+    ``processor`` is a ``pyspark.sql.streaming.stateful_processor
+    .StatefulProcessor``: ``init(handle)`` declares named state variables
+    (``handle.getValueState/getListState/getMapState``, each with optional
+    TTL), ``handleInputRows(key, rows, timerValues)`` yields output
+    pandas DataFrames. Requires the RocksDB state store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``ROCKSDB_PROVIDER`` before starting the query.
+    """
+    if not has_transform_with_state():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's state-v2 client imports google.protobuf); install "
+            "protobuf or use stateful_apply (applyInPandasWithState)."
+        )
+    return df.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=output_schema,
+        outputMode=output_mode,
+        timeMode=time_mode,
+    )
+
+
+def make_running_stats_processor(key: str = "user_id", value_col: str = "value"):
+    """A canned StatefulProcessor: per-key running (count, sum, min, max)
+    in a single ValueState — the state-v2 analogue of ``running_counts``.
+
+    Built lazily so importing this module never touches the protobuf-
+    dependent base class.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, total double, mn double, mx double"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            if self._agg.exists():
+                n, total, mn, mx = self._agg.get()
+            else:
+                n, total, mn, mx = 0, 0.0, float("inf"), float("-inf")
+            for pdf in rows:
+                vals = pdf[value_col]
+                n += len(vals)
+                total += float(vals.sum())
+                if len(vals):
+                    mn = min(mn, float(vals.min()))
+                    mx = max(mx, float(vals.max()))
+            self._agg.update((n, total, mn, mx))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n": [n], "total": [total],
+                 "mn": [mn], "mx": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStats()
+
+
+RUNNING_STATS_SCHEMA = "user_id string, n long, total double, mn double, mx double"

@@ -1,0 +1,95 @@
+"""Salting helpers: result parity with the unsalted plan, refusal of
+non-decomposable shapes, and the skew diagnostic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.skew import (
+    SALT_COL,
+    key_skew,
+    salted_agg,
+    salted_join,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """~5k rows on one hot key, a tail of 50 uniform keys."""
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    tail = spark.range(500).select(
+        F.concat(F.lit("k"), (F.col("id") % 50)).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionAll(tail)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark, skewed):
+        got = salted_agg(
+            skewed,
+            ["k"],
+            [("v", "count", "n"), ("v", "sum", "s"),
+             ("v", "min", "mn"), ("v", "max", "mx")],
+            n_salts=8,
+        )
+        want = skewed.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        assert _rows(got, "k") == _rows(want, "k")
+
+    def test_avg_decomposition(self, spark, skewed):
+        got = {r["k"]: r["a"] for r in salted_agg(
+            skewed, ["k"], [("v", "avg", "a")], n_salts=8).collect()}
+        want = {r["k"]: r["a"] for r in
+                skewed.groupBy("k").agg(F.avg("v").alias("a")).collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k])
+
+    def test_rejects_non_algebraic(self, skewed):
+        with pytest.raises(ValueError, match="not algebraic"):
+            salted_agg(skewed, ["k"], [("v", "median", "m")])
+
+    def test_partial_phase_shuffles_on_salt(self, skewed):
+        plan = salted_agg(
+            skewed, ["k"], [("v", "count", "n")], n_salts=8
+        )._jdf.queryExecution().executedPlan().toString()
+        assert SALT_COL in plan  # first exchange keyed on (k, __salt)
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [("hot", "H"), ("k1", "A"), ("k2", "B")], "k string, label string"
+        )
+        got = _rows(salted_join(skewed, dim, ["k"], n_salts=4), "k", "v")
+        want = _rows(skewed.join(dim, ["k"]), "k", "v")
+        assert got == want and len(got) > 5000
+
+    def test_left_keeps_unmatched_probe_rows(self, spark, skewed):
+        dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+        got = salted_join(skewed, dim, ["k"], n_salts=4, how="left")
+        want = skewed.join(dim, ["k"], "left")
+        assert got.count() == want.count() == skewed.count()
+
+    def test_refuses_replication_unsafe_sides(self, spark, skewed):
+        dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(skewed, dim, ["k"], how="full")
+
+
+def test_key_skew_diagnostic(spark, skewed):
+    top = key_skew(skewed, ["k"], top=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["n"] == 5000
+    # 51 groups, hot holds ~91% of rows -> ratio ~46x uniform
+    assert top[0]["skew_ratio"] > 10
+    assert abs(top[0]["share"] - 5000 / 5500) < 0.001

@@ -13,6 +13,7 @@ from event_pipeline_spark.core.events import EventBase, EventRegistry, event
 from event_pipeline_spark.streaming import (
     ScheduleError,
     StreamingPipeline,
+    has_transform_with_state,
     make_trigger,
     read_parquet_stream,
     running_counts,
@@ -221,3 +222,68 @@ def test_running_counts_stateful(spark, tmp_path):
         .collect()
     }
     assert final == {"a": 3, "b": 1, "c": 1}
+
+
+# -- state API v2: transformWithStateInPandas --------------------------------
+
+def test_transform_with_state_gated_when_protobuf_missing(spark):
+    """The v2 wrapper degrades to a clear error (not a worker crash) when
+    pyspark's protobuf-based state client can't run."""
+    from event_pipeline_spark.streaming import (
+        has_transform_with_state,
+        make_running_stats_processor,
+        transform_with_state,
+    )
+
+    proc = make_running_stats_processor("user_id", "v")
+    df = spark.createDataFrame([("a", 1.0)], "user_id string, v double")
+    if has_transform_with_state():
+        pytest.skip("protobuf present; gating path not reachable")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        transform_with_state(df, ["user_id"], proc, "user_id string, n long")
+
+
+@pytest.mark.skipif(
+    not has_transform_with_state(),
+    reason="protobuf not installed (pyspark state-v2 client needs it)",
+)
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Per-key running stats survive micro-batches via state v2 (needs the
+    RocksDB provider + protobuf)."""
+    from event_pipeline_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        RUNNING_STATS_SCHEMA,
+        make_running_stats_processor,
+        transform_with_state,
+    )
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        src_dir = f"file://{tmp_path}/tws_src"
+        mk = lambda rows: spark.createDataFrame(rows, "user_id string, v double")  # noqa: E731
+        mk([("a", 1.0), ("a", 2.0), ("b", 5.0)]).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)
+        mk([("a", 3.0)]).coalesce(1).write.mode("append").parquet(src_dir)
+
+        stream = read_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+        out = transform_with_state(
+            stream, ["user_id"], make_running_stats_processor("user_id", "v"),
+            RUNNING_STATS_SCHEMA,
+        )
+        q = (
+            out.writeStream.format("memory").queryName("tws")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_path}/tws_ckpt")
+            .trigger(availableNow=True).start()
+        )
+        _await(q)
+        final = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in spark.table("tws")
+            .groupBy("user_id")
+            .agg(F.max("n").alias("n"), F.max("total").alias("total"))
+            .collect()
+        }
+        assert final == {"a": (3, 6.0), "b": (1, 5.0)}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
