@@ -128,10 +128,86 @@ def key_skew(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
             *keys,
             "n",
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
-            F.round(F.col("n") * F.col("groups") / F.col("total"), 2).alias(
+            # ROUND(x, 6), not 2: coarse rounding of a raw double lands on
+            # .5 boundaries where engines disagree (SURVEY §2.10 convention)
+            F.round(F.col("n") * F.col("groups") / F.col("total"), 6).alias(
                 "skew_ratio"
             ),
         )
         .orderBy(F.desc("n"), *keys)
         .limit(top)
     )
+
+
+# -- oracle-checked query surface (driver correctness gate) ----------------
+#
+# Salting must be *invisible* in results: each entry's oracle is the plain
+# unsalted SQL, so the differential check proves the rewrite is exact.
+
+QUERIES = {}
+ORACLES = {}
+
+_DEC = "decimal(18,2)"
+
+
+def _skew_salted_agg(spark, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast(_DEC)
+    )
+    out = salted_agg(
+        events,
+        ["event_type"],
+        [("v", "count", "n"), ("v", "sum", "sum_v"),
+         ("v", "min", "min_v"), ("v", "max", "max_v")],
+        n_salts=8,
+    )
+    return out.select(
+        "event_type", "n", F.col("sum_v").cast(_DEC).alias("sum_v"),
+        "min_v", "max_v",
+    ).orderBy("event_type")
+
+
+QUERIES["skew_salted_agg"] = _skew_salted_agg
+ORACLES["skew_salted_agg"] = """
+SELECT event_type,
+       COUNT(value) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v,
+       MIN(CAST(value AS DECIMAL(18,2))) AS min_v,
+       MAX(CAST(value AS DECIMAL(18,2))) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def _skew_salted_join(spark, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return salted_join(orders, dim, ["o_custkey"], n_salts=4).orderBy("o_orderkey")
+
+
+QUERIES["skew_salted_join"] = _skew_salted_join
+ORACLES["skew_salted_join"] = """
+SELECT o_orderkey, o_custkey, c_mktsegment AS segment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey"""
+
+
+def _skew_key_diag(spark, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return key_skew(read_table(spark, sf_dir, "events"), ["user_id"], top=10)
+
+
+QUERIES["skew_key_diag"] = _skew_key_diag
+ORACLES["skew_key_diag"] = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+     s AS (SELECT SUM(n) AS total, COUNT(*) AS n_groups FROM c)
+SELECT user_id, n,
+       ROUND(n / total, 6) AS share,
+       ROUND(n * n_groups / total, 6) AS skew_ratio
+FROM c, s ORDER BY n DESC, user_id LIMIT 10"""
