@@ -71,14 +71,20 @@ class ParquetTableStore(StoreBackend):
     def upsert_table(self, schema_name: str, df: DataFrame, key: str = "id") -> None:
         """MERGE: rows in ``df`` replace same-key rows, others append.
 
-        One shuffle (the anti join, broadcast when ``df`` is small) + one
-        rewrite of the table — the parquet-without-transaction-log floor.
-        Delta's MERGE INTO with file skipping is the upgrade path.
+        Unpartitioned tables pay the parquet-without-transaction-log
+        floor: one anti-join shuffle (broadcast when ``df`` is small) +
+        one full rewrite. Partitioned tables get Delta-style pruning
+        instead (``_upsert_partitioned``): only the partitions present in
+        ``df`` are read, merged, and swapped — upsert cost scales with the
+        touched partitions, not the table. A real MERGE INTO on
+        Delta/Iceberg is still the upgrade path; the API is identical.
         """
         if not self._exists_table(schema_name):
             self.write_table(schema_name, df, mode="overwrite")
             return
-        current = self.as_dataframe(schema_name)
+        if self.partition_by and self._upsert_partitioned(schema_name, df, key):
+            return
+        current = self._align_partition_types(self.as_dataframe(schema_name), df)
         merged = current.join(df.select(key).distinct(), key, "left_anti").unionByName(df)
         staging = self._path(f"__staging__{schema_name}")
         writer = merged.write.mode("overwrite")
@@ -88,6 +94,68 @@ class ParquetTableStore(StoreBackend):
         target = self._hpath(self._path(schema_name))
         self._fs.delete(target, True)
         self._fs.rename(self._hpath(staging), target)
+
+    def _align_partition_types(self, current: DataFrame, df: DataFrame) -> DataFrame:
+        """Partition-column type inference can read ``day=2026-01-01``
+        back as DATE while the incoming rows carry STRING; cast the stored
+        side to the incoming types so the merge union is well-typed."""
+        for c in self.partition_by:
+            if c in current.columns and c in df.columns:
+                current = current.withColumn(c, F.col(c).cast(df.schema[c].dataType))
+        return current
+
+    def _upsert_partitioned(self, schema_name: str, df: DataFrame, key: str) -> bool:
+        """Partition-pruned MERGE: read only the partitions ``df`` lands
+        in, anti-join + union there, and swap just those partition
+        directories. Untouched partitions are never read or rewritten.
+
+        Assumes the partition value is stable per key (the standard
+        contract for partitioned upserts — e.g. partitioned by a creation
+        date): a key that *moved* partitions would leave its old row
+        behind, so keys must not change partition. Falls back to the full
+        rewrite (returns False) when a partition value is null or
+        contains a path separator — Hive-escaping those is not worth
+        hand-rolling here.
+        """
+        parts = [tuple(r) for r in df.select(*self.partition_by).distinct().collect()]
+        for values in parts:
+            for v in values:
+                if v is None or "/" in str(v) or "=" in str(v):
+                    return False
+        if not parts:
+            return True  # empty upsert: nothing to do
+
+        # partition-pruning predicate: OR of per-partition conjunctions
+        pred = None
+        for values in parts:
+            conj = None
+            for c, v in zip(self.partition_by, values):
+                term = F.col(c) == F.lit(v)
+                conj = term if conj is None else conj & term
+            pred = conj if pred is None else pred | conj
+
+        current = self._align_partition_types(
+            self.as_dataframe(schema_name).where(pred), df
+        )
+        merged = current.join(df.select(key).distinct(), key, "left_anti").unionByName(df)
+        staging = self._path(f"__staging__{schema_name}")
+        self._fs.delete(self._hpath(staging), True)
+        merged.write.mode("overwrite").partitionBy(*self.partition_by).parquet(staging)
+
+        table_root = self._path(schema_name)
+        for values in parts:
+            rel = "/".join(f"{c}={v}" for c, v in zip(self.partition_by, values))
+            src = self._hpath(f"{staging}/{rel}")
+            dst = self._hpath(f"{table_root}/{rel}")
+            if not self._fs.exists(src):
+                continue  # every input row for this partition was a no-op
+            self._fs.delete(dst, True)
+            parent = dst.getParent()
+            if not self._fs.exists(parent):
+                self._fs.mkdirs(parent)
+            self._fs.rename(src, dst)
+        self._fs.delete(self._hpath(staging), True)
+        return True
 
     def delete_where(self, schema_name: str, **filter_kwargs: Any) -> None:
         """Anti-delete: rewrite the table without matching rows."""

@@ -129,3 +129,80 @@ def test_jdbc_store_builds_options(spark):
     assert opts["numPartitions"] == "16"
     with pytest.raises(NotImplementedError):
         store.update_record("results", "a", {})
+
+
+def test_parquet_partitioned_upsert_prunes(spark, tmp_path):
+    """Partitioned MERGE touches only the partitions the new rows land in:
+    results are exact AND the untouched partition's files are not
+    rewritten (Delta-style pruning on plain parquet)."""
+    import os
+
+    root = tmp_path / "ptup"
+    store = ParquetTableStore(f"file://{root}", spark, partition_by=["day"])
+    df1 = spark.createDataFrame(
+        [("a", "d1", 1), ("b", "d1", 2), ("c", "d2", 3)],
+        "id string, day string, v int",
+    )
+    store.upsert_table("t", df1)
+
+    untouched = root / "t" / "day=d2"
+    files_before = sorted(os.listdir(untouched))
+
+    df2 = spark.createDataFrame(
+        [("a", "d1", 10), ("e", "d1", 5)],
+        "id string, day string, v int",
+    )
+    store.upsert_table("t", df2)
+
+    out = {r["id"]: (r["day"], r["v"]) for r in store.as_dataframe("t").collect()}
+    assert out == {
+        "a": ("d1", 10), "b": ("d1", 2),
+        "c": ("d2", 3), "e": ("d1", 5),
+    }
+    # the 01-02 partition was neither read-modified nor rewritten
+    assert sorted(os.listdir(untouched)) == files_before
+    # staging directory cleaned up
+    assert not (root / "__staging__t").exists()
+
+
+def test_parquet_partitioned_upsert_new_partition(spark, tmp_path):
+    store = ParquetTableStore(f"file://{tmp_path}/ptnew", spark, partition_by=["day"])
+    store.upsert_table(
+        "t",
+        spark.createDataFrame([("a", "d1", 1)], "id string, day string, v int"),
+    )
+    store.upsert_table(
+        "t",
+        spark.createDataFrame([("z", "d3", 9)], "id string, day string, v int"),
+    )
+    out = {r["id"]: r["v"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a": 1, "z": 9}
+
+
+def test_parquet_partitioned_upsert_null_partition_falls_back(spark, tmp_path):
+    """A null partition value can't be path-addressed; the merge falls
+    back to the full rewrite and stays correct."""
+    store = ParquetTableStore(f"file://{tmp_path}/ptnull", spark, partition_by=["day"])
+    store.upsert_table(
+        "t",
+        spark.createDataFrame(
+            [("a", "d1", 1), ("n", None, 2)], "id string, day string, v int"
+        ),
+    )
+    store.upsert_table(
+        "t",
+        spark.createDataFrame([("n", None, 20)], "id string, day string, v int"),
+    )
+    out = {r["id"]: r["v"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a": 1, "n": 20}
+
+
+def test_parquet_partitioned_upsert_date_inference(spark, tmp_path):
+    """Date-like partition values read back as DATE; the merge aligns
+    types and the pruned swap still lands in the same directory."""
+    store = ParquetTableStore(f"file://{tmp_path}/ptdate", spark, partition_by=["day"])
+    mk = lambda rows: spark.createDataFrame(rows, "id string, day string, v int")  # noqa: E731
+    store.upsert_table("t", mk([("a", "2026-01-01", 1), ("c", "2026-01-02", 3)]))
+    store.upsert_table("t", mk([("a", "2026-01-01", 10)]))
+    out = {r["id"]: r["v"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a": 10, "c": 3}
