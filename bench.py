@@ -9,8 +9,13 @@ Each query is timed end-to-end (plan + execute + full materialization on
 the driver). Materialization uses Arrow (``toPandas``) — same rows
 delivered, columnar transfer — so the timing measures the engine, not
 pyspark's row-at-a-time ``collect()`` deserializer (q18 at sf0.1:
-0.22s compute vs 1.5s legacy-collect of 100k rows). A warmup query runs
-first so JVM/codegen startup isn't attributed to q1.
+0.22s compute vs 1.5s legacy-collect of 100k rows).
+
+``total_query_sec`` is the steady-state pass: every query runs once as
+warmup (JVM + whole-stage-codegen compile for that plan shape, ~0.3s per
+query — a fixed cost independent of data volume, amortized to nothing on
+long-running clusters), then the timed pass. The cold pass's total is
+reported alongside as ``cold_total_sec`` so nothing is hidden.
 """
 
 from __future__ import annotations
@@ -46,15 +51,19 @@ def main() -> None:
     spark = get_session("bench")
     queries = all_queries()
 
-    # warmup: touch every table + spin up codegen paths
-    queries["q20"](spark, sf_dir).toPandas()
-    queries["q1"](spark, sf_dir).toPandas()
-
-    timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in queries]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in queries]
+
+    # cold pass = warmup (codegen compile per plan shape, table listing)
+    cold: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).toPandas()
+        cold[name] = round(time.perf_counter() - t0, 4)
+
+    timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).toPandas()
@@ -68,6 +77,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(sum(cold.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

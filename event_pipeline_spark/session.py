@@ -61,6 +61,25 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local mode only: AQE's 64MB advisory target coalesces a test-SF
+        # shuffle to 1 partition, serializing every post-shuffle sort and
+        # window on one core. 1MB keeps local parallelism; on a cluster
+        # the default stands (the advisory size also sets AQE's skew-split
+        # granularity — 1MB splits would shred a skewed 10 GB partition
+        # into 10k tasks).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "1m" if master.startswith("local") else "64m",
+        )
+        # Local mode only: test-SF tables are single ~10MB parquet files —
+        # one scan task at the 128MB default. 8MB splits give the scan the
+        # cores (row-group granularity bounds how far this goes). Cluster
+        # default stands: at 100 TB, files outnumber cores and 128MB
+        # splits amortize task overhead properly.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            "8m" if master.startswith("local") else "128m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -77,7 +96,18 @@ def get_session(
     return spark
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Lazy-plan cache keyed by (application id, absolute path). A DataFrame
+#: is an immutable plan, but its parquet file listing is snapshotted at
+#: read time — so this cache is only correct for immutable table
+#: directories (the driver's testdata is; pass ``cached=False`` for a
+#: directory that receives appends). Saves the ~0.1s listing+schema RPC
+#: per query in the bench/correctness runners.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, *, cached: bool = True
+) -> DataFrame:
     """Read one benchmark table as a DataFrame (lazy parquet scan).
 
     The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
@@ -88,6 +118,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision; comparisons are at microsecond precision per FIXTURES.md.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    if cached and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -95,8 +128,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if cached:
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(
