@@ -1,0 +1,208 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+The reference framework has no joins at all (SURVEY §2.10 Q19 note); these
+are [ext] operators in the driver's mandate ("as-of join, range join" as
+canonical custom operators). Both are compositions of existing DataFrame
+ops — no UDFs, no driver-side loops — so Catalyst/Tungsten own the
+physical plan at any scale.
+
+- ``asof_join``: for each left row, the latest right row at-or-before its
+  timestamp per key (trades→quotes point-in-time semantics). One
+  shuffle+sort over the *union* of both sides — the classic merge-scan
+  formulation — instead of a per-left-row subquery (quadratic) or a
+  windowed self-join of candidates.
+- ``range_join``: point-in-interval equi-binned join. A raw
+  ``v BETWEEN lo AND hi`` predicate forces BroadcastNestedLoopJoin
+  (every row × every interval); binning turns it into a hash join on the
+  bin id with an exact post-filter, the standard trick Spark's optimizer
+  doesn't apply automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIDE_COL = "__side"
+BIN_COL = "__bin"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "ts",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the right row with the
+    greatest ``ts`` <= its own, per ``on`` key (ties at equal ts match).
+
+    Returns all left columns plus the right side's non-key, non-ts
+    columns (which must not collide with left column names), NULL where
+    no right row precedes. ``tolerance_seconds`` voids matches older than
+    the window, like pandas ``merge_asof(tolerance=...)``.
+
+    Scale shape: union both sides, one shuffle+sort on (key, ts), then a
+    running ``last(..., ignorenulls)`` carries right values forward —
+    cost is one sort of |L|+|R| rows, no quadratic candidate set. Right
+    rows sort *before* left rows at equal ts so same-instant matches
+    land. Duplicate right rows on the same (key, ts) are resolved
+    arbitrarily — pre-aggregate the right side if that matters.
+    """
+    value_cols = [c for c in right.columns if c not in on and c != ts]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right-side columns collide with left: {sorted(clash)}")
+
+    l_tagged = left.withColumn(SIDE_COL, F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    l_tagged = l_tagged.withColumn("__r_ts", F.lit(None).cast("timestamp"))
+
+    r_tagged = right.withColumn(SIDE_COL, F.lit(0)).withColumn("__r_ts", F.col(ts))
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(SIDE_COL).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left.columns,
+        F.col(SIDE_COL),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+    ).where(F.col(SIDE_COL) == 1)
+
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("__r_ts").isNull()
+            | (
+                F.col(ts).cast("double") - F.col("__r_ts").cast("double")
+                > F.lit(float(tolerance_seconds))
+            )
+        )
+        carried = carried.select(
+            *left.columns,
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        )
+        return carried
+    return carried.drop(SIDE_COL, "__r_ts")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= value <= hi`` (optionally also matching ``on`` equi-keys).
+
+    Implementation: quantize ``value`` to a bin id; explode each interval
+    over the bins it spans; hash-join on (bin, *on); exact BETWEEN
+    post-filter. Pick ``bin_width`` near the typical interval length —
+    replication factor of the intervals side is
+    ``~(hi-lo)/bin_width + 1`` rows per interval, and a too-small width
+    inflates that while a too-large one fattens the post-filter.
+
+    ``how`` may be ``inner`` or ``left`` (unmatched points kept with NULL
+    interval columns; implemented as inner + anti-union so the exploded
+    side never fabricates left rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, not {how!r}")
+    on = on or []
+    w = float(bin_width)
+
+    binned_points = points.withColumn(
+        BIN_COL, F.floor(F.col(value) / F.lit(w)).cast("long")
+    )
+    exploded = intervals.withColumn(
+        BIN_COL,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                F.floor(F.col(hi) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    joined = (
+        binned_points.join(exploded, on + [BIN_COL], "inner")
+        .where(F.col(value).between(F.col(lo), F.col(hi)))
+        .drop(BIN_COL)
+    )
+    if how == "inner":
+        return joined
+    matched_keys = joined.select(*points.columns).distinct()
+    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    return joined.unionByName(unmatched, allowMissingColumns=True)
+
+
+# -- oracle-checked query surface (driver correctness gate) ----------------
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _asof_clicks_to_purchases(spark, sf_dir: str) -> DataFrame:
+    """Each click picks up the user's latest purchase at-or-before it.
+    Right side is pre-aggregated to one row per (user_id, ts) so the
+    match is deterministic; DuckDB's native ASOF LEFT JOIN is the oracle.
+    """
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"], ts="ts")
+    return out.select(
+        "event_id", "user_id", F.round("pval", 6).alias("pval")
+    ).orderBy("event_id")
+
+
+QUERIES["asof_join"] = _asof_clicks_to_purchases
+ORACLES["asof_join"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, MAX(value) AS pval
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, ROUND(r.pval, 6) AS pval
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
+def _range_join_value_bands(spark, sf_dir: str) -> DataFrame:
+    """Events matched to overlapping value bands derived from nation keys
+    (interval per nation: [4k, 4k+6]) — exactness of the binned rewrite
+    against a plain inequality-join oracle."""
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 4.0).alias("lo"),
+        (F.col("n_nationkey") * 4.0 + 6.0).alias("hi"),
+    )
+    out = range_join(events, bands, "value", "lo", "hi", bin_width=8.0)
+    return out.select("event_id", "band_id").orderBy("event_id", "band_id")
+
+
+QUERIES["range_join"] = _range_join_value_bands
+ORACLES["range_join"] = """
+SELECT e.event_id, n.n_nationkey AS band_id
+FROM events e JOIN nation n
+  ON e.value >= n.n_nationkey * 4.0 AND e.value <= n.n_nationkey * 4.0 + 6.0
+ORDER BY e.event_id, band_id"""

@@ -20,7 +20,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     os_: dict[str, str] = dict(core.ORACLES)
 
     # North-star operator modules (registered as they land).
-    for mod_name in ("dedup", "similarity", "text", "multimodal", "skew"):
+    for mod_name in ("dedup", "similarity", "text", "multimodal", "skew", "temporal"):
         try:
             mod = __import__(
                 f"event_pipeline_spark.operators.{mod_name}",

@@ -1,0 +1,130 @@
+"""As-of join and binned range join: semantics vs brute force, tolerance,
+and the plan shape that makes them scale (hash join, not nested loop)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2026-01-01 10:00:05"), 100),
+            ("A", _ts("2026-01-01 10:00:30"), 101),
+            ("B", _ts("2026-01-01 10:00:10"), 200),
+            ("C", _ts("2026-01-01 10:00:10"), 300),  # no quotes at all
+        ],
+        "sym string, ts timestamp, trade_id long",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2026-01-01 10:00:00"), 9.9),
+            ("A", _ts("2026-01-01 10:00:05"), 10.0),  # tie with trade 100
+            ("A", _ts("2026-01-01 10:00:31"), 11.0),  # after trade 101
+            ("B", _ts("2026-01-01 09:59:00"), 20.0),  # 70s before trade 200
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_match_with_ties(self, trades, quotes):
+        out = {
+            r["trade_id"]: r["px"]
+            for r in asof_join(trades, quotes, ["sym"]).collect()
+        }
+        # trade 100: quote at the same instant matches (tie -> included)
+        # trade 101: latest preceding is 10.0 (the 10:00:31 quote is later)
+        # trade 200: the old 09:59 quote carries forward
+        # trade 300: no quote for C -> NULL
+        assert out == {100: 10.0, 101: 10.0, 200: 20.0, 300: None}
+
+    def test_tolerance_voids_stale_matches(self, trades, quotes):
+        out = {
+            r["trade_id"]: r["px"]
+            for r in asof_join(
+                trades, quotes, ["sym"], tolerance_seconds=30
+            ).collect()
+        }
+        # B's only quote is 70s old -> voided; A's matches are fresh
+        assert out == {100: 10.0, 101: 10.0, 200: None, 300: None}
+
+    def test_column_collision_raises(self, spark, trades):
+        clashing = spark.createDataFrame(
+            [("A", _ts("2026-01-01 10:00:00"), 1)],
+            "sym string, ts timestamp, trade_id long",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(trades, clashing, ["sym"])
+
+    def test_single_sort_no_quadratic_join(self, trades, quotes):
+        plan = (
+            asof_join(trades, quotes, ["sym"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" in plan
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        return spark.range(300).select(
+            F.col("id").alias("pid"), ((F.col("id") * 37) % 100).cast("double").alias("v")
+        )
+
+    @pytest.fixture(scope="class")
+    def intervals(self, spark):
+        return spark.range(20).select(
+            F.col("id").alias("iid"),
+            (F.col("id") * 5.0).alias("lo"),
+            (F.col("id") * 5.0 + 7.0).alias("hi"),
+        )
+
+    def test_inner_matches_brute_force(self, points, intervals):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "v", "lo", "hi", 6.0).collect()
+        )
+        want = sorted(
+            (r["pid"], r["iid"])
+            for r in points.crossJoin(intervals)
+            .where(F.col("v").between(F.col("lo"), F.col("hi")))
+            .collect()
+        )
+        assert got == want and len(want) > 0
+
+    def test_left_keeps_unmatched_points(self, spark, intervals):
+        pts = spark.createDataFrame(
+            [(1, 3.0), (2, 1000.0)], "pid long, v double"
+        )
+        out = range_join(pts, intervals, "v", "lo", "hi", 6.0, how="left")
+        rows = {r["pid"]: r["iid"] for r in out.collect()}
+        assert rows[1] == 0 and rows[2] is None
+
+    def test_hash_join_not_nested_loop(self, points, intervals):
+        plan = (
+            range_join(points, intervals, "v", "lo", "hi", 6.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan
+
+    def test_rejects_full(self, points, intervals):
+        with pytest.raises(ValueError, match="inner/left"):
+            range_join(points, intervals, "v", "lo", "hi", 6.0, how="full")
