@@ -20,7 +20,9 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     os_: dict[str, str] = dict(core.ORACLES)
 
     # North-star operator modules (registered as they land).
-    for mod_name in ("dedup", "similarity", "text", "multimodal", "skew", "temporal"):
+    for mod_name in (
+        "dedup", "similarity", "text", "multimodal", "skew", "temporal", "rollup"
+    ):
         try:
             mod = __import__(
                 f"event_pipeline_spark.operators.{mod_name}",
