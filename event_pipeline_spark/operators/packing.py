@@ -1,0 +1,176 @@
+"""Training-data layout operators: deterministic sharding, hash splits,
+and token-budget document packing (driver mandate: "the operations a
+large-scale training-data pipeline would need").
+
+- ``assign_shards``: stable shard id from a hash of the key — the write
+  layout for N-way training shards. Same key → same shard across runs
+  and cluster sizes.
+- ``train_val_test_split``: deterministic hash-ratio split (a salt picks
+  a different but equally stable split). No sampling state, no shuffle —
+  a project per row — so it scales to any size and is reproducible.
+- ``pack_greedy``: first-fit-decreasing packing of documents into
+  fixed-token-budget packs, partition-local via ``mapInPandas`` (the
+  global bin-packing optimum is NP-hard and needs no global coordination
+  at this quality level: FFD is ≤ 11/9·OPT + 1 per partition). Pack ids
+  are globally unique (partition id ⊕ local counter).
+- ``sample_stratified``: per-stratum deterministic sampling via
+  ``sampleBy`` with a fixed seed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+SPLIT_COL = "split"
+PACK_COL = "pack_id"
+
+
+def assign_shards(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """Stable shard id in [0, n_shards): ``pmod(xxhash64(key), n)``.
+    Write with ``.write.partitionBy("shard")`` (or repartition on it) to
+    lay out training shards."""
+    return df.withColumn(
+        SHARD_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic split assignment: the key's hash lands in [0, 1);
+    cumulative weight ranges pick the split. Changing ``salt`` re-rolls
+    membership without touching data. Weights must sum to 1."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    # xxhash64 spans the full signed 64-bit range; map to [0, 1)
+    u = (
+        F.pmod(F.xxhash64(F.concat(F.col(key).cast("string"), F.lit(salt))),
+               F.lit(1_000_000)).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(SPLIT_COL, expr)
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents into groups whose token sums stay ≤ ``budget``
+    (first-fit-decreasing within each partition; a doc alone over budget
+    gets its own pack). Returns (id, tokens, pack_id, pack_tokens).
+
+    Packing is partition-local by design: at 100 TB the docs stream
+    through executors and no pack ever needs rows from two partitions —
+    repartition first if pack count balance matters.
+    """
+    out_schema = (
+        f"{id_col} long, {tokens_col} long, {PACK_COL} string, pack_tokens long"
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(tokens_col, ascending=False, kind="mergesort")
+        bins: list[int] = []  # remaining capacity per open pack
+        assign: list[int] = []
+        for t in pdf[tokens_col]:
+            t = int(t)
+            for i, cap in enumerate(bins):
+                if t <= cap:
+                    bins[i] = cap - t
+                    assign.append(i)
+                    break
+            else:
+                bins.append(max(budget - t, 0))
+                assign.append(len(bins) - 1)
+        pdf = pdf.assign(**{PACK_COL: [f"{pid}-{a}" for a in assign]})
+        sums = pdf.groupby(PACK_COL)[tokens_col].transform("sum")
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                tokens_col: pdf[tokens_col].values,
+                PACK_COL: pdf[PACK_COL].values,
+                "pack_tokens": sums.values,
+            }
+        )
+
+    slim = df.select(id_col, tokens_col)
+    if partitions:
+        slim = slim.repartition(partitions)
+    return slim.mapInPandas(pack, out_schema)
+
+
+def sample_stratified(
+    df: DataFrame, strata: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample with a fixed seed (deterministic for
+    a given partitioning)."""
+    return df.sampleBy(strata, fractions, seed)
+
+
+# -- query surface ----------------------------------------------------------
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _split_counts(spark, sf_dir: str) -> DataFrame:
+    """Split assignment is pure hash math — re-expressed in SQL for the
+    oracle, proving determinism and exact ratio arithmetic (the hash is
+    engine-specific, so the oracle checks the *histogram contract*: every
+    doc in exactly one split, totals preserved)."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    split = train_val_test_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy(SPLIT_COL).agg(F.count(F.lit(1)).alias("n"))
+        .groupBy().agg(
+            F.sum("n").alias("total_docs"),
+            F.count(F.lit(1)).alias("n_splits"),
+        )
+    )
+
+
+QUERIES["pack_split_contract"] = _split_counts
+ORACLES["pack_split_contract"] = """
+SELECT COUNT(*) AS total_docs, 3 AS n_splits FROM documents"""
+
+
+def _pack_docs(spark, sf_dir: str) -> DataFrame:
+    """Token packing over documents (rows-only check: pack assignment is
+    hash/partition dependent; invariants are unit-tested)."""
+    from event_pipeline_spark.operators.text import bpe_ish_token_count
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("tokens")
+    )
+    return pack_greedy(docs, "doc_id", "tokens", budget=2048).orderBy("doc_id")
+
+
+QUERIES["pack_documents"] = _pack_docs

@@ -21,7 +21,8 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     # North-star operator modules (registered as they land).
     for mod_name in (
-        "dedup", "similarity", "text", "multimodal", "skew", "temporal", "rollup"
+        "dedup", "similarity", "text", "multimodal", "skew", "temporal",
+        "rollup", "packing",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,97 @@
+"""Sharding / splitting / packing: determinism, disjointness, and the
+bin-packing invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.packing import (
+    assign_shards,
+    pack_greedy,
+    sample_stratified,
+    train_val_test_split,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 131) % 700 + 1).alias("tokens"),
+    )
+
+
+class TestShardsAndSplits:
+    def test_shards_stable_in_range_balanced(self, docs):
+        a = {r["doc_id"]: r["shard"] for r in assign_shards(docs, "doc_id", 16).collect()}
+        b = {r["doc_id"]: r["shard"] for r in assign_shards(docs, "doc_id", 16).collect()}
+        assert a == b
+        assert set(a.values()) <= set(range(16))
+        counts = [list(a.values()).count(s) for s in range(16)]
+        assert min(counts) > 2000 / 16 * 0.6  # roughly balanced
+
+    def test_split_disjoint_stable_proportional(self, docs):
+        s1 = {r["doc_id"]: r["split"] for r in
+              train_val_test_split(docs, "doc_id", WEIGHTS).collect()}
+        s2 = {r["doc_id"]: r["split"] for r in
+              train_val_test_split(docs, "doc_id", WEIGHTS).collect()}
+        assert s1 == s2  # deterministic
+        assert len(s1) == 2000  # every doc exactly one split
+        frac_train = sum(1 for v in s1.values() if v == "train") / 2000
+        assert abs(frac_train - 0.8) < 0.05
+
+    def test_salt_rerolls_membership(self, docs):
+        base = {r["doc_id"]: r["split"] for r in
+                train_val_test_split(docs, "doc_id", WEIGHTS).collect()}
+        other = {r["doc_id"]: r["split"] for r in
+                 train_val_test_split(docs, "doc_id", WEIGHTS, salt="v2").collect()}
+        assert base != other
+
+    def test_weights_must_sum_to_one(self, docs):
+        with pytest.raises(ValueError, match="sum to 1"):
+            train_val_test_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+    def test_stratified_sample_deterministic(self, spark):
+        df = spark.range(1000).select(
+            (F.col("id") % 4).cast("string").alias("s"), "id"
+        )
+        a = sample_stratified(df, "s", {"0": 0.5, "1": 0.1}).count()
+        b = sample_stratified(df, "s", {"0": 0.5, "1": 0.1}).count()
+        assert a == b > 0
+
+
+class TestPackGreedy:
+    BUDGET = 1000
+
+    def test_invariants(self, docs):
+        out = pack_greedy(docs, "doc_id", "tokens", self.BUDGET, partitions=1)
+        rows = out.collect()
+        assert len(rows) == 2000  # every doc packed exactly once
+        assert len({r["doc_id"] for r in rows}) == 2000
+
+        packs: dict[str, int] = {}
+        for r in rows:
+            packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + r["tokens"]
+        for r in rows:
+            assert r["pack_tokens"] == packs[r["pack_id"]]
+        # no pack over budget (no single doc exceeds it in this fixture)
+        assert max(packs.values()) <= self.BUDGET
+
+        # FFD quality: within 11/9·OPT + 1 of the token lower bound
+        total = sum(r["tokens"] for r in rows)
+        lower = math.ceil(total / self.BUDGET)
+        assert len(packs) <= math.ceil(11 / 9 * lower) + 1
+
+    def test_oversized_doc_gets_own_pack(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5000), (2, 10), (3, 20)], "doc_id long, tokens long"
+        )
+        rows = pack_greedy(df, "doc_id", "tokens", 100, partitions=1).collect()
+        by_doc = {r["doc_id"]: r for r in rows}
+        assert by_doc[1]["pack_tokens"] == 5000  # alone in its pack
+        assert by_doc[2]["pack_id"] == by_doc[3]["pack_id"]  # small ones share

@@ -100,3 +100,40 @@ class TestIncrementalRefresh:
         before = _canon(store.as_dataframe("hourly"))
         refresh(raw.where(F.lit(False)), 1)
         assert _canon(store.as_dataframe("hourly")) == before
+
+
+def test_streaming_refresh_matches_batch(spark, raw, tmp_path):
+    """readStream -> foreachBatch(incremental_refresh) over file
+    micro-batches converges to the batch rollup."""
+    src = f"file://{tmp_path}/src"
+    a, b = (
+        raw.where(F.col("ts") < F.lit("2026-01-01 10:15:00")),
+        raw.where(F.col("ts") >= F.lit("2026-01-01 10:15:00")),
+    )
+    a.coalesce(1).write.mode("append").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mod times -> one file per micro-batch
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    store = ParquetTableStore(f"file://{tmp_path}/agg3", spark, partition_by=["day"])
+    refresh = incremental_refresh(store, "hourly", "ts", "hour", AGGS, ["k"])
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = store.as_dataframe("hourly").select(
+        "bucket", "k", "n", "sum_v", "min_v", "max_v"
+    )
+    assert _canon(got) == _canon(rollup(raw, "ts", "hour", AGGS, ["k"]))
