@@ -111,7 +111,9 @@ class InputDataField:
         if value is None or value is EMPTY:
             if self.required:
                 raise ValueError(f"field {self.name!r} is required")
-            obj.__dict__[self.name] = EMPTY
+            # leave the slot unset so __get__ falls back to the declared
+            # default (storing the sentinel would shadow it forever)
+            obj.__dict__.pop(self.name, None)
             return
         if not isinstance(value, self.data_type):
             names = "/".join(t.__name__ for t in self.data_type)

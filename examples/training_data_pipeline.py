@@ -1,0 +1,109 @@
+"""End-to-end LLM training-data pipeline over the Pointy DSL.
+
+Composes the north-star operators into the standard curation flow:
+
+    Load |-> Clean |-> Dedup |-> Layout
+
+- **Clean**: language-ID + quality score, keep docs above threshold;
+- **Dedup**: drop exact duplicates (normalized-text digest, the
+  shuffle-a-hash-not-the-text design);
+- **Layout**: token counts → deterministic train/val split → FFD token
+  packing → stable shards, written to a parquet store.
+
+Every stage is a lazy DataFrame plan; one job runs at the final write.
+Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.core.events import event
+from event_pipeline_spark.core.fields import InputDataField
+from event_pipeline_spark.operators.dedup import dedup_exact
+from event_pipeline_spark.operators.packing import (
+    assign_shards,
+    pack_greedy,
+    train_val_test_split,
+)
+from event_pipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    predict_language,
+    quality_score,
+)
+from event_pipeline_spark.plans.pipeline import Pipeline
+from event_pipeline_spark.stores import ParquetTableStore
+
+
+@event
+def Load(spark, sf_dir):
+    from event_pipeline_spark.session import read_table
+
+    return True, read_table(spark, sf_dir, "documents")
+
+
+@event
+def Clean(spark, previous_result, min_quality):
+    docs = previous_result.withColumn(
+        "lang_pred", predict_language(F.col("text"))
+    ).withColumn("quality", quality_score(F.col("text")))
+    return True, docs.where(F.col("quality") >= F.lit(min_quality))
+
+
+@event
+def Dedup(spark, previous_result):
+    return True, dedup_exact(previous_result, text_col="text")
+
+
+@event
+def Layout(spark, previous_result, budget, n_shards, out_dir):
+    docs = previous_result.withColumn(
+        "tokens", bpe_ish_token_count(F.col("text")).cast("long")
+    )
+    split = train_val_test_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    packed = pack_greedy(split, "doc_id", "tokens", budget=budget)
+    laid_out = assign_shards(
+        split.select("doc_id", "split").join(packed, "doc_id"),
+        "pack_id",
+        n_shards,
+    )
+    store = ParquetTableStore(out_dir, spark, partition_by=["split", "shard"])
+    store.write_table("corpus", laid_out, mode="overwrite")
+    return True, laid_out
+
+
+class TrainingDataPipeline(Pipeline):
+    sf_dir = InputDataField(str, default="/root/testdata/sf0.001")
+    out_dir = InputDataField(str)
+    min_quality = InputDataField(float, default=0.3)
+    budget = InputDataField(int, default=2048)
+    n_shards = InputDataField(int, default=8)
+
+    class Meta:
+        pointy = "Load |-> Clean |-> Dedup |-> Layout"
+
+
+def main() -> None:
+    from event_pipeline_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/training_corpus"
+    spark = get_session("training-data-pipeline")
+    run = TrainingDataPipeline(sf_dir=sf_dir, out_dir=out_dir).start(spark)
+    final = run.result
+    final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("pack_id").alias("packs"),
+        F.sum("tokens").alias("tokens"),
+    ).orderBy("split").show()
+
+
+if __name__ == "__main__":
+    main()

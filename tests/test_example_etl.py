@@ -44,3 +44,29 @@ def test_user_posts_etl_end_to_end(spark, sf_dir, tmp_path):
     m = execution_metrics(telemetry.to_df(spark))
     assert m["completed"] == 3 and m["failed"] == 0
     assert m["success_rate"] == 100.0
+
+
+def test_training_data_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The curation flow: clean -> exact-dedup -> split/pack/shard ->
+    partitioned store; invariants on the laid-out corpus."""
+    import importlib
+
+    mod = importlib.import_module("examples.training_data_pipeline")
+    out = f"file://{tmp_path}/corpus"
+    run = mod.TrainingDataPipeline(sf_dir=sf_dir, out_dir=out).start(spark)
+    assert run.result is not None
+
+    from event_pipeline_spark.stores import ParquetTableStore
+
+    corpus = ParquetTableStore(out, spark).as_dataframe("corpus")
+    rows = corpus.collect()
+    assert len(rows) > 0
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # deduped, packed once
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    # pack token sums respect the budget (no doc over budget at this SF)
+    from collections import defaultdict
+    packs = defaultdict(int)
+    for r in rows:
+        packs[r["pack_id"]] += r["tokens"]
+    assert max(packs.values()) <= 2048

@@ -136,3 +136,24 @@ def test_fetch_json_group_count(spark, http_url):
         for r in df.groupBy("userId").agg(F.count("*").alias("n")).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_field_default_applies_when_omitted(spark):
+    """A declared default binds when the field is not passed (regression:
+    the EMPTY sentinel used to shadow the default, so omitted fields
+    silently bound None — and a None threshold nulls any comparison)."""
+    from event_pipeline_spark.core.fields import InputDataField
+    from event_pipeline_spark.plans.pipeline import Pipeline
+
+    class P(Pipeline):
+        threshold = InputDataField(float, default=0.3)
+        name = InputDataField(str)
+
+        class Meta:
+            pointy = "Noop"
+
+    p = P(name="x")
+    assert p.threshold == 0.3
+    assert p.field_values()["threshold"] == 0.3
+    p2 = P(name="x", threshold=0.9)
+    assert p2.threshold == 0.9
