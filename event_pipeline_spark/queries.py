@@ -829,3 +829,29 @@ def q36_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("q37")
+def q37_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketches that replace their exact
+    twins at 100 TB: HyperLogLog++ cardinality (fixed-size sketch vs a
+    distinct shuffle, q36's exact twin) and t-digest-style quantiles
+    (approx_percentile vs q34's exact percentiles). No DuckDB oracle by
+    design (sketch layouts are engine-specific, SURVEY §2.10 note) —
+    rows-only driver check; error bounds are unit-tested against the
+    exact values (tests/test_oracles.py)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_q"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.col("value_q")[0], 4).alias("p50"),
+            F.round(F.col("value_q")[1], 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )

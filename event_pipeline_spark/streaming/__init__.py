@@ -3,6 +3,11 @@ stateful per-key processing, foreachBatch DAG execution, trigger mapping,
 listener→signal bridge."""
 
 from event_pipeline_spark.streaming.listeners import SignalBridgeListener
+from event_pipeline_spark.streaming.observe import (
+    ObservedMetricsCollector,
+    observe,
+    observe_errors,
+)
 from event_pipeline_spark.streaming.runner import (
     StreamingPipeline,
     read_parquet_stream,
@@ -28,9 +33,12 @@ from event_pipeline_spark.streaming.windows import (
 __all__ = [
     "ROCKSDB_PROVIDER",
     "RUNNING_STATS_SCHEMA",
+    "ObservedMetricsCollector",
     "ScheduleError",
     "SignalBridgeListener",
     "StreamingPipeline",
+    "observe",
+    "observe_errors",
     "has_transform_with_state",
     "make_running_stats_processor",
     "make_trigger",

@@ -45,3 +45,34 @@ def test_entry_smoke(spark):
         "sum_price",
         "count_order",
     ]
+
+
+def test_q37_approx_within_bounds(spark, sf_dir):
+    """HLL++ cardinality within rsd bounds of exact; approx percentiles
+    within the accuracy window of the exact rank statistics."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.queries import QUERIES
+    from event_pipeline_spark.session import read_table
+
+    approx = {r["event_type"]: r for r in QUERIES["q37"](spark, sf_dir).collect()}
+    events = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            # rank brackets, not point targets: approx_percentile returns
+            # a real data value while percentile() interpolates, so in a
+            # sparse tail the two legitimately diverge — the contract is
+            # that the approx p50/p95 lands within a nearby rank window
+            F.expr("percentile(value, array(0.40, 0.60, 0.90, 0.99))").alias("q"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.1 * e["users"])
+        assert e["q"][0] - 1e-9 <= a["p50"] <= e["q"][1] + 1e-9
+        assert e["q"][2] - 1e-9 <= a["p95"] <= e["q"][3] + 1e-9

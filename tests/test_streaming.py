@@ -287,3 +287,52 @@ def test_transform_with_state_running_stats(spark, tmp_path):
         assert final == {"a": (3, 6.0), "b": (1, 5.0)}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# -- observed metrics ---------------------------------------------------------
+
+def test_observed_metrics_ride_the_stream(spark, tmp_path):
+    """Per-micro-batch (n, errs) arrive via observedMetrics — no second
+    aggregation pass — and the collector's totals match the data."""
+    from event_pipeline_spark.streaming import (
+        ObservedMetricsCollector,
+        observe_errors,
+    )
+
+    src_dir = f"file://{tmp_path}/obs_src"
+    mk = lambda rows: spark.createDataFrame(rows, "id long, error boolean")  # noqa: E731
+    mk([(1, False), (2, True), (3, False)]).coalesce(1).write.mode("append").parquet(src_dir)
+    time.sleep(1.1)
+    mk([(4, True), (5, True)]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    seen = []
+    collector = ObservedMetricsCollector(callback=lambda name, m: seen.append((name, m)))
+    spark.streams.addListener(collector)
+    try:
+        stream = (
+            spark.readStream.schema("id long, error boolean")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            observe_errors(stream, "ingest")
+            .writeStream.format("memory")
+            .queryName("obs")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/obs_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        # listener delivery is async; poll briefly
+        for _ in range(40):
+            if collector.total("ingest", "n") >= 5:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(collector)
+
+    assert collector.total("ingest", "n") == 5
+    assert collector.total("ingest", "errs") == 3
+    assert len(collector.metrics["ingest"]) >= 2  # one report per micro-batch
+    assert seen and seen[0][0] == "ingest"
