@@ -157,3 +157,63 @@ def test_field_default_applies_when_omitted(spark):
     assert p.field_values()["threshold"] == 0.3
     p2 = P(name="x", threshold=0.9)
     assert p2.threshold == 0.9
+
+
+class TestKafkaSource:
+    """Option building + decode projection (the connector jar is absent
+    in this container, so the read path is gated like JDBC)."""
+
+    def test_build_options(self):
+        from event_pipeline_spark.sources.kafka import build_options
+
+        opts = build_options(
+            "broker:9092", subscribe="events",
+            extra={"kafka.security.protocol": "SSL"},
+        )
+        assert opts["subscribe"] == "events"
+        assert opts["maxOffsetsPerTrigger"] == "100000"
+        assert opts["kafka.security.protocol"] == "SSL"
+        assert "failOnDataLoss" not in opts  # explicit choice only
+
+    def test_option_validation(self):
+        import pytest as _pytest
+
+        from event_pipeline_spark.sources.kafka import (
+            KafkaSourceError,
+            build_options,
+        )
+
+        with _pytest.raises(KafkaSourceError, match="exactly one"):
+            build_options("b:9092")
+        with _pytest.raises(KafkaSourceError, match="exactly one"):
+            build_options("b:9092", subscribe="a", subscribe_pattern="a.*")
+        with _pytest.raises(KafkaSourceError, match="kafka. prefix"):
+            build_options("b:9092", subscribe="a", extra={"fetch.min.bytes": "1"})
+
+    def test_read_stream_gated_without_connector(self, spark):
+        import pytest as _pytest
+
+        from event_pipeline_spark.sources.kafka import (
+            KafkaSourceError,
+            build_options,
+            read_stream,
+            readable,
+        )
+
+        if readable(spark):
+            _pytest.skip("kafka connector present; gating path unreachable")
+        with _pytest.raises(KafkaSourceError, match="classpath"):
+            read_stream(spark, build_options("b:9092", subscribe="events"))
+
+    def test_decoded_projection(self, spark):
+        from event_pipeline_spark.sources.kafka import decoded
+
+        wire = spark.createDataFrame(
+            [(b"k1", b'{"a": 1}', "t", 0, 0, None)],
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp",
+        )
+        plain = decoded(wire).first()
+        assert plain["key"] == "k1" and plain["value"] == '{"a": 1}'
+        parsed = decoded(wire, "a int").first()
+        assert parsed["value"]["a"] == 1

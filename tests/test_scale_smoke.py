@@ -60,3 +60,27 @@ def test_exact_dedup_shuffles_digests_not_text(spark):
     # the exchange operates on the md5 digest column, not raw text
     exchange = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchange and all("text" not in l for l in exchange)
+
+
+def test_asof_join_single_sort_at_scale(spark):
+    df = all_queries()["asof_join"](spark, SF01)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_range_join_stays_hash_at_scale(spark):
+    df = all_queries()["range_join"](spark, SF01)
+    assert df.count() > 0
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in _plan(df)
+
+
+def test_salted_agg_spreads_the_exchange(spark):
+    df = all_queries()["skew_salted_agg"](spark, SF01)
+    df.collect()
+    plan = _plan(df)
+    # phase-1 exchange keyed on (group, salt): the hot key fans out
+    assert "__salt" in plan
