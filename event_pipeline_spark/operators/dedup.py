@@ -31,7 +31,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_pipeline_spark.operators.text import normalized_fingerprint, tokens
@@ -477,3 +477,144 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("dedup_ngram_jaccard", q_dedup_ngram_jaccard)
+
+
+# -- duplicate clustering (connected components over near-dup pairs) -------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph:
+    ``(id, cluster_id)`` where ``cluster_id`` is the minimum id reachable
+    through any chain of pairs (A~B, B~C ⇒ {A,B,C} share one cluster —
+    the transitive closure MinHash/SimHash pairs imply but don't give).
+
+    Spark-first iterative shape (the GraphFrames/Pregel CC recipe, not a
+    driver-side union-find): each round every node adopts the smallest
+    label among its neighbors' labels and its own — a join + an
+    aggregate, all DataFrame ops — and converges in O(log n) rounds for
+    real dup graphs (label floods a component in diameter hops, and dup
+    components are shallow). ``localCheckpoint`` every few rounds cuts
+    the exponential lineage growth iterative plans otherwise accumulate;
+    convergence is detected with one small count per round (labels that
+    still changed).
+
+    Singleton docs (no pairs) are absent from the output by definition;
+    left-join and coalesce with the doc id to canonicalize a full corpus.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
+        .persist()
+    )
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id, "inner")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = new_labels.where(F.col("changed")).limit(1).count()
+        old = labels
+        labels = new_labels.drop("changed")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def canonical_documents(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep one representative per duplicate cluster (the minimum id) and
+    every unpaired document: the "dedup a corpus given near-dup pairs"
+    terminal step."""
+    clusters = duplicate_clusters(pairs, a_col, b_col)
+    labeled = df.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    return (
+        labeled.withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(F.col(id_col))
+            ),
+        )
+        .where(F.col("__rank") == 1)
+        .drop("__rank", "cluster_id")
+    )
+
+
+def _dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components over deterministic cliques (docs sharing
+    ``doc_id % 50``; the corpus has no identical texts at any SF, so
+    text-equality pairs would make this check vacuous). On cliques the
+    fixpoint is closed-form — min doc_id per bucket — so DuckDB oracle-
+    checks the iterative algorithm's convergence and labeling exactly."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 50).alias("bucket")
+    )
+    other = docs.select(
+        F.col("doc_id").alias("doc_id2"), F.col("bucket").alias("bucket2")
+    )
+    pairs = docs.join(
+        other,
+        (F.col("bucket") == F.col("bucket2"))
+        & (F.col("doc_id") < F.col("doc_id2")),
+    ).select(F.col("doc_id").alias("a"), F.col("doc_id2").alias("b"))
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+_register(
+    "dedup_cluster_exact",
+    _dedup_cluster_exact,
+    """SELECT doc_id AS id,
+              MIN(doc_id) OVER (PARTITION BY doc_id % 50) AS cluster_id
+       FROM documents
+       QUALIFY COUNT(*) OVER (PARTITION BY doc_id % 50) > 1
+       ORDER BY id""",
+)
+
+
+def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components over MinHash near-dup pairs (rows-only: pair discovery
+    is sketch-based; same-cluster closure is unit-tested)."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+_register("dedup_clusters", _dedup_clusters_minhash)

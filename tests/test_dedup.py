@@ -108,3 +108,76 @@ def test_simhash_is_deterministic(docs):
     b = docs.select(simhash64(F.col("text")).alias("s")).collect()
     assert [r["s"] for r in a] == [r["s"] for r in b]
     assert all(r["s"] >= 0 for r in a)  # sign bit unused
+
+
+class TestDuplicateClusters:
+    def _uf_expected(self, pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    def test_matches_union_find(self, spark):
+        from event_pipeline_spark.operators.dedup import duplicate_clusters
+
+        # chains, a triangle, disjoint pairs, and a long path (tests
+        # multi-hop propagation past one iteration)
+        raw = [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13),
+               (13, 14), (20, 21), (21, 22), (20, 22), (30, 40)]
+        pairs = spark.createDataFrame(raw, "a long, b long")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == self._uf_expected(raw)
+
+    def test_canonical_documents(self, spark):
+        from event_pipeline_spark.operators.dedup import canonical_documents
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "a long, b long"
+        )
+        kept = sorted(
+            r["doc_id"] for r in canonical_documents(docs, pairs).collect()
+        )
+        # {1,2,3} -> 1; {5,6} -> 5; singletons 0,4,7 kept
+        assert kept == [0, 1, 4, 5, 7]
+
+    def test_scales_with_minhash_pairs(self, spark, sf_dir):
+        """End to end: MinHash candidate pairs -> clusters; every pair's
+        endpoints land in the same cluster."""
+        from event_pipeline_spark.operators.dedup import (
+            duplicate_clusters,
+            minhash_near_duplicates,
+        )
+        from event_pipeline_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs).select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b")
+        )
+        if pairs.isEmpty():
+            import pytest as _pytest
+
+            _pytest.skip("no near-dup pairs at this SF")
+        clusters = duplicate_clusters(pairs)
+        joined = (
+            pairs.join(clusters.withColumnRenamed("id", "a")
+                       .withColumnRenamed("cluster_id", "ca"), "a")
+            .join(clusters.withColumnRenamed("id", "b")
+                  .withColumnRenamed("cluster_id", "cb"), "b")
+        )
+        assert joined.where(F.col("ca") != F.col("cb")).count() == 0
