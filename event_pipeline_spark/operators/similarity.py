@@ -431,3 +431,49 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("sim_ivf_topk", q_sim_ivf_topk)
+
+
+# -- embedding clustering (spark.ml KMeans, the idiomatic scale path) ------
+
+def cluster_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Partition an embedding column into ``k`` clusters with spark.ml
+    KMeans (the library's distributed Lloyd's — don't hand-roll what MLlib
+    tunes: it broadcasts centroids, aggregates partial sums map-side, and
+    its cost is one pass per iteration at any scale). Output: input
+    columns + ``cluster``.
+
+    This is the general-purpose sibling of the IVF index's internal
+    spherical k-means (``ivf_topk`` trains on a bounded sample for
+    codebook speed; this trains on the full data for assignment quality).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="cluster",
+    ).fit(feats)
+    return model.transform(feats).drop("__features")
+
+
+def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of k-means over the embeddings table
+    (rows-only: centroid init is seed/partitioning-dependent; recovery of
+    the generator's ground-truth labels is unit-tested as purity)."""
+    emb = _emb(spark, sf_dir)
+    k = emb.select("label").distinct().count()
+    out = cluster_embeddings(emb, "embedding", k=k)
+    return (
+        out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+_register("sim_kmeans_clusters", q_sim_kmeans)

@@ -88,3 +88,36 @@ def test_ivf_recall(emb, queries):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall@5 = {recall}"
+
+
+def test_kmeans_quality_and_determinism(spark, sf_dir):
+    """The fixture's `label` column is NOT geometric (vectors are random;
+    a label/cluster cross-tab is uniform), so the check is intrinsic:
+    k-means cost (within-cluster SSE) clearly beats random assignment on
+    the same data, and a fixed seed reproduces the assignment."""
+    from event_pipeline_spark.operators.similarity import cluster_embeddings
+    from event_pipeline_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cluster_embeddings(emb, "embedding", k=8)
+    rows = out.select("vec_id", "embedding", "cluster").collect()
+
+    vecs = np.array([r["embedding"] for r in rows])
+    assign = np.array([r["cluster"] for r in rows])
+
+    def sse(labels):
+        total = 0.0
+        for c in np.unique(labels):
+            pts = vecs[labels == c]
+            total += ((pts - pts.mean(axis=0)) ** 2).sum()
+        return total
+
+    rng = np.random.default_rng(0)
+    random_sse = sse(rng.integers(0, 8, len(vecs)))
+    assert sse(assign) < 0.97 * random_sse
+
+    again = {
+        r["vec_id"]: r["cluster"]
+        for r in cluster_embeddings(emb, "embedding", k=8).collect()
+    }
+    assert again == {r["vec_id"]: r["cluster"] for r in rows}

@@ -128,3 +128,47 @@ class TestRangeJoin:
     def test_rejects_full(self, points, intervals):
         with pytest.raises(ValueError, match="inner/left"):
             range_join(points, intervals, "v", "lo", "hi", 6.0, how="full")
+
+
+class TestAsofVsPandas:
+    """Differential: asof_join == pandas merge_asof (direction=backward,
+    allow_exact_matches=True) across generated shapes."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_merge_asof(self, spark, seed):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        base = pd.Timestamp("2026-01-01")
+        left = pd.DataFrame({
+            "k": rng.choice(["x", "y", "z"], 60),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3600, 60), unit="s"),
+            "lid": np.arange(60),
+        })
+        right = pd.DataFrame({
+            "k": rng.choice(["x", "y", "z"], 40),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3600, 40), unit="s"),
+            "px": rng.random(40).round(3),
+        })
+        # merge_asof picks the LAST right row on ts ties arbitrarily by
+        # position; dedup (k, ts) to make the expectation well-defined
+        right = right.sort_values(["k", "ts"]).drop_duplicates(
+            ["k", "ts"], keep="last"
+        )
+
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        ).set_index("lid")["px"]
+
+        got_rows = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), ["k"]
+        ).collect()
+        got = {r["lid"]: r["px"] for r in got_rows}
+        assert len(got) == 60
+        for lid, px in want.items():
+            if pd.isna(px):
+                assert got[lid] is None
+            else:
+                assert got[lid] == pytest.approx(px)
