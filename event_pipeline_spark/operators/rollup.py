@@ -205,9 +205,11 @@ def _rollup_cascade_day(spark, sf_dir: str) -> DataFrame:
         F.date_format(BUCKET_COL, "yyyy-MM-dd").alias("d"),
         "event_type",
         "n",
-        F.col("sum_v").cast("decimal(18,2)").alias("sum_v"),
-        "min_v",
-        "max_v",
+        # DOUBLE on both sides: DuckDB fetchdf() renders DECIMAL as
+        # float64; the driver hash compares rendered values.
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
     ).orderBy("d", "event_type")
 
 
@@ -217,9 +219,9 @@ ORACLES = {
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
        event_type,
        COUNT(value) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v,
-       MIN(CAST(value AS DECIMAL(18,2))) AS min_v,
-       MAX(CAST(value AS DECIMAL(18,2))) AS max_v
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
 FROM events GROUP BY date_trunc('day', ts), event_type
 ORDER BY d, event_type"""
 }

@@ -163,9 +163,14 @@ def _skew_salted_agg(spark, sf_dir: str) -> DataFrame:
          ("v", "min", "min_v"), ("v", "max", "max_v")],
         n_salts=8,
     )
+    # Final DOUBLE cast on every decimal measure: DuckDB's fetchdf()
+    # renders DECIMAL as float64, and the driver value-hash compares
+    # rendered values — decimal pre-cast keeps the SUM exact, the cast
+    # aligns the representation.
     return out.select(
-        "event_type", "n", F.col("sum_v").cast(_DEC).alias("sum_v"),
-        "min_v", "max_v",
+        "event_type", "n", F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
     ).orderBy("event_type")
 
 
@@ -173,9 +178,9 @@ QUERIES["skew_salted_agg"] = _skew_salted_agg
 ORACLES["skew_salted_agg"] = """
 SELECT event_type,
        COUNT(value) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v,
-       MIN(CAST(value AS DECIMAL(18,2))) AS min_v,
-       MAX(CAST(value AS DECIMAL(18,2))) AS max_v
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 

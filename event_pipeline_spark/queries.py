@@ -264,19 +264,22 @@ def q11_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12",
     """SELECT user_id,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
               COUNT(*) AS n
        FROM events GROUP BY user_id ORDER BY user_id""",
 )
 def q12_duration_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PipelineExecutionMetrics duration aggregates
     (nexus/pipeline.py:603-617) as exact decimal SUM + COUNT.
-    Decimal pre-cast makes the SUM order-independent (hash-stable)."""
+    Decimal pre-cast makes the SUM order-independent; the final DOUBLE
+    cast aligns the rendered dtype with DuckDB's fetchdf() (which
+    renders DECIMAL as float64 — a Decimal('x.00') vs 'x.0' repr split
+    fails the driver's value-hash even when values are equal)."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
             F.count("*").alias("n"),
         )
         .orderBy("user_id")
@@ -438,8 +441,8 @@ def q19_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20",
     """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
               COUNT(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -455,8 +458,8 @@ def q20_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -691,9 +694,9 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q31",
     """SELECT user_id,
-              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-              SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
        FROM events GROUP BY user_id ORDER BY user_id""",
 )
 def q31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ import os
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as _np
 import pandas as pd
 
 from event_pipeline_spark.session import TABLE_NAMES
@@ -32,24 +33,19 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _strip_zeros(s: str) -> str:
-    if "." in s:
-        s = s.rstrip("0").rstrip(".")
-    return s if s not in ("", "-") else "0"
-
-
 def _canon_value(v: object) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        # repr keeps full double precision (engines must match bit-exact);
-        # integral floats normalize to int form so DECIMAL-vs-float64
-        # round-trips through pandas compare equal (13130.0 == 13130.00).
-        return _strip_zeros(repr(v))
+        # repr keeps full double precision — NO zero-stripping: the
+        # driver hashes rendered values, so Decimal('x.00') vs float
+        # 'x.0' must FAIL here too (round-1 q12/q20/q31 lesson). Both
+        # sides must emit the same dtype, not merely the same value.
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return _strip_zeros(format(v, "f"))
+        return format(v, "f")
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return "NULL"
@@ -98,6 +94,38 @@ class DiffResult:
         return msg
 
 
+def _value_class(series: pd.Series) -> str:
+    """Representation class of a column's values — the unit the driver's
+    value-hash actually compares. Two engines agreeing on values but
+    disagreeing on class (Decimal vs float64, int64 vs float64) hash
+    differently, so class mismatch is a FAILURE here even when the
+    canonical rows happen to collide."""
+    for v in series:
+        if v is None:
+            continue
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (pd.Timestamp, _dt.datetime)):
+            return "timestamp"
+        if isinstance(v, _dt.date):
+            return "date"
+        if isinstance(v, bytes):
+            return "bytes"
+        if isinstance(v, (int, _np.integer)):
+            return "int"
+        if isinstance(v, (float, _np.floating)):
+            return "float"
+        return type(v).__name__
+    return "all-null"
+
+
 def compare(
     name: str,
     spark_df,
@@ -116,6 +144,14 @@ def compare(
         mismatches.append(
             f"columns: spark={sorted(spark_pd.columns)} oracle={sorted(oracle_pd.columns)}"
         )
+    else:
+        for c in spark_pd.columns:
+            sc, oc = _value_class(spark_pd[c]), _value_class(oracle_pd[c])
+            if "all-null" in (sc, oc):
+                continue
+            if sc != oc:
+                cols_match = False
+                mismatches.append(f"value-class[{c}]: spark={sc} oracle={oc}")
     if s_rows != o_rows:
         sset, oset = set(s_rows), set(o_rows)
         for r in list(sset - oset)[:3]:
