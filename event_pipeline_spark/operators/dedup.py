@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools as _functools
 import hashlib
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -487,6 +488,8 @@ def duplicate_clusters(
     b_col: str = "b",
     max_iterations: int = 20,
     checkpoint_every: int = 5,
+    on_nonconverged: str = "raise",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph:
     ``(id, cluster_id)`` where ``cluster_id`` is the minimum id reachable
@@ -505,7 +508,19 @@ def duplicate_clusters(
 
     Singleton docs (no pairs) are absent from the output by definition;
     left-join and coalesce with the doc id to canonicalize a full corpus.
+
+    If labels are still changing when ``max_iterations`` runs out, the
+    output would silently keep >1 representative per true cluster —
+    ``on_nonconverged`` controls the escape: ``"raise"`` (default) or
+    ``"warn"`` (log and return the partial labels). Set
+    ``reliable_checkpoint=True`` on long chains on a real cluster to use
+    ``DataFrame.checkpoint()`` (requires
+    ``spark.sparkContext.setCheckpointDir`` — HDFS-persisted, survives
+    executor loss) instead of ``localCheckpoint`` (fast, but pinned to
+    executor storage).
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be raise|warn, not {on_nonconverged!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -537,7 +552,11 @@ def duplicate_clusters(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = (
+                new_labels.checkpoint()
+                if reliable_checkpoint
+                else new_labels.localCheckpoint()
+            )
         else:
             new_labels = new_labels.persist()
         changed = new_labels.where(F.col("changed")).limit(1).count()
@@ -546,6 +565,17 @@ def duplicate_clusters(
         old.unpersist()
         if changed == 0:
             break
+    else:
+        msg = (
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "iterations — a component's diameter exceeds the budget and "
+            "the returned labels would split true clusters; raise "
+            "max_iterations"
+        )
+        if on_nonconverged == "raise":
+            edges.unpersist()
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 

@@ -48,18 +48,25 @@ def asof_join(
     rows sort *before* left rows at equal ts so same-instant matches
     land. Duplicate right rows on the same (key, ts) are resolved
     arbitrarily — pre-aggregate the right side if that matters.
+
+    All right value columns travel as ONE struct keyed to their row:
+    per-column ``last(ignorenulls)`` would backfill a NULL field of the
+    matched row from an older right row — pandas ``merge_asof`` returns
+    the matched row's NULL, and so does this.
     """
     value_cols = [c for c in right.columns if c not in on and c != ts]
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right-side columns collide with left: {sorted(clash)}")
 
-    l_tagged = left.withColumn(SIDE_COL, F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None))
-    l_tagged = l_tagged.withColumn("__r_ts", F.lit(None).cast("timestamp"))
-
-    r_tagged = right.withColumn(SIDE_COL, F.lit(0)).withColumn("__r_ts", F.col(ts))
+    rv = F.struct(
+        *[F.col(c) for c in value_cols], F.col(ts).alias("__r_ts")
+    )
+    r_tagged = right.withColumn(SIDE_COL, F.lit(0)).withColumn("__rv", rv)
+    rv_type = r_tagged.schema["__rv"].dataType
+    l_tagged = left.withColumn(SIDE_COL, F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(rv_type)
+    )
     for c in left.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None))
@@ -73,24 +80,23 @@ def asof_join(
     carried = unioned.select(
         *left.columns,
         F.col(SIDE_COL),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     ).where(F.col(SIDE_COL) == 1)
 
+    matched = F.col("__rv")
     if tolerance_seconds is not None:
         stale = (
-            F.col("__r_ts").isNull()
+            matched.isNull()
             | (
-                F.col(ts).cast("double") - F.col("__r_ts").cast("double")
+                F.col(ts).cast("double") - matched.getField("__r_ts").cast("double")
                 > F.lit(float(tolerance_seconds))
             )
         )
-        carried = carried.select(
-            *left.columns,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
-        )
-        return carried
-    return carried.drop(SIDE_COL, "__r_ts")
+        matched = F.when(stale, F.lit(None).cast(rv_type)).otherwise(matched)
+    return carried.select(
+        *left.columns,
+        *[matched.getField(c).alias(c) for c in value_cols],
+    )
 
 
 def range_join(

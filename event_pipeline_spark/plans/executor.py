@@ -289,11 +289,13 @@ class PipelineRunner:
         """
         from pyspark.sql import Observation
 
+        from event_pipeline_spark.streaming.observe import error_count_expr
+
         obs = Observation()
         observed = record.result.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.count_if(F.col("error")).alias("errs"),
+            error_count_expr(record.result).alias("errs"),
         ).persist()
         observed.write.format("noop").mode("overwrite").save()
         metrics = obs.get

@@ -113,14 +113,14 @@ class ParquetTableStore(StoreBackend):
         contract for partitioned upserts — e.g. partitioned by a creation
         date): a key that *moved* partitions would leave its old row
         behind, so keys must not change partition. Falls back to the full
-        rewrite (returns False) when a partition value is null or
-        contains a path separator — Hive-escaping those is not worth
-        hand-rolling here.
+        rewrite (returns False) when a partition value is null (a null
+        never satisfies the ``col == lit`` pruning predicate, so the
+        null-partition rows could not be merged).
         """
         parts = [tuple(r) for r in df.select(*self.partition_by).distinct().collect()]
         for values in parts:
             for v in values:
-                if v is None or "/" in str(v) or "=" in str(v):
+                if v is None:
                     return False
         if not parts:
             return True  # empty upsert: nothing to do
@@ -142,13 +142,19 @@ class ParquetTableStore(StoreBackend):
         self._fs.delete(self._hpath(staging), True)
         merged.write.mode("overwrite").partitionBy(*self.partition_by).parquet(staging)
 
+        # Swap the partition directories Spark ACTUALLY wrote in staging.
+        # Never reconstruct `c=v` names from Python values: Spark
+        # Hive-escapes partition values (space→%20, ':'→%3A, True→'true',
+        # decimal/date renderings) differently from str(v), and a
+        # reconstructed path that misses would orphan the upserted rows.
         table_root = self._path(schema_name)
-        for values in parts:
-            rel = "/".join(f"{c}={v}" for c, v in zip(self.partition_by, values))
+        staged = self._staged_partition_dirs(staging)
+        if not staged:
+            self._fs.delete(self._hpath(staging), True)
+            return False  # nothing staged where rows were expected: full rewrite
+        for rel in staged:
             src = self._hpath(f"{staging}/{rel}")
             dst = self._hpath(f"{table_root}/{rel}")
-            if not self._fs.exists(src):
-                continue  # every input row for this partition was a no-op
             self._fs.delete(dst, True)
             parent = dst.getParent()
             if not self._fs.exists(parent):
@@ -157,12 +163,42 @@ class ParquetTableStore(StoreBackend):
         self._fs.delete(self._hpath(staging), True)
         return True
 
+    def _staged_partition_dirs(self, staging: str) -> list[str]:
+        """Relative Hive-escaped paths of partition leaf dirs under
+        ``staging``, exactly as the parquet writer named them — one
+        entry per ``len(partition_by)``-deep directory chain."""
+        rels: list[str] = []
+
+        def walk(path, depth: int, rel: str) -> None:
+            for st in self._fs.listStatus(path):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                sub = f"{rel}/{name}" if rel else name
+                if depth == 1:
+                    rels.append(sub)
+                else:
+                    walk(st.getPath(), depth - 1, sub)
+
+        walk(self._hpath(staging), len(self.partition_by), "")
+        return rels
+
     def delete_where(self, schema_name: str, **filter_kwargs: Any) -> None:
-        """Anti-delete: rewrite the table without matching rows."""
+        """Anti-delete: rewrite the table without matching rows.
+
+        NULL-predicate rows are KEPT: under three-valued logic a bare
+        ``~pred`` drops rows where the predicate is NULL, which would
+        silently delete every NULL-valued row — lookup.py's contract is
+        "NULL never matches any operator", and a destructive op must
+        honor it."""
         from event_pipeline_spark.core.lookup import compile_filters
 
         df = self.as_dataframe(schema_name)
-        kept = df.where(~compile_filters(df.schema, **filter_kwargs))
+        kept = df.where(
+            ~F.coalesce(compile_filters(df.schema, **filter_kwargs), F.lit(False))
+        )
         staging = self._path(f"__staging__{schema_name}")
         kept.write.mode("overwrite").parquet(staging)
         target = self._hpath(self._path(schema_name))

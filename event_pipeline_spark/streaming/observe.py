@@ -31,13 +31,26 @@ def observe(df: DataFrame, name: str, *aggs: Column) -> DataFrame:
     return df.observe(name, *aggs)
 
 
+def error_count_expr(df: DataFrame, error_col: str = "error") -> Column:
+    """Aggregate counting errored rows for either error-column contract:
+    ``boolean`` flags (true = error) or the ``map_with_errors`` form
+    (``string`` message, null = success). Passing a string column to
+    ``count_if`` raises DATATYPE_MISMATCH, so dispatch on the type."""
+    from pyspark.sql.types import BooleanType
+
+    col = F.col(error_col)
+    if isinstance(df.schema[error_col].dataType, BooleanType):
+        return F.count_if(col)
+    return F.count(col)  # count() skips nulls: non-null message == error
+
+
 def observe_errors(df: DataFrame, name: str = "stage", error_col: str = "error") -> DataFrame:
     """The canned row-level health observation: total rows + error rows
     per micro-batch (same two bits the evaluation states consume)."""
     return df.observe(
         name,
         F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col(error_col)).alias("errs"),
+        error_count_expr(df, error_col).alias("errs"),
     )
 
 

@@ -156,6 +156,42 @@ class TestDuplicateClusters:
         # {1,2,3} -> 1; {5,6} -> 5; singletons 0,4,7 kept
         assert kept == [0, 1, 4, 5, 7]
 
+    def test_nonconvergence_raises_or_warns(self, spark):
+        """A long path with a tiny iteration budget must not silently
+        return split clusters: default raises, warn-mode flags it."""
+        import warnings as _warnings
+
+        import pytest as _pytest
+
+        from event_pipeline_spark.operators.dedup import duplicate_clusters
+
+        # path graph 0-1-2-...-9: label 0 needs ~log2(10) rounds to flood
+        raw = [(i, i + 1) for i in range(9)]
+        pairs = spark.createDataFrame(raw, "a long, b long")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(pairs, max_iterations=1)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            got = duplicate_clusters(pairs, max_iterations=1, on_nonconverged="warn")
+            got.collect()
+        assert any("did not converge" in str(w.message) for w in caught)
+
+    def test_reliable_checkpoint_path(self, spark, tmp_path):
+        """checkpoint() variant for long chains on a real cluster (HDFS
+        checkpoint dir survives executor loss, unlike localCheckpoint)."""
+        from event_pipeline_spark.operators.dedup import duplicate_clusters
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        raw = [(1, 2), (2, 3), (3, 4), (10, 11)]
+        pairs = spark.createDataFrame(raw, "a long, b long")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in duplicate_clusters(
+                pairs, checkpoint_every=1, reliable_checkpoint=True
+            ).collect()
+        }
+        assert got == self._uf_expected(raw)
+
     def test_scales_with_minhash_pairs(self, spark, sf_dir):
         """End to end: MinHash candidate pairs -> clusters; every pair's
         endpoints land in the same cluster."""

@@ -380,6 +380,30 @@ class TestRowLevelEvaluation:
         assert res.records[0].success is True
         res.unpersist()
 
+    def test_string_error_column_from_map_with_errors(self, spark):
+        """The framework's own row-level-error producer (map_with_errors)
+        emits `error string` (null = success) — evaluation must accept
+        that contract too, not just boolean flags."""
+        from event_pipeline_spark.core.mapreduce import map_with_errors
+
+        def process(self, **params):
+            VISITS.append("A")
+            src = self.spark.range(10).withColumnRenamed("id", "n")
+            mapped = map_with_errors(src, lambda rec: 100 // (rec["n"] - 5))
+            return True, mapped
+
+        type("A", (EventBase,), {
+            "process": process,
+            "row_level_errors": True,
+            "execution_evaluation_state": EvaluationState.FAILURE_FOR_PARTIAL_ERROR,
+        })
+        _simple("B"), _simple("C")
+        res = PipelineRunner(spark).run(build_dag("A(0->B,1->C)"))
+        # n=5 divides by zero -> one errored row -> failure branch
+        assert VISITS == ["A", "B"]
+        assert res.records[0].success is False
+        res.unpersist()
+
     def test_evaluation_does_not_rescan_stage(self, spark):
         """The stage plan runs ONCE: evaluation metrics ride the observed
         materialization and the downstream read hits the cache."""

@@ -197,6 +197,51 @@ def test_parquet_partitioned_upsert_null_partition_falls_back(spark, tmp_path):
     assert out == {"a": 1, "n": 20}
 
 
+def test_parquet_partitioned_upsert_hive_escaped_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes in dir names (space→%20,
+    ':'→%3A) — the swap must track the directories Spark actually wrote,
+    not a str(v) reconstruction, or upserted rows vanish."""
+    store = ParquetTableStore(f"file://{tmp_path}/ptesc", spark, partition_by=["seg"])
+    mk = lambda rows: spark.createDataFrame(rows, "id string, seg string, v int")  # noqa: E731
+    store.upsert_table("t", mk([("a", "north america", 1), ("b", "tz:utc", 2)]))
+    store.upsert_table("t", mk([("a", "north america", 10), ("c", "tz:utc", 3)]))
+    out = {r["id"]: (r["seg"], r["v"]) for r in store.as_dataframe("t").collect()}
+    assert out == {
+        "a": ("north america", 10),
+        "b": ("tz:utc", 2),
+        "c": ("tz:utc", 3),
+    }
+    assert not (tmp_path / "ptesc" / "__staging__t").exists()
+
+
+def test_parquet_partitioned_upsert_bool_partition(spark, tmp_path):
+    """Spark writes bool partitions as flag=true/false; Python str(True)
+    is 'True' — another reconstruction mismatch that must not lose rows."""
+    store = ParquetTableStore(f"file://{tmp_path}/ptbool", spark, partition_by=["flag"])
+    mk = lambda rows: spark.createDataFrame(rows, "id string, flag boolean, v int")  # noqa: E731
+    store.upsert_table("t", mk([("a", True, 1), ("b", False, 2)]))
+    store.upsert_table("t", mk([("a", True, 10)]))
+    out = {r["id"]: r["v"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a": 10, "b": 2}
+
+
+def test_parquet_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """delete_where(value__gt=10) must NOT delete rows whose value is
+    NULL: lookup contract says NULL never matches any operator, and under
+    three-valued logic a bare ~pred would drop them."""
+    store = ParquetTableStore(f"file://{tmp_path}/delnull", spark)
+    store.write_table(
+        "t",
+        spark.createDataFrame(
+            [("a", 5), ("b", 20), ("n", None)], "id string, value int"
+        ),
+        mode="overwrite",
+    )
+    store.delete_where("t", value__gt=10)
+    out = {r["id"] for r in store.as_dataframe("t").collect()}
+    assert out == {"a", "n"}
+
+
 def test_parquet_partitioned_upsert_date_inference(spark, tmp_path):
     """Date-like partition values read back as DATE; the merge aligns
     types and the pruned swap still lands in the same directory."""

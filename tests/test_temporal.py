@@ -71,6 +71,24 @@ class TestAsofJoin:
         with pytest.raises(ValueError, match="collide"):
             asof_join(trades, clashing, ["sym"])
 
+    def test_matched_row_null_value_not_backfilled(self, spark, trades):
+        """pandas merge_asof semantics: the matched right row's NULL
+        travels — it must not be papered over with a value from an older
+        right row (per-column last(ignorenulls) would do exactly that)."""
+        quotes_with_null = spark.createDataFrame(
+            [
+                ("A", _ts("2026-01-01 10:00:00"), 9.9),
+                ("A", _ts("2026-01-01 10:00:20"), None),  # matched by trade 101
+            ],
+            "sym string, ts timestamp, px double",
+        )
+        out = {
+            r["trade_id"]: r["px"]
+            for r in asof_join(trades, quotes_with_null, ["sym"]).collect()
+        }
+        assert out[100] == 9.9
+        assert out[101] is None  # matched row's NULL, not the stale 9.9
+
     def test_single_sort_no_quadratic_join(self, trades, quotes):
         plan = (
             asof_join(trades, quotes, ["sym"])
