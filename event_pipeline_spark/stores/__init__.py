@@ -12,6 +12,7 @@ from event_pipeline_spark.stores.inmemory import InMemoryStore
 from event_pipeline_spark.stores.jdbc import JDBCStore
 from event_pipeline_spark.stores.parquet import ParquetTableStore
 from event_pipeline_spark.stores.redis import RedisStore
+from event_pipeline_spark.stores.sqlite import SQLiteStore
 
 __all__ = [
     "FileJSONStore",
@@ -22,5 +23,6 @@ __all__ = [
     "ParquetTableStore",
     "Record",
     "RedisStore",
+    "SQLiteStore",
     "StoreBackend",
 ]

@@ -13,6 +13,12 @@ from event_pipeline_spark.streaming.runner import (
     read_parquet_stream,
 )
 from event_pipeline_spark.streaming.schedule import ScheduleError, make_trigger
+from event_pipeline_spark.streaming.scheduler import (
+    CronSchedule,
+    EmbeddedScheduler,
+    get_pipeline_scheduler,
+    schedule_pipeline,
+)
 from event_pipeline_spark.streaming.stateful import (
     ROCKSDB_PROVIDER,
     RUNNING_STATS_SCHEMA,
@@ -33,8 +39,12 @@ from event_pipeline_spark.streaming.windows import (
 __all__ = [
     "ROCKSDB_PROVIDER",
     "RUNNING_STATS_SCHEMA",
+    "CronSchedule",
+    "EmbeddedScheduler",
     "ObservedMetricsCollector",
     "ScheduleError",
+    "get_pipeline_scheduler",
+    "schedule_pipeline",
     "SignalBridgeListener",
     "StreamingPipeline",
     "observe",

@@ -49,7 +49,9 @@ def make_trigger(trigger: str, **kwargs: Any) -> dict[str, Any]:
         return {"availableNow": True}
     if trigger in ("date", "cron"):
         raise ScheduleError(
-            f"{trigger!r} scheduling is owned by an external scheduler at scale;"
-            " run a batch job (or availableNow stream) from cron/Airflow instead"
+            f"{trigger!r} is job cadence, not stream cadence: use "
+            "streaming.scheduler.EmbeddedScheduler/schedule_pipeline for "
+            "in-process date/cron runs (the reference's APScheduler path), "
+            "or an external scheduler (Airflow/cron) on a cluster"
         )
     raise ScheduleError(f"unknown trigger {trigger!r}")
