@@ -264,22 +264,25 @@ def q11_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12",
     """SELECT user_id,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+              SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) / 100.0
+                  AS total_value,
               COUNT(*) AS n
        FROM events GROUP BY user_id ORDER BY user_id""",
 )
 def q12_duration_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PipelineExecutionMetrics duration aggregates
-    (nexus/pipeline.py:603-617) as exact decimal SUM + COUNT.
-    Decimal pre-cast makes the SUM order-independent; the final DOUBLE
-    cast aligns the rendered dtype with DuckDB's fetchdf() (which
-    renders DECIMAL as float64 — a Decimal('x.00') vs 'x.0' repr split
-    fails the driver's value-hash even when values are equal)."""
+    (nexus/pipeline.py:603-617) as exact fixed-point SUM + COUNT:
+    values snapped to 2dp (DECIMAL(18,2) cast — same rounding both
+    engines), scaled to BIGINT for a cheap exact order-independent sum,
+    descaled once per group. The /100.0 divides bit-identical integers
+    on both sides, so the float64 rendering matches DuckDB's fetchdf()
+    exactly (a decimal-typed output would repr-split the value hash)."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            (F.sum((F.col("value").cast(DEC) * 100).cast("bigint")) / 100.0)
+            .alias("total_value"),
             F.count("*").alias("n"),
         )
         .orderBy("user_id")
@@ -441,8 +444,10 @@ def q19_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20",
     """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) / 100.0
+                  AS sum_qty,
+              SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) / 100.0
+                  AS sum_price,
               COUNT(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -450,7 +455,14 @@ def q19_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing summary: filter pushes to the scan, then
     one partial+final aggregate over a handful of groups — the flagship
-    shape for 100 TB (shuffle carries only |groups| x partials)."""
+    shape for 100 TB (shuffle carries only |groups| x partials).
+
+    Sums are exact fixed-point: each value is snapped to 2 decimal
+    places (the DECIMAL(18,2) cast, same rounding both engines), scaled
+    to an integer, summed as BIGINT — ~5x cheaper per row than a
+    decimal-typed SUM buffer — and descaled once per group. The final
+    /100.0 divides a bit-identical integer on both sides, so the double
+    output is bit-identical too."""
     lineitem = _t(spark, sf_dir, "lineitem")
     return (
         lineitem.where(
@@ -458,8 +470,10 @@ def q20_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+            (F.sum((F.col("l_quantity").cast(DEC) * 100).cast("bigint")) / 100.0)
+            .alias("sum_qty"),
+            (F.sum((F.col("l_extendedprice").cast(DEC) * 100).cast("bigint")) / 100.0)
+            .alias("sum_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -590,14 +604,23 @@ def q26_text_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
        HAVING COUNT(*) > 1 ORDER BY dupes DESC, text""",
 )
 def q27_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by full text. At 100 TB you group on a hash of the
-    text, not the text itself (see operators/dedup.py exact_duplicates);
-    the oracle query keeps the raw-text form for checkability."""
+    """Exact dedup by full text, in the 100 TB-safe shape: count per
+    16-byte md5 digest (the only thing shuffled — never the documents,
+    see operators/dedup.py exact_duplicates), then broadcast the tiny
+    duplicate-digest set back over a second pruned scan to recover the
+    display text. Two column-pruned scans + one narrow shuffle beats one
+    scan that shuffles every document body."""
     documents = _t(spark, sf_dir, "documents")
-    return (
-        documents.groupBy("text")
+    hashed = documents.select(F.md5("text").alias("digest"), "text")
+    dup_counts = (
+        hashed.groupBy("digest")
         .agg(F.count("*").alias("dupes"))
         .where(F.col("dupes") > 1)
+    )
+    return (
+        hashed.join(F.broadcast(dup_counts), "digest")
+        .select("text", "dupes")
+        .distinct()
         .orderBy(F.desc("dupes"), "text")
     )
 
