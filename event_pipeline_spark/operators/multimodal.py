@@ -2,11 +2,16 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct
 (SURVEY north-star). The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signatures, partition sizing — is real and tested; the
-codec step is STUBBED (this container ships no image/audio libraries):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic content-hash-seeded feature vector stands in
-for real decode output so downstream plumbing is exercisable.
+``mapInPandas`` signatures, partition sizing — is real and tested. The
+codec layer is real for the formats pure numpy can handle (BMP, PPM/PGM,
+WAV-PCM — see ``operators/codecs.py``): ``fake=False`` decodes those
+payloads for real and computes real pixel/sample statistics, and
+``resize_images(fake=False)`` does an actual decode→nearest-neighbor
+resize→re-encode round trip. Compressed formats (png/jpeg/mp3/mp4) need
+codec libraries this container doesn't ship, so they raise
+NotImplementedError; ``fake=True`` substitutes a deterministic
+content-hash-seeded feature vector so downstream plumbing stays
+exercisable for any format.
 
 Scale notes: binary payloads ride ``spark.read.format("binaryFile")``
 (one row per file, split-capped by ``maxPartitionBytes``); feature
@@ -106,6 +111,49 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [b / 256.0 for b in digest[:dim]]
 
 
+def _image_features(pixels, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features: per-channel mean/std (6) + 10-bin luminance
+    histogram, all normalized to [0,1]. numpy-vectorized per image."""
+    import numpy as np
+
+    arr = pixels.astype(np.float64)
+    if arr.ndim == 2:  # grayscale → replicate to 3 channels
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    means = arr.mean(axis=(0, 1)) / 255.0
+    stds = arr.std(axis=(0, 1)) / 255.0
+    luma = arr @ [0.299, 0.587, 0.114]
+    hist, _ = np.histogram(luma, bins=dim - 6, range=(0.0, 255.0))
+    hist = hist / max(1, luma.size)
+    return [*means, *stds, *hist][:dim]
+
+
+def _audio_features(sample_rate: int, samples, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio features: duration, rms, peak, zero-crossing rate +
+    12-bin histogram of the normalized mono mix."""
+    import numpy as np
+
+    mono = samples.astype(np.float64).mean(axis=1)
+    scale = float(np.iinfo(samples.dtype).max) if samples.dtype.kind in "iu" else 1.0
+    mono = mono / scale
+    n = max(1, mono.size)
+    duration = mono.size / sample_rate
+    rms = float(np.sqrt((mono**2).mean())) if mono.size else 0.0
+    peak = float(np.abs(mono).max()) if mono.size else 0.0
+    zcr = float((np.diff(np.signbit(mono)) != 0).sum()) / n
+    hist, _ = np.histogram(mono, bins=dim - 4, range=(-1.0, 1.0))
+    return [duration, rms, peak, zcr, *(hist / n)][:dim]
+
+
+def _real_features(payload: bytes, fmt: str) -> list[float]:
+    """Dispatch on container format; NotImplementedError surfaces for
+    formats needing external codecs (the honest gate)."""
+    from event_pipeline_spark.operators import codecs
+
+    if (fmt or "").lower() == "wav":
+        return _audio_features(*codecs.decode_wav(bytes(payload)))
+    return _image_features(codecs.decode_image(bytes(payload), fmt))
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -117,43 +165,70 @@ FEATURES_SCHEMA = T.StructType(
 
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """Binary payloads → fixed-dim feature vectors via Arrow-batched
-    mapInPandas. With ``fake=False`` this is where a real codec
-    (PIL/librosa/ffmpeg) would run — unavailable here by design."""
+    mapInPandas. ``fake=False`` decodes for real — pure-numpy codecs for
+    bmp/ppm/pgm/wav (``operators/codecs.py``); other formats raise
+    NotImplementedError (png/jpeg need libraries this container lacks)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this environment; pass fake=True for the "
-                    "deterministic stand-in"
-                )
             payloads = pdf["content"]
+            if fake:
+                features = [_fake_features(p) for p in payloads]
+            else:
+                features = [
+                    _real_features(p, fmt)
+                    for p, fmt in zip(payloads, pdf["format"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.str.len().astype("int64"),
-                    "features": [_fake_features(p) for p in payloads],
+                    "features": features,
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(
-        batches, schema=FEATURES_SCHEMA
-    )
+    cols = df.select(
+        "media_id", "content", F.col("meta.format").alias("format")
+    ) if not fake else df.select("media_id", "content")
+    return cols.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int,
                   *, fake: bool = True) -> DataFrame:
-    """Resize stub: passes payloads through, rewrites metadata dims.
-    Real implementation would decode→resize→re-encode in mapInPandas."""
-    if not fake:
-        raise NotImplementedError("real resize requires an image codec")
-    return df.withColumn(
-        "meta",
-        F.col("meta").withField("width", F.lit(width)).withField(
-            "height", F.lit(height)
-        ),
-    )
+    """Resize. ``fake=True`` passes payloads through and rewrites the
+    metadata dims (plumbing only). ``fake=False`` does the real thing in
+    mapInPandas — decode (bmp/ppm/pgm, pure numpy), nearest-neighbor
+    resize, re-encode in the same container format — keeping the input
+    schema so resized media flows through the same downstream operators."""
+    if fake:
+        return df.withColumn(
+            "meta",
+            F.col("meta").withField("width", F.lit(width)).withField(
+                "height", F.lit(height)
+            ),
+        )
+
+    from event_pipeline_spark.operators import codecs
+
+    out_schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = []
+            metas = []
+            for payload, meta in zip(pdf["content"], pdf["meta"]):
+                fmt = (meta.get("format") or "").lower()
+                pixels = codecs.decode_image(bytes(payload), fmt)
+                resized = codecs.resize_nearest(pixels, width, height)
+                encode = codecs.encode_bmp if fmt == "bmp" else codecs.encode_ppm
+                contents.append(encode(resized))
+                metas.append({**meta, "width": width, "height": height})
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int, *, fake: bool = True) -> DataFrame:

@@ -45,7 +45,9 @@ def test_feature_bytes_match_utf8_length(media):
     assert joined.where(F.col("n_bytes") != F.col("blen")).count() == 0
 
 
-def test_real_decode_is_stubbed(media):
+def test_real_decode_unsupported_format_raises(media):
+    # the derived fixture's format is "raw" — not a decodable container,
+    # so the non-fake path must fail loudly, not fake silently
     with pytest.raises(Exception) as exc_info:
         extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
@@ -68,3 +70,125 @@ def test_sample_frames_explodes(spark):
     )
     rows = sample_frames(df, every_ms=1000).collect()
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy: BMP / PPM / PGM / WAV) — operators/codecs.py
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        schema="media_id long, content binary, "
+        "meta struct<media_type string, format string, width int,"
+        " height int, duration_ms long, source_uri string>",
+    )
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (16, 9)]:  # odd widths exercise row padding
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (codecs.decode_image(codecs.encode_bmp(pixels), "bmp") == pixels).all()
+
+
+def test_ppm_pgm_roundtrip_exact():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    assert (codecs.decode_image(codecs.encode_ppm(rgb), "ppm") == rgb).all()
+    assert (codecs.decode_image(codecs.encode_ppm(gray), "pgm") == gray).all()
+
+
+def test_pnm_comment_header():
+    from event_pipeline_spark.operators import codecs
+
+    payload = b"P5\n# a comment\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    arr = codecs.decode_image(payload, "pgm")
+    assert arr.tolist() == [[0, 64], [128, 255]]
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 30000).astype(np.int16)
+    stereo = np.stack([sine, -sine], axis=1)
+    rate, decoded = codecs.decode_wav(codecs.encode_wav(stereo, 8000))
+    assert rate == 8000 and (decoded == stereo).all()
+    rate, mono = codecs.decode_wav(codecs.encode_wav(sine, 16000))
+    assert rate == 16000 and mono.shape == (800, 1) and (mono[:, 0] == sine).all()
+
+
+def test_resize_nearest_semantics():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    up = codecs.resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8)
+    # each source pixel appears as a 2x2 block under half-pixel mapping
+    assert (up[0:2, 0:2] == img[0, 0]).all() and (up[6:8, 6:8] == img[3, 3]).all()
+    down = codecs.resize_nearest(img, 2, 2)
+    assert down.shape == (2, 2) and (down == img[1::2, 1::2]).all()
+
+
+def test_extract_features_real_image_and_audio(spark):
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)  # mid-gray: known stats
+    bmp = codecs.encode_bmp(flat)
+    wav = codecs.encode_wav(np.zeros(4000, dtype=np.int16), 8000)  # silence
+    df = _media_df(
+        spark,
+        [
+            (1, bytearray(bmp), ("image", "bmp", 8, 8, None, "u1")),
+            (2, bytearray(wav), ("audio", "wav", None, None, 500, "u2")),
+        ],
+    )
+    feats = {r["media_id"]: r for r in extract_features(df, fake=False).collect()}
+    img = feats[1]["features"]
+    assert img[0] == pytest.approx(128 / 255.0)  # channel means
+    assert img[3] == pytest.approx(0.0, abs=1e-9)  # flat image: zero std
+    assert len(img) == FEATURE_DIM
+    aud = feats[2]["features"]
+    assert aud[0] == pytest.approx(0.5)  # 4000 samples @ 8 kHz = 0.5 s
+    assert aud[1] == pytest.approx(0.0, abs=1e-9)  # silence: zero rms
+    assert feats[1]["n_bytes"] == len(bmp)
+
+
+def test_resize_images_real_roundtrip(spark):
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(9)
+    pixels = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    df = _media_df(
+        spark,
+        [
+            (1, bytearray(codecs.encode_bmp(pixels)), ("image", "bmp", 12, 16, None, "u1")),
+            (2, bytearray(codecs.encode_ppm(pixels)), ("image", "ppm", 12, 16, None, "u2")),
+        ],
+    )
+    out = resize_images(df, 6, 8, fake=False).collect()
+    for row in out:
+        fmt = row["meta"]["format"]
+        decoded = codecs.decode_image(bytes(row["content"]), fmt)
+        assert decoded.shape == (8, 6, 3)
+        assert (decoded == codecs.resize_nearest(pixels, 6, 8)).all()
+        assert row["meta"]["width"] == 6 and row["meta"]["height"] == 8
