@@ -217,3 +217,53 @@ class TestKafkaSource:
         assert plain["key"] == "k1" and plain["value"] == '{"a": 1}'
         parsed = decoded(wire, "a int").first()
         assert parsed["value"]["a"] == 1
+
+    def test_decoded_runs_live_in_streaming_pipeline(self, spark, tmp_path):
+        """End-to-end minus the broker: a file stream with the exact
+        Kafka wire schema (key/value binary, topic/partition/offset/
+        timestamp) feeds decoded() + from_json + aggregation inside a
+        real Structured Streaming query — everything the Kafka source
+        does downstream of .load(), exercised live."""
+        import json
+
+        from event_pipeline_spark.sources.kafka import decoded
+
+        wire_schema = (
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp"
+        )
+        rows = [
+            (
+                f"u{i % 2}".encode(),
+                json.dumps({"user": f"u{i % 2}", "amount": i}).encode(),
+                "events",
+                i % 2,
+                i,
+                None,
+            )
+            for i in range(10)
+        ]
+        src = str(tmp_path / "wire")
+        spark.createDataFrame(rows, wire_schema).write.parquet(src)
+
+        stream = spark.readStream.schema(wire_schema).parquet(src)
+        parsed = decoded(stream, "user string, amount long")
+        agg = parsed.groupBy(F.col("value.user").alias("user")).agg(
+            F.sum("value.amount").alias("total"), F.count("*").alias("n")
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("kafka_sim")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            got = {
+                r["user"]: (r["total"], r["n"])
+                for r in spark.sql("SELECT * FROM kafka_sim").collect()
+            }
+        finally:
+            query.stop()
+        assert got == {"u0": (20, 5), "u1": (25, 5)}
