@@ -1,0 +1,175 @@
+"""Benchmark decontamination: n-gram overlap between corpus and eval set.
+
+The standard training-data hygiene step (GPT-3 appendix C / PaLM-style):
+a training document is *contaminated* if it shares any length-``n``
+token n-gram with a benchmark/eval document; contaminated docs are
+flagged (and usually dropped) before training.
+
+Spark-first shape:
+- tokenize with built-ins (lower/trim/split — JVM, codegen),
+- n-grams via ``pyspark.ml.feature.NGram`` (a JVM transformer — no
+  Python, no interpreted higher-order lambdas in the row path),
+- hash each gram to a 16-byte md5 so the join key is narrow,
+- benchmark grams are ``distinct().broadcast()`` — an eval suite is
+  KBs-to-MBs against a 100 TB corpus, so the corpus-side explode
+  streams through a broadcast hash join with **zero shuffle of corpus
+  data**; only matched (doc_id, gram-hash) pairs reach the aggregation.
+
+The md5 gram key is also what makes the DuckDB oracle exact: both
+engines derive identical gram strings (lowercase, single-space joined)
+and identical hashes, so the oracle checks *which* documents are
+contaminated and by how many distinct grams — not just totals.
+
+Registered queries (driver-checkable):
+- ``decontam_scan`` [oracle] per-doc distinct contaminated-gram counts
+  against the derived benchmark fixture (every 50th doc's first 12
+  tokens — the corpus is synthetic, so the derivation IS the fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, fn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+DEFAULT_N = 8
+
+
+def _gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram_hash) pairs — one row per token n-gram occurrence.
+    Documents shorter than ``n`` tokens produce no grams (standard)."""
+    from pyspark.ml.feature import NGram
+
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    grams = NGram(n=n, inputCol="__toks", outputCol="__grams").transform(toks)
+    return grams.select(
+        F.col(id_col), F.explode("__grams").alias("__gram")
+    ).select(F.col(id_col), F.md5("__gram").alias("gram_hash"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """Per-corpus-doc contamination report: ``(id_col, n_contaminated)``
+    where ``n_contaminated`` counts the *distinct* benchmark n-grams the
+    document contains. Docs with zero overlap are absent — anti-join the
+    result to drop contaminated docs:
+
+        clean = corpus.join(report, id_col, "left_anti")
+    """
+    bench_grams = (
+        _gram_hashes(
+            benchmark.select(
+                F.lit(0).alias("__bid"),
+                F.col(bench_text_col or text_col).alias("__btext"),
+            ),
+            "__btext",
+            "__bid",
+            n,
+        )
+        .select("gram_hash")
+        .distinct()
+    )
+    corpus_grams = _gram_hashes(corpus, text_col, id_col, n)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram_hash").alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """The filtering form: corpus minus contaminated docs (left_anti —
+    no corpus shuffle; the report side is small by construction)."""
+    report = ngram_decontaminate(
+        corpus, benchmark, text_col=text_col, id_col=id_col, n=n
+    )
+    return corpus.join(report.select(id_col), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# registered query (derived benchmark fixture)
+# ---------------------------------------------------------------------------
+
+_BENCH_EVERY = 50
+_BENCH_TOKENS = 12
+
+
+def benchmark_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 50th doc's first 12 tokens as the 'eval set'."""
+    docs = _docs(spark, sf_dir)
+    return docs.where(F.col("doc_id") % _BENCH_EVERY == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1,
+                _BENCH_TOKENS,
+            ),
+        ).alias("text")
+    )
+
+
+def q_decontam_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    report = ngram_decontaminate(
+        _docs(spark, sf_dir), benchmark_fixture(spark, sf_dir)
+    )
+    return report.orderBy("doc_id")
+
+
+_register(
+    "decontam_scan",
+    q_decontam_scan,
+    f"""WITH bench_toks AS (
+          SELECT list_slice(string_split_regex(lower(trim(text)), '\\s+'),
+                            1, {_BENCH_TOKENS}) AS toks
+          FROM documents WHERE doc_id % {_BENCH_EVERY} = 0),
+        bench_grams AS (
+          SELECT DISTINCT md5(gram) AS gram_hash FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(toks) - {DEFAULT_N - 1}, 0)),
+                i -> array_to_string(toks[i:i+{DEFAULT_N - 1}], ' '))) AS gram
+            FROM bench_toks)),
+        corpus_grams AS (
+          SELECT doc_id, md5(gram) AS gram_hash FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - {DEFAULT_N - 1}, 0)),
+                i -> array_to_string(toks[i:i+{DEFAULT_N - 1}], ' '))) AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)))
+        SELECT doc_id, COUNT(DISTINCT gram_hash) AS n_contaminated
+        FROM corpus_grams JOIN bench_grams USING (gram_hash)
+        GROUP BY doc_id ORDER BY doc_id""",
+)

@@ -1,0 +1,292 @@
+"""Corpus quality filtering + PII handling for LLM-data pipelines.
+
+Two first-class training-data operators (north-star surface, no
+reference counterpart — the reference stops at generic event filtering,
+``nexus/result.py`` lookup filters):
+
+1. **Gopher-style quality rules** (Rae et al. 2021, table A1 subset):
+   word-count bounds, mean word length, symbol-to-word ratio, bullet-line
+   ratio, stopword presence. Each rule is one JVM built-in expression —
+   a 100 TB corpus pays one scan, no Python, no shuffle (narrow
+   projection; the filter composes with any downstream operator).
+
+2. **PII detect / redact**: email, IPv4, SSN-style ids, international
+   phone-ish numbers as count columns (audit) and a redaction pass that
+   replaces matches with typed placeholders (``[EMAIL]``...). Patterns
+   stay inside the Java/RE2 common regex subset so the same semantics
+   run on Spark and the DuckDB oracle (no lookaround, no backrefs).
+
+Registered queries (driver-checkable):
+- ``quality_gopher`` [oracle] per-doc rule flags + pass verdict
+- ``pii_scan``       [oracle] per-doc PII hit counts on the derived fixture
+- ``pii_redact``     [oracle] md5 + length of redacted text (proves the
+  rewrite without shipping full documents through the comparator)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, fn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+#: thresholds (word bounds scaled to the synthetic corpus; the classic
+#: paper uses 50..100k for web documents)
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_RATIO = 0.9
+MIN_STOPWORD_HITS = 2
+
+#: the classic "required stopwords" set
+STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def word_tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def quality_components(col: Column) -> dict[str, Column]:
+    """The raw per-document quality measurements, each one expression."""
+    toks = word_tokens(col)
+    n_words = F.size(toks)
+    # total word chars / word count (whitespace stripped, not collapsed)
+    mean_word_len = F.length(F.regexp_replace(col, r"\s", "")).cast(
+        "double"
+    ) / n_words
+    symbol_hits = F.regexp_count(col, F.lit(r"#|\.\.\."))
+    lines = F.split(col, r"\n")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    stopword_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_hits.cast("double") / n_words,
+        "bullet_line_ratio": bullet_lines.cast("double") / F.size(lines),
+        "stopword_hits": stopword_hits,
+    }
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append rule flags + an overall ``passes_quality`` verdict."""
+    c = quality_components(F.col(text_col))
+    flags = {
+        "word_count_ok": (c["n_words"] >= MIN_WORDS)
+        & (c["n_words"] <= MAX_WORDS),
+        "mean_word_len_ok": (c["mean_word_len"] >= MIN_MEAN_WORD_LEN)
+        & (c["mean_word_len"] <= MAX_MEAN_WORD_LEN),
+        "symbol_ratio_ok": c["symbol_word_ratio"] <= MAX_SYMBOL_WORD_RATIO,
+        "bullet_ratio_ok": c["bullet_line_ratio"] <= MAX_BULLET_LINE_RATIO,
+        "stopwords_ok": c["stopword_hits"] >= MIN_STOPWORD_HITS,
+    }
+    out = df
+    for name, col in {**c, **flags}.items():
+        out = out.withColumn(name, col)
+    verdict = F.lit(True)
+    for col in flags.values():
+        verdict = verdict & col
+    return out.withColumn("passes_quality", verdict)
+
+
+# ---------------------------------------------------------------------------
+# PII detect / redact (Java ∩ RE2 regex subset)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+#: redaction order matters: ssn before phone (overlapping digit shapes),
+#: email before ipv4 (domains can contain dotted digits)
+REDACTION_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    return {
+        name: F.regexp_count(col, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``pii_<kind>`` count columns + ``pii_total``."""
+    counts = pii_counts(F.col(text_col))
+    out = df
+    total = F.lit(0)
+    for name, col in counts.items():
+        out = out.withColumn(f"pii_{name}", col)
+        total = total + col
+    return out.withColumn("pii_total", total)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with its typed placeholder. One
+    regexp_replace per kind, chained — still a single narrow projection
+    (whole-stage codegen fuses the chain)."""
+    col = F.col(text_col)
+    for name in REDACTION_ORDER:
+        col = F.regexp_replace(
+            col, PII_PATTERNS[name], f"[{name.upper()}]"
+        )
+    return df.withColumn(out_col, col)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = gopher_quality(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "stopword_hits",
+        "word_count_ok",
+        "mean_word_len_ok",
+        "stopwords_ok",
+        "passes_quality",
+    ).orderBy("doc_id")
+
+
+_register(
+    "quality_gopher",
+    q_quality_gopher,
+    f"""WITH q AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                 length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                     / len(string_split_regex(trim(text), '\\s+')) AS mwl,
+                 len(list_intersect(
+                     list_transform(string_split_regex(trim(text), '\\s+'),
+                                    t -> lower(t)),
+                     {list(STOPWORDS)!r})) AS stopword_hits
+          FROM documents)
+        SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len, stopword_hits,
+               n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS word_count_ok,
+               mwl BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+                   AS mean_word_len_ok,
+               stopword_hits >= {MIN_STOPWORD_HITS} AS stopwords_ok,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+                   AND (mwl BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+                   AND stopword_hits >= {MIN_STOPWORD_HITS} AS passes_quality
+        FROM q ORDER BY doc_id""",
+)
+
+
+def docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII fixture: every 20th document gets a synthetic
+    contact line appended (the corpus itself is synthetic word soup with
+    no PII, so the derivation IS the fixture — mirrored in the oracle)."""
+    docs = _docs(spark, sf_dir)
+    contact = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0, F.concat(F.col("text"), contact))
+        .otherwise(F.col("text")),
+    )
+
+
+_PII_FIXTURE_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 20 = 0
+                THEN text || ' contact user' || doc_id
+                     || '@example.com at 10.0.' || (doc_id % 250) || '.7'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = pii_detect(docs_with_pii(spark, sf_dir))
+    return (
+        out.where(F.col("pii_total") > 0)
+        .select("doc_id", "pii_email", "pii_ipv4", "pii_total")
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "pii_scan",
+    q_pii_scan,
+    f"""WITH fixture AS ({_PII_FIXTURE_SQL}),
+        c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '{PII_PATTERNS["email"]}')) AS pii_email,
+                 len(regexp_extract_all(text,
+                     '{PII_PATTERNS["ipv4"]}')) AS pii_ipv4,
+                 len(regexp_extract_all(text,
+                     '{PII_PATTERNS["ssn"]}')) AS pii_ssn,
+                 len(regexp_extract_all(text,
+                     '{PII_PATTERNS["phone"]}')) AS pii_phone
+          FROM fixture)
+        SELECT doc_id, pii_email, pii_ipv4,
+               pii_email + pii_ipv4 + pii_ssn + pii_phone AS pii_total
+        FROM c WHERE pii_email + pii_ipv4 + pii_ssn + pii_phone > 0
+        ORDER BY doc_id""",
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = pii_redact(docs_with_pii(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+_redact_sql = "text"
+for _name in REDACTION_ORDER:
+    _redact_sql = (
+        f"regexp_replace({_redact_sql}, "
+        f"'{PII_PATTERNS[_name]}', '[{_name.upper()}]', 'g')"
+    )
+
+_register(
+    "pii_redact",
+    q_pii_redact,
+    f"""WITH fixture AS ({_PII_FIXTURE_SQL})
+        SELECT doc_id, md5({_redact_sql}) AS redacted_md5,
+               length({_redact_sql}) AS redacted_len
+        FROM fixture ORDER BY doc_id""",
+)

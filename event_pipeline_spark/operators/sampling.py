@@ -1,0 +1,181 @@
+"""Deterministic sampling & source mixing for training-data pipelines.
+
+Complements ``operators/packing.py`` (whose xxhash64 splits are fast but
+engine-specific, so their oracle can only check count contracts): every
+operator here keys on an **md5-hex prefix**, which any engine computes
+identically — the DuckDB oracle verifies not just how many rows were
+sampled but exactly *which* rows. That is the property a reproducible
+data pipeline needs: re-running the job, on any engine, selects the same
+documents.
+
+The primitive: ``substr(md5(key || salt), 1, 8)`` is 32 uniform bits
+rendered as lowercase hex; comparing it lexicographically against the
+8-char hex encoding of ``floor(p * 2^32)`` keeps an exact ``p`` fraction
+in expectation, deterministically per key. No RNG state, no
+partitioning sensitivity, no shuffle — a narrow projection + filter that
+composes with any scan (predicate stays JVM-side, whole-stage codegen).
+
+Scale: at 100 TB all three operators are one scan. ``stratified_take``
+adds one shuffle on the (narrow) stratum key for its per-stratum
+row_number — the same cost as any per-group top-k; use it for bounded
+eval/calibration draws, not 90% splits (those use the filter form).
+
+Registered queries (driver-checkable, exact-value oracles):
+- ``sample_fraction``   [oracle] which docs an exact-p draw keeps
+- ``sample_mix``        [oracle] per-language weighted source mixing
+- ``sample_stratified`` [oracle] deterministic k-per-stratum draw
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, fn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+def hash_hex(key: Column, salt: str = "") -> Column:
+    """First 8 hex chars of md5(key || salt): 32 deterministic uniform
+    bits, identical in any engine with md5."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def _threshold_hex(p: float) -> str:
+    """Lexicographic cutoff: hex(floor(p * 2^32)), zero-padded to 8."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {p}")
+    return format(min(int(p * 2**32), 2**32 - 1), "08x")
+
+
+def sample_fraction(
+    df: DataFrame, key: str, p: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~p fraction keyed on ``key``. Same rows on
+    every run and every engine; change ``salt`` for an independent draw."""
+    return df.where(hash_hex(F.col(key), salt) < F.lit(_threshold_hex(p)))
+
+
+def mix_sources(
+    df: DataFrame, source_col: str, weights: dict[str, float],
+    key: str, salt: str = "",
+) -> DataFrame:
+    """Weighted source mixing: per-source keep fractions (the data-mixture
+    step of corpus assembly — e.g. upweight books, downweight crawl).
+    Sources absent from ``weights`` are dropped; weight 1.0 keeps all."""
+    cutoff = None
+    for name, w in weights.items():
+        branch = F.when(
+            F.col(source_col) == name, F.lit(_threshold_hex(w))
+        )
+        cutoff = branch if cutoff is None else cutoff.when(
+            F.col(source_col) == name, F.lit(_threshold_hex(w))
+        )
+    cutoff = cutoff.otherwise(F.lit(_threshold_hex(0.0)))
+    return df.where(hash_hex(F.col(key), salt) < cutoff)
+
+
+def stratified_take(
+    df: DataFrame, stratum_col: str, k: int, key: str, salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
+    a deterministic reservoir draw. One narrow shuffle on the stratum
+    key; Spark's WindowGroupLimit pushes the k-cut before the shuffle."""
+    w = Window.partitionBy(stratum_col).orderBy(hash_hex(F.col(key), salt), key)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+_P = 0.25
+_SALT = "s1"
+_MIX_WEIGHTS = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.1}
+_K = 20
+
+
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        sample_fraction(docs, "doc_id", _P, _SALT)
+        .select("doc_id", hash_hex(F.col("doc_id"), _SALT).alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "sample_fraction",
+    q_sample_fraction,
+    f"""SELECT doc_id,
+               substr(md5(doc_id::VARCHAR || '{_SALT}'), 1, 8) AS bucket
+        FROM documents
+        WHERE substr(md5(doc_id::VARCHAR || '{_SALT}'), 1, 8)
+              < '{_threshold_hex(_P)}'
+        ORDER BY doc_id""",
+)
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    mixed = mix_sources(docs, "lang", _MIX_WEIGHTS, "doc_id", _SALT)
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+        .orderBy("lang")
+    )
+
+
+_mix_cases = " ".join(
+    f"WHEN '{name}' THEN '{_threshold_hex(w)}'"
+    for name, w in _MIX_WEIGHTS.items()
+)
+
+_register(
+    "sample_mix",
+    q_sample_mix,
+    f"""SELECT lang, COUNT(*) AS kept FROM documents
+        WHERE substr(md5(doc_id::VARCHAR || '{_SALT}'), 1, 8)
+              < CASE lang {_mix_cases} ELSE '{_threshold_hex(0.0)}' END
+        GROUP BY lang ORDER BY lang""",
+)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        stratified_take(docs, "lang", _K, "doc_id", _SALT)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_register(
+    "sample_stratified",
+    q_sample_stratified,
+    f"""WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY substr(md5(doc_id::VARCHAR || '{_SALT}'), 1, 8),
+                              doc_id) AS rk
+          FROM documents)
+        SELECT doc_id, lang FROM ranked WHERE rk <= {_K}
+        ORDER BY lang, doc_id""",
+)

@@ -1,0 +1,191 @@
+"""Quality filtering, PII, deterministic sampling, decontamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.decontam import (
+    decontaminate,
+    ngram_decontaminate,
+)
+from event_pipeline_spark.operators.filtering import (
+    MIN_WORDS,
+    gopher_quality,
+    pii_detect,
+    pii_redact,
+)
+from event_pipeline_spark.operators.sampling import (
+    mix_sources,
+    sample_fraction,
+    stratified_take,
+)
+
+
+# ---------------------------------------------------------------------------
+# gopher quality
+# ---------------------------------------------------------------------------
+
+
+GOOD_DOC = (
+    "the quick brown fox jumps over the lazy dog and runs to be far away "
+    "with many plain words that have normal shape and reasonable length "
+    "of sentences to pass every single quality rule easily and cleanly"
+)
+
+
+def test_gopher_rules_flag_each_failure_mode(spark):
+    rows = [
+        (1, GOOD_DOC),
+        (2, "too short to pass"),                       # word count
+        (3, "### " * 40 + "the be to of and that"),     # symbol ratio
+        (4, ("zz " * MIN_WORDS).strip()),               # no stopwords
+        (5, "a " * 60 + "the be"),                      # mean word len < 3
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["passes_quality"]
+    assert not out[2]["word_count_ok"] and not out[2]["passes_quality"]
+    assert not out[3]["symbol_ratio_ok"]
+    assert not out[4]["stopwords_ok"]
+    assert not out[5]["mean_word_len_ok"]
+
+
+def test_bullet_ratio_rule(spark):
+    bullets = "\n".join(f"- item {i} of the list to be" for i in range(10))
+    out = gopher_quality(
+        spark.createDataFrame([(1, bullets)], "doc_id long, text string")
+    ).first()
+    assert out["bullet_line_ratio"] == 1.0
+    assert not out["bullet_ratio_ok"]
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_detect_counts_each_kind(spark):
+    text = (
+        "mail a@b.com and c.d+x@e.org, server 10.1.2.3, ssn 123-45-6789, "
+        "call +1 555-123-4567 twice: +1 555-123-4567"
+    )
+    row = pii_detect(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).first()
+    assert row["pii_email"] == 2
+    assert row["pii_ipv4"] == 1
+    assert row["pii_ssn"] == 1
+    assert row["pii_phone"] == 2
+    assert row["pii_total"] == 6
+
+
+def test_pii_redact_replaces_with_placeholders(spark):
+    text = "a@b.com lives at 10.1.2.3 ssn 123-45-6789"
+    row = pii_redact(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).first()
+    assert row["redacted"] == "[EMAIL] lives at [IPV4] ssn [SSN]"
+    # no raw PII survives
+    assert "a@b.com" not in row["redacted"]
+    assert "123-45-6789" not in row["redacted"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key")
+
+
+def test_sample_fraction_deterministic_and_calibrated(ids):
+    a = sorted(r["key"] for r in sample_fraction(ids, "key", 0.3, "x").collect())
+    b = sorted(r["key"] for r in sample_fraction(ids, "key", 0.3, "x").collect())
+    assert a == b  # same rows every run
+    assert 0.25 < len(a) / 2000 < 0.35  # calibrated
+    c = sorted(r["key"] for r in sample_fraction(ids, "key", 0.3, "y").collect())
+    assert a != c  # independent draw per salt
+
+
+def test_sample_fraction_monotone_in_p(ids):
+    small = {r["key"] for r in sample_fraction(ids, "key", 0.1, "x").collect()}
+    large = {r["key"] for r in sample_fraction(ids, "key", 0.5, "x").collect()}
+    assert small <= large  # threshold semantics: growing p only adds rows
+
+
+def test_mix_sources_weights(spark):
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(3000)],
+        "key long, src string",
+    )
+    kept = (
+        mix_sources(df, "src", {"a": 1.0, "b": 0.2}, "key")
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    counts = {r["src"]: r["count"] for r in kept}
+    assert counts["a"] == 1000  # weight 1.0 keeps all
+    assert 120 < counts["b"] < 280  # ~0.2
+    assert "c" not in counts  # unlisted source dropped
+
+
+def test_stratified_take_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, "s" if i < 1000 else "t") for i in range(1005)],
+        "key long, g string",
+    )
+    out = stratified_take(df, "g", 10, "key")
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"s": 10, "t": 5}  # min(k, |stratum|)
+    again = stratified_take(df, "g", 10, "key")
+    assert sorted(r["key"] for r in out.collect()) == sorted(
+        r["key"] for r in again.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [("which of the following is the best answer to question one",)],
+        "text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim (case-insensitive)
+            (1, "intro text Which Of The Following Is The Best Answer trailing"),
+            # shares only 7 consecutive tokens — below n=8, clean
+            (2, "of the following is the best answer maybe"),
+            (3, "completely unrelated document about sparks and engines"),
+        ],
+        "doc_id long, text string",
+    )
+    report = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ngram_decontaminate(corpus, bench).collect()
+    }
+    assert 1 in report and report[1] >= 1
+    assert 2 not in report and 3 not in report
+
+    clean = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
+    assert clean == [2, 3]
+
+
+def test_short_docs_produce_no_grams(spark):
+    bench = spark.createDataFrame([("one two three",)], "text string")
+    corpus = spark.createDataFrame(
+        [(1, "one two three")], "doc_id long, text string"
+    )
+    # both sides shorter than n=8 tokens: no grams, no contamination
+    assert ngram_decontaminate(corpus, bench).count() == 0
