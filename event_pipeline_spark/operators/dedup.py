@@ -477,7 +477,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_register("dedup_ngram_jaccard", q_dedup_ngram_jaccard)
+_register(
+    "dedup_ngram_jaccard",
+    q_dedup_ngram_jaccard,
+    # exact-value oracle: the naive within-source pair join DuckDB can
+    # afford at gate scale, against which the prefix-filter join must be
+    # EXACT (no false positives or negatives). The shared-shingle guard
+    # (len(list_intersect) > 0) mirrors the equi-join on a common
+    # shingle and keeps 0/0 NaNs out of the threshold comparison.
+    """WITH sh AS (
+         SELECT doc_id, source,
+                list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 0)),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+         FROM (SELECT doc_id, source,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) AS inter,
+                len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams)) AS uni
+         FROM sh a JOIN sh b
+           ON a.source = b.source AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, ROUND(inter::DOUBLE / uni, 6) AS jaccard
+       FROM pairs WHERE inter > 0 AND ROUND(inter::DOUBLE / uni, 6) >= 0.5
+       ORDER BY id_a, id_b""",
+)
 
 
 # -- duplicate clustering (connected components over near-dup pairs) -------

@@ -383,7 +383,28 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
-_register("sim_topk_bruteforce", q_sim_topk_bruteforce)
+_register(
+    "sim_topk_bruteforce",
+    q_sim_topk_bruteforce,
+    # DOUBLE[] casts: DuckDB's list_cosine_similarity would otherwise
+    # compute over float32; both engines then do float64 math over the
+    # same float32-sourced values, and ROUND(x, 6) absorbs the
+    # summation-order ulp between numpy and the sequential loop.
+    """WITH q AS (
+         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS corpus_id,
+                ROUND(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+         FROM scored)
+       SELECT query_id, corpus_id, cosine, rank FROM ranked
+       WHERE rank <= 5 ORDER BY query_id, rank""",
+)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,4 +299,37 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("text_lang_id", q_text_lang_id)
+def _lang_id_oracle() -> str:
+    """Build the DuckDB mirror of ``predict_language`` from the same
+    LANG_PROFILES table: per-language distinct-token intersections (plus
+    zh per-character counts), argmax with ties to the lexicographically
+    larger language, 'unknown' when every score is zero."""
+    score_exprs = []
+    for lang, words in LANG_PROFILES.items():
+        expr = f"len(list_intersect(tk, {list(words)!r}))"
+        if lang == "zh":
+            char_hits = " + ".join(
+                f"(length(text) - length(replace(text, '{w}', '')))"
+                for w in words
+            )
+            expr = f"{expr} + {char_hits}"
+        score_exprs.append(f"{expr} AS s_{lang}")
+    # lexicographically larger language wins ties: test in DESC name order
+    by_name_desc = sorted(LANG_PROFILES, reverse=True)
+    cases = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in by_name_desc[:-1]
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, lang, text,
+                list_transform(string_split_regex(trim(text), '\\s+'),
+                               t -> lower(t)) AS tk
+         FROM documents),
+       s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM toks)
+       SELECT doc_id, lang,
+              CASE WHEN m = 0 THEN 'unknown' {cases}
+                   ELSE '{by_name_desc[-1]}' END AS pred
+       FROM (SELECT *, greatest(s_{', s_'.join(LANG_PROFILES)}) AS m FROM s)
+       ORDER BY doc_id"""
+
+
+_register("text_lang_id", q_text_lang_id, _lang_id_oracle())
