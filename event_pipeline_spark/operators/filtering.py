@@ -115,6 +115,80 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition rules (the other half of the Gopher filter set)
+# ---------------------------------------------------------------------------
+
+MAX_DUP_LINE_FRACTION = 0.30
+MAX_TOP_BIGRAM_FRACTION = 0.20
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line."""
+    lines = F.split(col, r"\n")
+    return (
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+        / F.size(lines)
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition measurements: duplicate-line fraction and the
+    share of all token bigrams taken by the most frequent one.
+
+    The bigram share uses the explode→count→max shape (one shuffle on
+    (doc, gram) — the scalable form; an in-array histogram would be an
+    interpreted HOF over every token). Output keeps ``id_col`` plus the
+    two fractions rounded to 6dp."""
+    from pyspark.ml.feature import NGram
+
+    toks = df.select(
+        id_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t")
+    )
+    grams = NGram(n=2, inputCol="__t", outputCol="__g").transform(toks)
+    exploded = grams.select(id_col, F.explode("__g").alias("g"))
+    top_share = (
+        exploded.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_bigram_fraction")
+        )
+    )
+    dlf = df.select(
+        id_col,
+        F.round(dup_line_fraction(F.col(text_col)), 6).alias(
+            "dup_line_fraction"
+        ),
+    )
+    return dlf.join(top_share, id_col, "left").select(
+        id_col,
+        "dup_line_fraction",
+        F.coalesce("top_bigram_fraction", F.lit(0.0)).alias(
+            "top_bigram_fraction"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text cleaning (normalization pass before dedup/quality)
+# ---------------------------------------------------------------------------
+
+
+def clean_text(col: Column) -> Column:
+    """Standard corpus normalization: strip control chars (keep \\n\\t),
+    collapse horizontal whitespace runs, trim line edges, drop empty
+    lines. Pure regexp chain — codegen-fused single pass."""
+    c = F.regexp_replace(col, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
 # PII detect / redact (Java ∩ RE2 regex subset)
 # ---------------------------------------------------------------------------
 
@@ -203,6 +277,89 @@ _register(
                    AND (mwl BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
                    AND stopword_hits >= {MIN_STOPWORD_HITS} AS passes_quality
         FROM q ORDER BY doc_id""",
+)
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition stats over a derived fixture (every 10th doc repeated
+    as a second line — the corpus is single-line, so the derivation IS
+    the duplicate-line fixture; bigram repetition is natural in the
+    synthetic vocabulary)."""
+    docs = _docs(spark, sf_dir)
+    fixture = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return repetition_stats(fixture).orderBy("doc_id")
+
+
+_register(
+    "quality_repetition",
+    q_quality_repetition,
+    """WITH fixture AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN text || chr(10) || text
+                     ELSE text END AS text
+         FROM documents),
+       lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fixture),
+       dlf AS (
+         SELECT doc_id,
+                ROUND((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+                    AS dup_line_fraction
+         FROM lines),
+       toks AS (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM fixture),
+       grams AS (
+         SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> array_to_string(t[i:i+1], ' '))) AS g
+         FROM toks),
+       counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+       tbf AS (SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6)
+                   AS top_bigram_fraction
+               FROM counts GROUP BY doc_id)
+       SELECT d.doc_id, d.dup_line_fraction,
+              COALESCE(t.top_bigram_fraction, 0.0) AS top_bigram_fraction
+       FROM dlf d LEFT JOIN tbf t USING (doc_id) ORDER BY doc_id""",
+)
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text over a derived dirty fixture (doubled spaces, leading
+    whitespace, a control char) — verified by md5+length of the cleaned
+    output on both engines."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.lit("  "),
+        F.regexp_replace(F.col("text"), " ", "  "),
+        F.lit("\x07"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(clean_text(dirty)).alias("cleaned_md5"),
+        F.length(clean_text(dirty)).alias("cleaned_len"),
+    ).orderBy("doc_id")
+
+
+_CLEAN_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "'  ' || replace(text, ' ', '  ') || chr(7), "
+    "'[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), "
+    "'[ \\t]+', ' ', 'g'), "
+    "' ?\\n ?', chr(10), 'g'), "
+    "'\\n{2,}', chr(10), 'g'))"
+)
+
+_register(
+    "text_clean",
+    q_text_clean,
+    f"""SELECT doc_id, md5({_CLEAN_SQL}) AS cleaned_md5,
+               length({_CLEAN_SQL}) AS cleaned_len
+        FROM documents ORDER BY doc_id""",
 )
 
 

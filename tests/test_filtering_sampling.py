@@ -189,3 +189,40 @@ def test_short_docs_produce_no_grams(spark):
     )
     # both sides shorter than n=8 tokens: no grams, no contamination
     assert ngram_decontaminate(corpus, bench).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition rules + text cleaning
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    from event_pipeline_spark.operators.filtering import repetition_stats
+
+    rows = [
+        (1, "a b\na b\nc d"),          # 1 dup line of 3; bigrams of the soup
+        (2, "x y x y x y"),            # "x y" dominates
+        (3, "unique words only here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["dup_line_fraction"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3]["dup_line_fraction"] == 0.0
+    # doc 2 tokens: x y x y x y -> bigrams: xy yx xy yx xy -> top 'x y' = 3/5
+    assert out[2]["top_bigram_fraction"] == pytest.approx(0.6)
+    # doc 3: 3 bigrams all distinct -> 1/3
+    assert out[3]["top_bigram_fraction"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_clean_text_semantics(spark):
+    from event_pipeline_spark.operators.filtering import clean_text
+
+    dirty = "  a\tb   c\x07 \n\n  d  \n\ne "
+    row = spark.createDataFrame([(dirty,)], "text string").select(
+        clean_text(F.col("text")).alias("c")
+    ).first()
+    assert row["c"] == "a b c\nd\ne"
