@@ -336,3 +336,41 @@ def test_observed_metrics_ride_the_stream(spark, tmp_path):
     assert collector.total("ingest", "errs") == 3
     assert len(collector.metrics["ingest"]) >= 2  # one report per micro-batch
     assert seen and seen[0][0] == "ingest"
+
+
+# -- checkpoint restart: exactly-once continuation --------------------------
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Stop a checkpointed stream, land more data, restart from the same
+    checkpoint: the new query must process only the unseen files, and the
+    union of all delivered batches must contain every input row exactly
+    once — the recovery contract a 24/7 ingestion pipeline relies on."""
+    src = f"file://{tmp_path}/restart_src"
+    ledger = str(tmp_path / "ledger")
+
+    def write_src(lo, hi):
+        spark.range(lo, hi).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(src)
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(ledger)
+            )
+            .option("checkpointLocation", f"{tmp_path}/restart_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    write_src(0, 50)
+    q1 = run_once()
+    q1.awaitTermination(120)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(ledger).collect()
+    ) == list(range(50))
+
+    write_src(50, 80)
+    q2 = run_once()
+    q2.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(ledger).collect())
+    assert got == list(range(80))  # no gaps, no duplicates
