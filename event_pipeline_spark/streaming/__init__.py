@@ -29,6 +29,7 @@ from event_pipeline_spark.streaming.stateful import (
     transform_with_state,
 )
 from event_pipeline_spark.streaming.windows import (
+    dedup_stream,
     session,
     sessionize,
     sliding,
@@ -39,6 +40,7 @@ from event_pipeline_spark.streaming.windows import (
 __all__ = [
     "ROCKSDB_PROVIDER",
     "RUNNING_STATS_SCHEMA",
+    "dedup_stream",
     "CronSchedule",
     "EmbeddedScheduler",
     "ObservedMetricsCollector",

@@ -73,3 +73,22 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(session_col, F.sum(new_session).over(running))
+
+
+def dedup_stream(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming ingestion dedup: drop repeats of ``keys`` arriving
+    within the watermark horizon — the standard exactly-once-ish guard
+    for at-least-once sources (Kafka redeliveries, file re-drops).
+
+    State is bounded by the watermark: Spark keeps one entry per key
+    seen in the last ``watermark`` of event time and evicts older state,
+    so a 24/7 pipeline's dedup state is O(keys per horizon), not O(all
+    keys ever). ``dropDuplicatesWithinWatermark`` accepts a repeat whose
+    twin is older than the horizon — the documented at-most-one-per-
+    horizon contract, the price of bounded state at 100 TB/day.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

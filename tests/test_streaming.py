@@ -374,3 +374,36 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     got = sorted(r["id"] for r in spark.read.parquet(ledger).collect())
     assert got == list(range(80))  # no gaps, no duplicates
+
+
+# -- streaming ingestion dedup ----------------------------------------------
+
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    from event_pipeline_spark.streaming.windows import dedup_stream
+
+    src = f"file://{tmp_path}/dd_src"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "id long, ts_s string").select(
+            "id", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    # batch 1 delivers ids 1,2; batch 2 redelivers id 2 (in-horizon dup)
+    # and delivers id 3
+    write_batch([(1, "2026-01-01 10:00:00"), (2, "2026-01-01 10:00:30")])
+    write_batch([(2, "2026-01-01 10:00:30"), (3, "2026-01-01 10:01:00")])
+
+    stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["id"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/dd_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(r["id"] for r in spark.sql("SELECT id FROM dd").collect())
+    assert got == [1, 2, 3]  # the redelivered 2 was dropped
