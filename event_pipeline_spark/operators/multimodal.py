@@ -288,4 +288,21 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-_register("mm_features", q_mm_features)
+_register(
+    "mm_features",
+    q_mm_features,
+    # the fake-feature derivation is fully deterministic (sha256 bytes /
+    # 256), so it IS oracle-able: DuckDB's sha256(VARCHAR) hashes the
+    # same utf-8 bytes Spark's encode() produced; hex digits parse via
+    # strpos. Each b/256.0 is an exact dyadic rational and the 16-term
+    # sum stays exact in float64, so both engines agree bit-for-bit.
+    """SELECT doc_id AS media_id,
+              octet_length(encode(text)) AS n_bytes,
+              ROUND(list_sum(list_transform(generate_series(1, 16), i ->
+                  ((strpos('0123456789abcdef',
+                           substr(sha256(text), 2*i - 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(sha256(text), 2*i, 1)) - 1)) / 256.0)),
+                  6) AS feature_sum
+       FROM documents ORDER BY media_id""",
+)

@@ -192,3 +192,55 @@ def test_resize_images_real_roundtrip(spark):
         assert decoded.shape == (8, 6, 3)
         assert (decoded == codecs.resize_nearest(pixels, 6, 8)).all()
         assert row["meta"]["width"] == 6 and row["meta"]["height"] == 8
+
+
+def test_codec_roundtrips_property():
+    """Property check: encode→decode is identity for arbitrary shapes,
+    dtypes, and channel layouts the codecs claim to support."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_pipeline_spark.operators import codecs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        gray=st.booleans(),
+    )
+    def image_roundtrip(h, w, seed, gray):
+        rng = np.random.default_rng(seed)
+        if gray:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            assert (codecs.decode_image(codecs.encode_ppm(img), "pgm") == img).all()
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (codecs.decode_image(codecs.encode_bmp(img), "bmp") == img).all()
+            assert (codecs.decode_image(codecs.encode_ppm(img), "ppm") == img).all()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 2000),
+        channels=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        dtype=st.sampled_from(["int16", "int32", "float32"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, channels, rate, dtype, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        if dtype.startswith("int"):
+            info = np.iinfo(dtype)
+            samples = rng.integers(
+                info.min, info.max, size=(n, channels)
+            ).astype(dtype)
+        else:
+            samples = rng.uniform(-1, 1, size=(n, channels)).astype(dtype)
+        got_rate, got = codecs.decode_wav(codecs.encode_wav(samples, rate))
+        assert got_rate == rate and (got == samples).all()
+
+    image_roundtrip()
+    wav_roundtrip()
