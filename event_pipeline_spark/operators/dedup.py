@@ -5,7 +5,7 @@ Five strategies, each with a distinct scale profile:
 - **exact** — hash-groupBy on the raw or fingerprinted text. One shuffle
   of (hash, id); at 100 TB you shuffle 16-byte digests, never documents.
 - **MinHash + LSH** — shingle → K minhash signatures → b bands × r rows →
-  bucket join. Signatures are one vectorized Arrow pass (blake2b base
+  bucket join. Signatures are one vectorized Arrow pass (md5-low-64 base
   hash + K affine hashes, numpy broadcast); candidate generation
   shuffles (band_id, band_hash) keys only; verification joins shingle
   sets for candidates, a tiny fraction of n².
@@ -19,9 +19,14 @@ Five strategies, each with a distinct scale profile:
 - **embedding cosine** — near-dup over vectors; delegated to
   operators/similarity.py's LSH machinery with a threshold.
 
-Registered queries: ``dedup_exact_hash`` [oracle], ``dedup_minhash_pairs``,
-``dedup_simhash_pairs``, ``dedup_ngram_jaccard`` (rows-only; recall
-against brute-force asserted in tests/test_dedup.py).
+Registered queries — ALL exact-oracle-gated, including the sketch-based
+ones: every hash in the MinHash/SimHash paths derives from md5 (DuckDB
+``md5_number_lower``), so the oracles recompute the identical sketch in
+SQL and the driver value-hash checks candidate generation, verification,
+and clustering bit-for-bit: ``dedup_exact_hash``, ``dedup_minhash_pairs``,
+``dedup_simhash_pairs``, ``dedup_ngram_jaccard``, ``dedup_cluster_exact``,
+``dedup_clusters``. Recall against brute-force additionally asserted in
+tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -116,6 +121,15 @@ def shingles(col: Column, k: int = 3) -> Column:
     return _shingles_udf(k)(col)
 
 
+def _md5_lower64(data: bytes) -> int:
+    """Low 64 bits of md5, little-endian — bit-identical to DuckDB's
+    ``md5_number_lower``. This is the portability contract that lets the
+    MinHash/SimHash oracles recompute the exact signatures in SQL: every
+    hash in the sketch path derives from md5, so the whole probabilistic
+    pipeline becomes deterministic and engine-checkable."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
 def _affine_params(num_hashes: int):
     rng = np.random.RandomState(42)  # fixed seed: signatures reproducible
     a = rng.randint(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
@@ -134,12 +148,7 @@ def _minhash_udf(num_hashes: int, k: int):
         for t in texts:
             sh = _shingle_set(t, k)
             base = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-                    )
-                    for s in sh
-                ),
+                (_md5_lower64(s.encode()) for s in sh),
                 dtype=np.uint64,
                 count=len(sh),
             )
@@ -153,10 +162,12 @@ def _minhash_udf(num_hashes: int, k: int):
 
 
 def minhash_signature(text_col: Column, num_hashes: int = 64, k: int = 3) -> Column:
-    """K minhash values straight from text: blake2b base hash per
-    shingle, then K affine (a*x+b mod 2^61) hashes, min over shingles.
+    """K minhash values straight from text: md5-low-64 base hash per
+    shingle (== DuckDB ``md5_number_lower``), then K affine
+    ((a*x+b mod 2^64) mod 2^61) hashes, min over shingles.
     One Arrow-batched pass; K=64 keeps the signature 512 bytes/doc —
-    at 100 TB the signature table is ~0.5% of corpus size."""
+    at 100 TB the signature table is ~0.5% of corpus size. Every stage
+    is engine-portable, so the full sketch is oracle-checked exactly."""
     return _minhash_udf(num_hashes, k)(text_col)
 
 
@@ -197,7 +208,17 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("_sig", b * rows + 1, rows)).alias("bh"),
+                        # md5 over the comma-joined band values: a 32-hex
+                        # (16-byte) shuffle key, same narrow-join shape as
+                        # xxhash64 but reproducible in any engine
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice("_sig", b * rows + 1, rows).cast(
+                                    "array<string>"
+                                ),
+                            )
+                        ).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -288,12 +309,7 @@ def _simhash_udf():
             if not ws:
                 continue
             hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                    )
-                    for w in ws
-                ),
+                (_md5_lower64(w.encode()) for w in ws),
                 dtype=np.uint64,
                 count=len(ws),
             )
@@ -307,8 +323,10 @@ def _simhash_udf():
 
 
 def simhash64(col: Column) -> Column:
-    """64-bit SimHash from whitespace tokens: blake2b per token, per-bit
-    majority vote as one vectorized (tokens x 63) matrix per doc.
+    """64-bit SimHash from whitespace tokens: md5-low-64 per token
+    (== DuckDB ``md5_number_lower``, so the signature is engine-portable
+    and oracle-checked exactly), per-bit majority vote as one vectorized
+    (tokens x 63) matrix per doc.
 
     Arrow-batched pandas UDF. The all-built-ins form (63 ``F.aggregate``
     bit-count passes over the token-hash array) is correct but HOFs run
@@ -394,14 +412,104 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
-_register("dedup_minhash_pairs", q_dedup_minhash)
+def _minhash_pair_ctes(
+    *,
+    threshold: float = 0.7,
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> str:
+    """CTE chain recomputing the EXACT MinHash-LSH pipeline in DuckDB:
+    same shingles, same md5-low-64 base hash (``md5_number_lower``), the
+    same 64 affine permutations (seed-42 constants embedded as
+    literals), the same banding keys, the same Jaccard verify. Ends in a
+    CTE ``verified(id_a, id_b, jaccard)`` — not an approximate
+    reference: bit-for-bit the sketch the Spark side computes."""
+    a, b = _affine_params(num_hashes)
+    rows = num_hashes // bands
+    params = ",\n                ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(num_hashes)
+    )
+    return f"""WITH params(i, a, b) AS (VALUES {params}),
+       toks AS (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+       sh AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(len(t) - {k_shingle - 1}, 0)),
+                         i -> array_to_string(t[i:i+{k_shingle - 1}], ' '))) AS grams
+              FROM toks),
+       hx AS (SELECT doc_id, md5_number_lower(g)::HUGEINT AS h
+              FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+       sigv AS (SELECT doc_id, p.i,
+                       MIN(((p.a * h + p.b) % 18446744073709551616::HUGEINT)
+                           % 2305843009213693952)::BIGINT AS m
+                FROM hx CROSS JOIN params p GROUP BY doc_id, p.i),
+       sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM sigv GROUP BY doc_id),
+       banded AS (SELECT doc_id, bnd.bi,
+                         md5(array_to_string(
+                             s[bnd.bi*{rows}+1 : bnd.bi*{rows}+{rows}], ',')) AS bh
+                  FROM sig CROSS JOIN
+                       (SELECT unnest(generate_series(0, {bands - 1})) AS bi) bnd),
+       cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM banded l JOIN banded r
+                  ON l.bi = r.bi AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       verified AS (
+         SELECT id_a, id_b,
+                ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                      / (len(ga.grams) + len(gb.grams)
+                         - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+         FROM cand JOIN sh ga ON cand.id_a = ga.doc_id
+                   JOIN sh gb ON cand.id_b = gb.doc_id
+         WHERE len(list_intersect(ga.grams, gb.grams)) > 0)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return (
+        _minhash_pair_ctes()
+        + """
+       SELECT id_a, id_b, jaccard FROM verified
+       WHERE jaccard >= 0.7 ORDER BY id_a, id_b"""
+    )
+
+
+_register("dedup_minhash_pairs", q_dedup_minhash, _minhash_oracle_sql())
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
-_register("dedup_simhash_pairs", q_dedup_simhash)
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Recompute the EXACT 63-bit SimHash in DuckDB (md5-low-64 token
+    hashes, duplicate-preserving tokens, ``2*votes >= n`` tie rule) and
+    find near pairs by the NAIVE n² join — the pigeonhole block-rotation
+    join on the Spark side is exact, so the two must agree pair-for-pair
+    (this oracle checks the rotation trick itself, not just the
+    signature)."""
+    powers = ",\n                ".join(
+        f"({j}, {1 << j}::HUGEINT)" for j in range(63)
+    )
+    return f"""WITH bits(j, pw) AS (VALUES {powers}),
+       th AS (SELECT doc_id, md5_number_lower(w)::HUGEINT AS h
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                    FROM documents)),
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+       votes AS (SELECT doc_id, j, pw, SUM((h // pw) % 2) AS v
+                 FROM th CROSS JOIN bits GROUP BY doc_id, j, pw),
+       sig AS (SELECT v.doc_id,
+                      SUM(CASE WHEN 2 * v.v >= c.n THEN v.pw ELSE 0 END)::BIGINT AS s
+               FROM votes v JOIN cnt c USING (doc_id) GROUP BY v.doc_id)
+       SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+              CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
+       FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
+       ORDER BY id_a, id_b"""
+
+
+_register("dedup_simhash_pairs", q_dedup_simhash, _simhash_oracle_sql())
 
 
 def ngram_jaccard_pairs(
@@ -664,8 +772,10 @@ _register(
 
 
 def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Components over MinHash near-dup pairs (rows-only: pair discovery
-    is sketch-based; same-cluster closure is unit-tested)."""
+    """Components over MinHash near-dup pairs. Exact oracle: the
+    portable md5-based sketch makes pair discovery reproducible in
+    DuckDB, and a recursive-CTE transitive closure checks the
+    label-propagation fixpoint itself."""
     docs = _docs(spark, sf_dir)
     pairs = minhash_near_duplicates(docs).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
@@ -673,4 +783,22 @@ def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("id")
 
 
-_register("dedup_clusters", _dedup_clusters_minhash)
+def _clusters_oracle_sql() -> str:
+    """Minhash pair CTEs + WITH RECURSIVE connected components:
+    cluster_id = min doc_id reachable from each node (incl. itself)."""
+    ctes = _minhash_pair_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        ctes
+        + """,
+       pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.7),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (SELECT a, b FROM edges
+                       UNION
+                       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS id, least(a, MIN(b)) AS cluster_id
+       FROM reach GROUP BY a ORDER BY id"""
+    )
+
+
+_register("dedup_clusters", _dedup_clusters_minhash, _clusters_oracle_sql())
