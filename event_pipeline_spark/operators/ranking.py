@@ -1,0 +1,389 @@
+"""Corpus ranking / retrieval operators for LLM-data pipelines.
+
+The retrieval-adjacent surface a training-data engine needs next to
+dedup: corpus vocabulary statistics, an inverted index, TF-IDF term
+weighting, and BM25 scoring for decontamination-style "which documents
+match this benchmark query" sweeps.
+
+Scale shape (the point at 100 TB):
+
+- Every shuffle key here is a (token|gram, doc_id) pair or a bare
+  token — never document text. Token explosion is a flatMap with no
+  shuffle; the aggregations are partial (map-side combine) by
+  construction since they are plain ``groupBy().count()``.
+- Posting lists are BOUNDED (``slice`` after ``sort_array``): an
+  inverted index over a web corpus has power-law postings ("the" →
+  every doc); an unbounded ``collect_list`` is a driver-killer. The cap
+  is the operator contract, not an optimization.
+- Per-document top-n uses ``row_number`` over a per-doc window —
+  Spark's WindowGroupLimit pushes the rank filter into the sort, so no
+  full per-doc term ranking materializes.
+- Corpus-wide scalars (doc count, average doc length) travel as a
+  broadcast 1-row crossJoin, never a driver ``collect()``.
+
+All five registered queries are exact-oracle-gated: tokenization is the
+corpus contract shared with dedup/filtering (``lower(trim(text))`` split
+on ``\\s+``), counts are BIGINT on both engines, and floating scores are
+rounded to 6 dp with ranking performed ON the rounded score with a total
+deterministic tie-break, so both engines rank identically.
+
+Re-expresses (reference parity): result aggregation/scoring surfaces of
+``nexus/result.py`` (ResultSet statistics) generalized to corpus scale;
+the reference has no retrieval operators — these extend SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, fn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+def corpus_tokens(col: Column) -> Column:
+    """The shared corpus tokenization contract: lowercase, trim, split
+    on whitespace runs (identical to the dedup/filtering oracles)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+# SQL twin of corpus_tokens, spliced into every oracle below.
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# document frequency + inverted index
+# ---------------------------------------------------------------------------
+
+
+def document_frequency(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, df) — number of distinct documents containing each token.
+    Distinct-per-doc BEFORE exploding, so the shuffle carries one row
+    per (doc, distinct token), not per occurrence."""
+    return (
+        df.select(
+            F.explode(F.array_distinct(corpus_tokens(F.col(text_col)))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """(token, df, postings_csv): full df count plus the first
+    ``max_postings`` doc ids ascending, comma-joined. Bounding the
+    posting list is the contract — power-law tokens would otherwise
+    materialize postings the size of the corpus."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(corpus_tokens(F.col(text_col)))).alias("token"),
+    )
+    # Rank within token BEFORE collecting: collect_list-then-slice would
+    # still buffer the full power-law posting list per group; with the
+    # row_number filter the aggregation buffer holds <= max_postings ids.
+    # Window and groupBy share the same key, so the partitioning from the
+    # window sort is reused — one shuffle total.
+    rn = F.row_number().over(Window.partitionBy("token").orderBy(id_col))
+    return (
+        exploded.withColumn("rn", rn)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= max_postings, F.col(id_col))
+                    )
+                ).cast("array<string>"),
+            ).alias("postings_csv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-n terms by TF-IDF (tf * ln(N/df)), score rounded
+    to 6 dp, ranked on the ROUNDED score with term-ascending tie-break —
+    a total deterministic order any engine reproduces."""
+    toks = df.select(
+        F.col(id_col), F.explode(corpus_tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    # dfreq is vocabulary-sized (can be huge on a web corpus) — leave the
+    # join strategy to Catalyst/AQE rather than forcing a broadcast; the
+    # 1-row n_docs crossJoin IS broadcast.
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(id_col, "token", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval for a fixed term set (Robertson +1 idf variant):
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+
+    The query side is a literal broadcast; the corpus side shuffles only
+    (doc_id, term, tf) rows for terms IN the query — the explode is
+    filtered before any aggregation, so corpus-scale tokens for
+    non-query terms never leave their partitions."""
+    toks = df.select(
+        F.col(id_col),
+        F.size(corpus_tokens(F.col(text_col))).alias("dl"),
+        F.explode(corpus_tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token").isin(query_terms))
+    tf = toks.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(corpus_tokens(F.col(text_col)))).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token").isin(query_terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(corpus_tokens(F.col(text_col)))).alias("avgdl"),
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(F.round(F.sum("c"), 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+
+def corpus_top_ngrams(
+    df: DataFrame, text_col: str = "text", k: int = 2, top: int = 50
+) -> DataFrame:
+    """Most frequent word k-grams corpus-wide (occurrence counts, not
+    per-doc distinct) — the frequent-boilerplate diagnostic run before
+    choosing dedup thresholds. Total order (count desc, gram asc) makes
+    the LIMIT deterministic."""
+    toks = df.select(corpus_tokens(F.col(text_col)).alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("t") - F.lit(k - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice("t", i, k), " "),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_frequency(_docs(spark, sf_dir)).orderBy("token")
+
+
+_register(
+    "rank_doc_frequency",
+    _q_doc_frequency,
+    f"""SELECT t AS token, COUNT(*)::BIGINT AS df
+        FROM (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS t
+              FROM documents)
+        GROUP BY t ORDER BY token""",
+)
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(_docs(spark, sf_dir)).orderBy("token")
+
+
+_register(
+    "rank_inverted_index",
+    _q_inverted_index,
+    f"""SELECT t AS token, COUNT(*)::BIGINT AS df,
+               array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_csv
+        FROM (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS t
+              FROM documents)
+        GROUP BY t ORDER BY token""",
+)
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir)).orderBy("doc_id", "rank")
+
+
+_register(
+    "rank_tfidf_topterms",
+    _q_tfidf,
+    f"""WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+       tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+              FROM toks GROUP BY doc_id, token),
+       dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
+                 FROM toks GROUP BY token),
+       n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+       scored AS (SELECT tf.doc_id, tf.token,
+                         ROUND(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS score
+                  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+       ranked AS (SELECT doc_id, token, score,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, token) AS INT) AS rank
+                  FROM scored)
+       SELECT doc_id, token, score, rank FROM ranked
+       WHERE rank <= 3 ORDER BY doc_id, rank""",
+)
+
+_BM25_TERMS = ["spark", "table", "shuffle", "join"]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS).orderBy("rank")
+
+
+_register(
+    "rank_bm25_topk",
+    _q_bm25,
+    f"""WITH toks AS (SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl,
+                             unnest({_TOKS_SQL}) AS token
+                      FROM documents),
+       qt AS (SELECT doc_id, dl, token, COUNT(*)::BIGINT AS tf
+              FROM toks
+              WHERE token IN ('spark', 'table', 'shuffle', 'join')
+              GROUP BY doc_id, dl, token),
+       dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
+                 FROM toks
+                 WHERE token IN ('spark', 'table', 'shuffle', 'join')
+                 GROUP BY token),
+       stats AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                        AVG(len({_TOKS_SQL})) AS avgdl
+                 FROM documents),
+       contrib AS (
+         SELECT qt.doc_id,
+                ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * (qt.tf * 2.2)
+                  / (qt.tf + 1.2 * (0.25 + 0.75 * qt.dl / s.avgdl)) AS c
+         FROM qt JOIN dfreq d USING (token) CROSS JOIN stats s),
+       scored AS (SELECT doc_id, ROUND(SUM(c), 6) AS score
+                  FROM contrib GROUP BY doc_id),
+       ranked AS (SELECT doc_id, score,
+                         CAST(ROW_NUMBER() OVER
+                              (ORDER BY score DESC, doc_id) AS INT) AS rank
+                  FROM scored)
+       SELECT doc_id, score, rank FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+
+
+def _q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_top_ngrams(_docs(spark, sf_dir))
+
+
+_register(
+    "rank_corpus_ngrams",
+    _q_corpus_ngrams,
+    f"""SELECT g AS gram, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, greatest(len(t) - 1, 0)),
+                  i -> array_to_string(t[i:i+1], ' '))) AS g
+              FROM (SELECT {_TOKS_SQL} AS t FROM documents))
+        GROUP BY g ORDER BY cnt DESC, gram LIMIT 50""",
+)

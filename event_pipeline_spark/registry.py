@@ -22,7 +22,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # North-star operator modules (registered as they land).
     for mod_name in (
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
-        "rollup", "packing", "filtering", "sampling", "decontam",
+        "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
     ):
         try:
             mod = __import__(

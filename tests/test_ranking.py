@@ -1,0 +1,115 @@
+"""Ranking operators: document frequency, inverted index, TF-IDF, BM25,
+corpus n-grams — semantics on closed-form fixtures plus plan-shape
+guards for the scale claims (bounded postings in one exchange, top-k
+without a full sort)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.ranking import (
+    bm25_topk,
+    corpus_top_ngrams,
+    document_frequency,
+    inverted_index,
+    tfidf_top_terms,
+)
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a b b"),
+            (3, "c d"),
+            (4, "a a a a"),
+        ],
+        schema="doc_id int, text string",
+    )
+
+
+def test_document_frequency_counts_docs_not_occurrences(spark):
+    got = {
+        r["token"]: r["df"]
+        for r in document_frequency(_fixture(spark)).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 2, "d": 1}
+
+
+def test_inverted_index_bounds_postings_and_keeps_full_df(spark):
+    idx = {
+        r["token"]: r
+        for r in inverted_index(_fixture(spark), max_postings=2).collect()
+    }
+    # df counts every doc even when the posting list is truncated
+    assert idx["a"]["df"] == 3
+    assert idx["a"]["postings_csv"] == "1,2"  # first 2 ids ascending
+    assert idx["d"]["postings_csv"] == "3"
+
+
+def test_inverted_index_single_exchange(spark):
+    plan = (
+        inverted_index(_fixture(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window rank and the groupBy share the token partitioning
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    rows = tfidf_top_terms(_fixture(spark), top_n=1).collect()
+    top = {r["doc_id"]: r["token"] for r in rows}
+    # doc 3: c appears in 2 docs, d in 1 -> d has higher idf, same tf
+    assert top[3] == "d"
+    # doc 4 has only 'a'
+    assert top[4] == "a"
+    # scores are the rounded tf * ln(N/df)
+    r3 = [r for r in rows if r["doc_id"] == 3][0]
+    assert r3["score"] == round(1 * math.log(4 / 1), 6)
+
+
+def test_bm25_ranks_matching_docs_only(spark):
+    scored = bm25_topk(_fixture(spark), ["d"]).collect()
+    assert [r["doc_id"] for r in scored] == [3]  # only doc 3 contains d
+    assert scored[0]["rank"] == 1 and scored[0]["score"] > 0
+
+
+def test_bm25_tf_saturation(spark):
+    # doc 4 has tf=4 of 'a', doc 1 tf=2 — higher tf ranks first, but
+    # saturation keeps the score sublinear in tf
+    rows = bm25_topk(_fixture(spark), ["a"]).collect()
+    by_rank = [r["doc_id"] for r in rows]
+    assert by_rank[0] == 4
+    s = {r["doc_id"]: r["score"] for r in rows}
+    assert s[4] < 2 * s[1]
+
+
+def test_corpus_top_ngrams_counts_occurrences(spark):
+    got = {r["gram"]: r["cnt"] for r in corpus_top_ngrams(_fixture(spark)).collect()}
+    assert got["a a"] == 3  # doc 4 contributes 3 overlapping bigrams
+    assert got["a b"] == 2
+
+
+def test_corpus_top_ngrams_no_global_sort(spark):
+    plan = (
+        corpus_top_ngrams(_fixture(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_explode_filters_before_aggregation(spark):
+    # the non-query-term tokens must be filtered out before any shuffle
+    plan = (
+        bm25_topk(_fixture(spark), ["a"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Filter" in plan
