@@ -881,3 +881,194 @@ def q37_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q38–Q40: TPC-H-shaped deep multi-join analytics [ext]
+#
+# The reference never joins more than two logical collections (sink-merge,
+# SURVEY §2.1); these exercise the 3–6 table join shapes a real analytics
+# user runs daily, in the plan shape that survives 100 TB: selective
+# filters pushed into every scan, dimension sides broadcast, fact-fact
+# joins shuffled on narrow keys only, aggregation before ordering.
+#
+# Revenue = extendedprice * (1 - discount) is made order-independent-exact
+# by all-integer arithmetic: price snapped to cents (DECIMAL(18,2), same
+# rounding both engines) and discount to hundredths, multiplied as BIGINTs
+# (units of 1e-4 dollars), summed as BIGINT, descaled once per group.
+# Grouped sums stay far below 2^63 at any SF; the division of a
+# bit-identical integer yields a bit-identical double on both engines.
+# ---------------------------------------------------------------------------
+
+_REV_ORACLE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))"
+)
+
+
+def _rev_units() -> F.Column:
+    """Per-row revenue in integer units of 1e-4 dollars (exact)."""
+    cents = (F.col("l_extendedprice").cast(DEC) * 100).cast("bigint")
+    disc = (F.col("l_discount").cast(DEC) * 100).cast("bigint")
+    return cents * (F.lit(100).cast("bigint") - disc)
+
+
+@query(
+    "q38",
+    f"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               SUM({_REV_ORACLE}) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query: two selective fact scans
+    (orders by date, lineitem by shipdate — both pushed into parquet) and
+    a filtered dimension (customer by segment), joined on narrow int
+    keys, aggregated to |orderkey| partials, then TakeOrderedAndProject
+    top-10 (no global sort materialization). At 100 TB the only wide
+    shuffles carry pre-filtered fact rows projected to 3-4 columns."""
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum(_rev_units()) / 10000.0).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q39",
+    f"""SELECT n_name, SUM({_REV_ORACLE}) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""",
+)
+def q39_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: region→nation (broadcast, prunes
+    suppliers/customers to one region before any wide join), orders
+    date-filtered at the scan, lineitem joined on (orderkey, suppkey),
+    plus the local-supplier condition c_nationkey = s_nationkey. Output
+    is |nations in region| rows — the shuffle narrows monotonically
+    down the join tree, the shape that holds at 1000 executors."""
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(_rev_units()) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q40",
+    f"""SELECT c_custkey, c_name, n_name, SUM({_REV_ORACLE}) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q40_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: one-quarter order window +
+    returnflag filter (both scan-pushed), customer dimension joined
+    after fact-side aggregation keys are fixed, nation broadcast, top-20
+    via TakeOrderedAndProject. Maps the reference's failed-event
+    reporting shape (nexus/telemetry/reporter.py:38-52) onto a revenue
+    ranking."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(_rev_units()) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
