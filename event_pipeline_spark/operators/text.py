@@ -333,3 +333,76 @@ def _lang_id_oracle() -> str:
 
 
 _register("text_lang_id", q_text_lang_id, _lang_id_oracle())
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 128,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character chunks
+    (the pre-tokenization pass that fits documents to a model's context
+    window). Adds ``chunk_idx`` and ``chunk`` columns; all other columns
+    pass through.
+
+    Chunk *i* covers ``[i*stride, i*stride + chunk_chars)`` with
+    ``stride = chunk_chars - overlap``; the final chunk may be shorter,
+    and every character belongs to at least one chunk. Entirely JVM
+    built-ins (``sequence`` → ``explode`` → ``substring``), so chunking
+    a 100 TB corpus is one codegen'd scan with no Python in the row path
+    and no shuffle at all — the explode fans out within the input
+    partition. Maps the reference's fixed-size chunk iteration
+    (nexus/default_batch_processors.py:28-54) from bytes-per-batch onto
+    per-document character windows.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.ceil(
+        F.greatest(F.length(text_col) - overlap, F.lit(1)) / float(stride)
+    ).cast("int")
+    return (
+        df.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n - 1)))
+        .withColumn(
+            "chunk",
+            F.expr(
+                f"substring({text_col}, chunk_idx * {stride} + 1, {chunk_chars})"
+            ),
+        )
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus into 512-char windows with 128 overlap."""
+    return (
+        chunk_text(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk").alias("chunk_len"),
+            "chunk",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_register(
+    "text_chunks",
+    q_text_chunks,
+    """WITH idx AS (
+         SELECT doc_id, text,
+                unnest(range(0, CAST(ceil(greatest(length(text) - 128, 1)
+                                          / 384.0) AS BIGINT))) AS chunk_idx
+         FROM documents)
+       SELECT doc_id, chunk_idx,
+              length(substring(text, CAST(chunk_idx AS INT) * 384 + 1, 512))
+                  AS chunk_len,
+              substring(text, CAST(chunk_idx AS INT) * 384 + 1, 512) AS chunk
+       FROM idx ORDER BY doc_id, chunk_idx""",
+)

@@ -82,3 +82,31 @@ def test_language_id_unknown_for_gibberish(spark):
     assert df.select(predict_language(F.col("text")).alias("p")).collect()[0][
         "p"
     ] == "unknown"
+
+
+def test_chunk_text_covers_document_with_overlap(spark):
+    from event_pipeline_spark.operators.text import chunk_text
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(1000))
+    df = spark.createDataFrame([(1, text), (2, "tiny"), (3, "x" * 512)],
+                               schema="doc_id int, text string")
+    out = chunk_text(df, chunk_chars=512, overlap=128)
+    rows = {(r.doc_id, r.chunk_idx): r.chunk for r in out.collect()}
+
+    # doc 1: len 1000 → ceil((1000-128)/384)=3 chunks at strides 0/384/768
+    assert {i for d, i in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)] == text[0:512]
+    assert rows[(1, 1)] == text[384:896]
+    assert rows[(1, 2)] == text[768:1000]  # final chunk shorter
+    # consecutive chunks share exactly `overlap` characters
+    assert rows[(1, 0)][-128:] == rows[(1, 1)][:128]
+    # reassembly: chunk 0 + non-overlapping tails reconstructs the doc
+    assert rows[(1, 0)] + rows[(1, 1)][128:] + rows[(1, 2)][128:] == text
+
+    # short docs and exact-width docs produce exactly one chunk
+    assert {i for d, i in rows if d == 2} == {0}
+    assert rows[(2, 0)] == "tiny"
+    assert {i for d, i in rows if d == 3} == {0}
+
+    with pytest.raises(ValueError):
+        chunk_text(df, chunk_chars=100, overlap=100)
