@@ -1,0 +1,143 @@
+"""Change-data-capture operators: snapshot diff between table versions.
+
+A training-data pipeline re-ingests source snapshots continuously; the
+scale-critical primitive is "what changed between snapshot A and B" —
+computed WITHOUT shuffling full rows. Each side is projected to
+``(key, digest)`` where the digest is one 16-byte md5 over all compared
+columns (null-safe), so the full-outer join that classifies
+insert/delete/update shuffles ~24 bytes per row regardless of row
+width. At 100 TB this is the difference between a re-partitioned copy
+of the table and a narrow key exchange.
+
+Maps the reference's store reconciliation (``save()`` insert-or-update,
+/root/reference/nexus/mixins/backend.py:151-160) from per-record calls
+onto a set-oriented diff.
+
+Registered queries:
+- ``cdc_snapshot_diff`` [oracle] — diff of two deterministic snapshots
+  of ``orders`` (keys + change_type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QUERIES = {}
+ORACLES = {}
+
+_DEC = T.DecimalType(18, 2)
+
+# Field/null sentinels outside any real value domain keep the digest
+# injective across column boundaries and null/empty distinctions.
+_SEP = "\x1f"
+_NULL = "\x00<null>"
+
+
+def row_digest(df: DataFrame, cols: list[str]) -> F.Column:
+    """16-byte md5 digest over ``cols``, null-safe and order-fixed."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
+    ]
+    return F.unhex(F.md5(F.concat_ws(_SEP, *parts)))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every key as insert / delete / update between snapshots.
+
+    Returns ``keys + change_type``; unchanged keys are dropped. Both
+    inputs are projected to ``(keys, digest)`` before the join — the
+    only shuffle carries narrow rows. ``compare_cols`` defaults to all
+    non-key columns shared by both snapshots (by name).
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        digest = (
+            row_digest(df, compare_cols) if compare_cols else F.lit(b"")
+        )
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+            digest.alias(f"{tag}_digest"),
+        )
+
+    o, n = side(old, "o"), side(new, "n")
+    cond = [o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = joined[f"o_{keys[0]}"].isNotNull()
+    in_new = joined[f"n_{keys[0]}"].isNotNull()
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(~in_old, F.lit("insert"))
+            .when(~in_new, F.lit("delete"))
+            .when(
+                F.col("o_digest") != F.col("n_digest"), F.lit("update")
+            ),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(f"o_{k}", f"n_{k}").alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
+    )
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return read_table(spark, sf_dir, "orders")
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshots of ``orders``: snapshot B drops
+    keys divisible by 11, gains keys divisible by 7, and perturbs the
+    price of keys divisible by 5 — exercising all three change types
+    with an exactly recomputable oracle."""
+    orders = _orders(spark, sf_dir)
+    price = F.col("o_totalprice").cast(_DEC)
+    snap_a = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+    snap_b = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, price + 1)
+        .otherwise(price)
+        .alias("price"),
+    )
+    return snapshot_diff(
+        snap_a, snap_b, keys=["o_orderkey"]
+    ).orderBy("o_orderkey")
+
+
+QUERIES["cdc_snapshot_diff"] = q_cdc_snapshot_diff
+ORACLES["cdc_snapshot_diff"] = """
+    WITH a AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders WHERE o_orderkey % 7 != 0),
+         b AS (SELECT o_orderkey, o_orderstatus,
+                      CASE WHEN o_orderkey % 5 = 0
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+               FROM orders WHERE o_orderkey % 11 != 0)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus != b.o_orderstatus OR a.price != b.price
+    ORDER BY o_orderkey
+"""
