@@ -110,12 +110,20 @@ def read_table(
 ) -> DataFrame:
     """Read one benchmark table as a DataFrame (lazy parquet scan).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects by default. We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond timestamp with integer arithmetic (``ts div 1000`` — a
-    double division would lose precision above 2^53 ns). DuckDB keeps ns
-    precision; comparisons are at microsecond precision per FIXTURES.md.
+    The ``events`` table's ``ts`` has shipped under three physical parquet
+    encodings across testdata generations; normalize all of them to
+    TIMESTAMP_NTZ (UTC wall-clock) so every downstream operator sees one
+    type and renders identically to the DuckDB oracle (naive isoformat):
+
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+      TIMESTAMP_NTZ directly (current testdata) — no-op.
+    - TIMESTAMP(NANOS) → Spark's vectorized reader rejects it; read nanos
+      as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
+      integer arithmetic (``ts div 1000`` — double division would lose
+      precision above 2^53 ns), then strip the UTC zone. Exercised by a
+      fixture in tests/test_oracles.py so the branch can't rot silently.
+    - TIMESTAMP(MICROS, adjusted) → Spark reads zoned TIMESTAMP; cast to
+      NTZ (session tz is UTC, so the wall clock is unchanged).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (spark.sparkContext.applicationId, os.path.abspath(path))
@@ -126,8 +134,14 @@ def read_table(
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # parquet TIMESTAMP(NANOS)
+            df = df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        elif ts_type == "timestamp":  # zoned micros
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     else:
         df = spark.read.parquet(path)
     if cached:

@@ -6,10 +6,19 @@ clauses (sqlite_store.py:245-282, sql_utils.py:4-28). Spark's JDBC source
 does the same pushdown through Catalyst (filters land in the remote query)
 plus parallel partitioned reads the reference cannot do.
 
-Untestable in this container (no JDBC driver jar / live DB), so the class
-only *builds* reader/writer configs; ``as_dataframe`` issues the actual
-``spark.read.format("jdbc")`` call. Config construction is unit-tested;
-the network path is exercised only when a driver is on the classpath.
+Two planes, matching how a JDBC-backed store is actually used at scale:
+
+- **data plane** (scans, filters, bulk writes) — Spark's JDBC source:
+  distributed, partitioned, predicate-pushdown through Catalyst.
+- **control plane** (single-record UPDATE/DELETE — per-record semantics
+  Spark's scan/append/overwrite source cannot express) — one driver-side
+  JDBC connection through the JVM's ``DriverManager``, prepared
+  statements, identifier-validated. O(1) record mutations never touch
+  executors, exactly like the reference's single-cursor stores.
+
+Live-tested end-to-end against embedded Derby (on Spark's classpath for
+the Hive metastore — tests/test_jdbc_store.py); Postgres needs only its
+public driver jar on the classpath (none ships in this container).
 
 Scale notes baked into the options:
 - ``partitionColumn/lowerBound/upperBound/numPartitions`` → parallel scan
@@ -20,7 +29,8 @@ Scale notes baked into the options:
 
 from __future__ import annotations
 
-from typing import Any
+from contextlib import contextmanager
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +41,7 @@ from event_pipeline_spark.stores.base import (
     Record,
     StoreBackend,
 )
+from event_pipeline_spark.stores.sqlite import _check_ident
 
 
 class JDBCStore(StoreBackend):
@@ -45,6 +56,7 @@ class JDBCStore(StoreBackend):
         fetchsize: int = 10_000,
         batchsize: int = 10_000,
         partition_options: dict[str, Any] | None = None,
+        string_column_type: str | None = "VARCHAR(4096)",
     ) -> None:
         self.spark = spark or SparkSession.active()
         self.url = url
@@ -56,6 +68,7 @@ class JDBCStore(StoreBackend):
         if driver:
             self.base_options["driver"] = driver
         self.write_options = {**self.base_options, "batchsize": str(batchsize)}
+        self.string_column_type = string_column_type
         self.partition_options = {
             k: str(v) for k, v in (partition_options or {}).items()
         }
@@ -74,6 +87,17 @@ class JDBCStore(StoreBackend):
         opts = {**self.write_options, "dbtable": schema_name}
         if mode == "overwrite":
             opts["truncate"] = "true"
+        # Some dialects map StringType to an incomparable LOB type (Derby:
+        # CLOB, which rejects `WHERE col = 'x'`); pin strings to VARCHAR at
+        # CREATE time. Ignored when the table already exists.
+        if self.string_column_type:
+            strings = [
+                f.name for f in df.schema.fields if f.dataType.typeName() == "string"
+            ]
+            if strings:
+                opts["createTableColumnTypes"] = ", ".join(
+                    f"{c} {self.string_column_type}" for c in strings
+                )
         df.write.format("jdbc").options(**opts).mode(mode).save()
 
     # -- record CRUD -------------------------------------------------------
@@ -94,17 +118,64 @@ class JDBCStore(StoreBackend):
             schema_name, self.spark.createDataFrame([{**record, "id": record_key}])
         )
 
+    # -- control plane: driver-side JDBC connection ------------------------
+
+    @contextmanager
+    def _connection(self) -> Iterator[Any]:
+        """One short-lived JDBC connection in the driver JVM. The driver
+        jar is already on Spark's classpath (it must be, for the data
+        plane), so ``DriverManager`` resolves the same driver here."""
+        jvm = self.spark._jvm  # noqa: SLF001 — py4j JVM gateway
+        if "user" in self.base_options:
+            conn = jvm.java.sql.DriverManager.getConnection(
+                self.url,
+                self.base_options.get("user"),
+                self.base_options.get("password", ""),
+            )
+        else:
+            conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            yield conn
+        finally:
+            conn.close()
+
+    def execute_update(self, sql: str, params: tuple[Any, ...] = ()) -> int:
+        """Run one DML statement with bound parameters; returns the
+        affected-row count. Values always travel as ``?`` bindings —
+        identifiers must already be validated by the caller."""
+        with self._connection() as conn:
+            st = conn.prepareStatement(sql)
+            try:
+                for i, v in enumerate(params, start=1):
+                    st.setObject(i, v)
+                return st.executeUpdate()
+            finally:
+                st.close()
+
     def update_record(self, schema_name: str, record_key: str, record: Record) -> None:
-        raise NotImplementedError(
-            "row UPDATE requires a direct DB connection; Spark JDBC is "
-            "scan/append/overwrite only — use upsert_table on a staging "
-            "table + MERGE in the database, or the ParquetTableStore"
+        """Single-record UPDATE through the control-plane connection.
+        Spark's JDBC writer quotes column identifiers at CREATE time (so
+        they keep their case) but passes ``dbtable`` through unquoted —
+        mutations mirror that to resolve the same objects."""
+        table = _check_ident(schema_name)
+        cols = [_check_ident(c) for c in record if c != "id"]
+        if not cols:
+            return
+        sets = ", ".join(f'"{c}" = ?' for c in cols)
+        n = self.execute_update(
+            f'UPDATE {table} SET {sets} WHERE "id" = ?',
+            tuple(record[c] for c in cols) + (record_key,),
         )
+        if n == 0:
+            raise ObjectDoesNotExist(record_key)
 
     def delete_record(self, schema_name: str, record_key: str) -> None:
-        raise NotImplementedError(
-            "row DELETE requires a direct DB connection (see update_record)"
+        table = _check_ident(schema_name)
+        n = self.execute_update(
+            f'DELETE FROM {table} WHERE "id" = ?', (record_key,)
         )
+        if n == 0:
+            raise ObjectDoesNotExist(record_key)
 
     def get_record(self, schema_name: str, record_key: str) -> Record:
         rows = (

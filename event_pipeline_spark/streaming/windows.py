@@ -21,10 +21,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column as ColumnType
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Make ``ts_col`` usable as streaming event time. Spark requires
+    zoned TIMESTAMP for watermarks (``withWatermark`` on TIMESTAMP_NTZ
+    raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); cast NTZ through the
+    session timezone (UTC in this engine, so the wall clock is
+    unchanged). No-op for anything already TIMESTAMP."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     """Late-data horizon, e.g. ``with_watermark(df, "ts", "10 minutes")``.
     No-op semantics on batch DataFrames (Spark ignores it there)."""
-    return df.withWatermark(ts_col, delay)
+    return ensure_event_time(df, ts_col).withWatermark(ts_col, delay)
 
 
 def tumbling(df: DataFrame, ts_col: str, duration: str, *keys: str | Column):
@@ -64,9 +75,11 @@ def sessionize(
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreakers]
     part = Window.partitionBy(*keys).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(part)
+    # Interval arithmetic works on both TIMESTAMP and TIMESTAMP_NTZ
+    # (a cast-to-long gap would be rejected for NTZ event time).
+    gap = F.make_dt_interval(secs=F.lit(gap_seconds))
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds),
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
@@ -89,6 +102,6 @@ def dedup_stream(
     twin is older than the horizon — the documented at-most-one-per-
     horizon contract, the price of bounded state at 100 TB/day.
     """
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    return with_watermark(df, ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )

@@ -47,6 +47,46 @@ def test_entry_smoke(spark):
     ]
 
 
+def test_read_table_normalizes_every_ts_encoding(spark, sf_dir, tmp_path):
+    """events.ts has shipped as TIMESTAMP(NANOS), TIMESTAMP_NTZ, and could
+    ship as zoned TIMESTAMP; read_table must normalize all three to
+    TIMESTAMP_NTZ with identical wall-clock values (the round-2
+    regression: the nanos branch went dead when testdata regenerated as
+    NTZ, and downstream casts broke). This fixture keeps every branch
+    live."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_pipeline_spark.session import read_table
+
+    current = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    assert dict(current.dtypes)["ts"] == "timestamp_ntz"
+    want = {r["event_id"]: r["ts"] for r in current.limit(200).collect()}
+    ids = list(want)
+
+    base = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([want[i] for i in ids], pa.timestamp("us")),
+        }
+    )
+    encodings = {
+        "nanos": base.set_column(1, "ts", base["ts"].cast(pa.timestamp("ns"))),
+        "ntz": base,
+        "zoned": base.set_column(
+            1, "ts", base["ts"].cast(pa.timestamp("us", tz="UTC"))
+        ),
+    }
+    for label, tbl in encodings.items():
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet", version="2.6")
+        got_df = read_table(spark, str(d), "events", cached=False)
+        assert dict(got_df.dtypes)["ts"] == "timestamp_ntz", label
+        got = {r["event_id"]: r["ts"] for r in got_df.collect()}
+        assert got == want, label
+
+
 def test_q37_approx_within_bounds(spark, sf_dir):
     """HLL++ cardinality within rsd bounds of exact; approx percentiles
     within the accuracy window of the exact rank statistics."""

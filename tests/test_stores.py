@@ -127,8 +127,9 @@ def test_jdbc_store_builds_options(spark):
     assert opts["url"].startswith("jdbc:postgresql")
     assert opts["dbtable"] == "results"
     assert opts["numPartitions"] == "16"
-    with pytest.raises(NotImplementedError):
-        store.update_record("results", "a", {})
+    # control-plane mutations validate identifiers before any connection
+    with pytest.raises(ValueError, match="identifier"):
+        store.update_record("results; DROP TABLE results", "a", {"x": 1})
 
 
 def test_parquet_partitioned_upsert_prunes(spark, tmp_path):
