@@ -119,6 +119,31 @@ def main() -> None:
         plan.toPandas()
         op_timings[name] = round(time.perf_counter() - t0, 4)
 
+    # same-run DuckDB baseline: each headline query's own oracle SQL over
+    # the same parquet, warm best-of-2 — so the ratio reported per round
+    # is measured in-process, not pinned to a historical measurement.
+    duck: dict[str, float] = {}
+    try:
+        from event_pipeline_spark.registry import all_oracles
+        from event_pipeline_spark.testing.differential import duckdb_connect
+
+        oracles = all_oracles()
+        con = duckdb_connect(sf_dir)
+        for name in names:
+            sql = oracles.get(name)
+            if not sql:
+                continue
+            con.execute(sql).fetchdf()  # warm (I/O cache + plan)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 4)
+        con.close()
+    except Exception:
+        duck = {}
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     print(
         json.dumps(
@@ -131,6 +156,8 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 4),
                 "operators": op_timings,
                 "operators_total_sec": round(sum(op_timings.values()), 4),
+                "duckdb_queries": duck,
+                "duckdb_total_sec": round(sum(duck.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
