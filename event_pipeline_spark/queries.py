@@ -1072,3 +1072,196 @@ def q40_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q41–Q45: relational-surface extensions (outer-join distributions, exact
+# scalar-stat anti joins, grouping sets, rank-family windows, time-range
+# frames) — round-3 widening of SURVEY §2.10
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+         SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey) t
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+)
+def q41_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    then a two-level aggregate (per-customer count -> distribution).
+    Scale: the first aggregate shuffles on c_custkey (high cardinality,
+    well-spread); the second groups a few dozen distinct counts — AQE
+    coalesces it to a handful of partitions. The outer join is the
+    operator q9's NOT EXISTS cannot express (it keeps the zero rows)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q42",
+    """WITH pos AS (
+         SELECT c_custkey, c_nationkey,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM customer WHERE c_acctbal > 0.0),
+       stats AS (SELECT SUM(cents) AS tot, COUNT(*) AS cnt FROM pos)
+       SELECT c_nationkey, COUNT(*) AS numcust,
+              SUM(cents) / 100.0 AS totacctbal
+       FROM pos c, stats s
+       WHERE c.cents * s.cnt > s.tot
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 400000.0)
+       GROUP BY c_nationkey ORDER BY c_nationkey""",
+)
+def q42_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the mean balance with no
+    high-value order, grouped by nation. The mean-balance threshold is
+    evaluated in exact integer arithmetic (cents * count > total-cents)
+    so the boundary set is bit-identical across engines — an IEEE AVG()
+    threshold can flip rows in the last ulp. Scale: the 16-byte stats
+    row is broadcast; the price predicate pushes into the anti side's
+    scan before the shuffle, so the anti join moves only the surviving
+    (custkey) values; no floating-point until the final descale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000.0)
+        .select("o_custkey")
+    )
+    pos = cust.where(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    stats = pos.agg(
+        F.sum("cents").alias("tot"), F.count("*").alias("cnt")
+    )
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .where(F.col("cents") * F.col("cnt") > F.col("tot"))
+        .join(orders, pos.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("cents") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q43",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              COALESCE(l_linestatus, 'ALL') AS ls,
+              COUNT(*) AS n,
+              SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) / 100.0
+                  AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                               (l_returnflag, l_linestatus))
+       ORDER BY rf, ls""",
+)
+def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of q25's ROLLUP / q30's
+    CUBE): three chosen aggregation granularities in one pass. Spark
+    expands the sets map-side, so the fact table is scanned once and the
+    shuffle carries one partial row per (set, group) — the 100 TB way to
+    build several summary tables in a single job."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_quantity").cast(DEC) * 100).cast("bigint")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@query(
+    "q44",
+    """SELECT event_id, event_type,
+              NTILE(4) OVER w AS quartile,
+              ROUND(CUME_DIST() OVER w, 6) AS cd,
+              LEAD(event_id, 1, -1) OVER w AS next_id
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+       ORDER BY event_id""",
+)
+def q44_rank_family_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family analytics (NTILE quartiles, CUME_DIST, LEAD with
+    default) over a total order — ties broken by event_id so every
+    engine assigns identical ranks. One shuffle on event_type shared by
+    all three window functions (same spec -> one Exchange + one Sort)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.lead("event_id", 1, -1).over(w).alias("next_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q45",
+    """SELECT event_id, user_id,
+              SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                  / 100.0 AS hour_sum
+       FROM events ORDER BY event_id""",
+)
+def q45_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour running sum per user: a RANGE (value-based) window
+    frame — the batch analogue of a sliding stream aggregate, and robust
+    to timestamp ties (peers share a frame, so the result is
+    deterministic without a tiebreaker). Implemented over exact integer
+    cents; the frame bound is expressed in microseconds on a zoned cast
+    of the NTZ event time (both engines see identical wall-clock micros).
+    One shuffle on user_id; the frame is computed in a single sorted
+    pass per partition."""
+    events = _t(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    cents = (F.col("value").cast(DEC) * 100).cast("bigint")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            (F.sum(cents).over(w) / 100.0).alias("hour_sum"),
+        )
+        .orderBy("event_id")
+    )
