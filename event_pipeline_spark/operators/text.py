@@ -12,6 +12,8 @@ Registered queries (driver-checkable):
 - ``text_fingerprint``  [oracle] normalized-text fingerprint duplicates
 - ``text_quality``      [oracle] length/word-ratio quality components
 - ``text_lang_id``      rows-only (heuristic; accuracy asserted in tests)
+- ``text_segments_udtf`` [oracle] word-window segmentation via a Python
+  UDTF in a LATERAL join (the table-function member of the UDF surface)
 """
 
 from __future__ import annotations
@@ -405,4 +407,72 @@ _register(
                   AS chunk_len,
               substring(text, CAST(chunk_idx AS INT) * 384 + 1, 512) AS chunk
        FROM idx ORDER BY doc_id, chunk_idx""",
+)
+
+# ---------------------------------------------------------------------------
+# Python UDTF: word-window segmentation (SURVEY §2.7 — the table-function
+# member of the UDF surface; pandas_udf / applyInPandas / mapInPandas are
+# exercised elsewhere in operators/)
+# ---------------------------------------------------------------------------
+
+
+@_functools.cache
+def _segment_udtf_registered(spark: SparkSession) -> str:
+    """Define + register the word-window segmentation UDTF once per
+    session.
+
+    A Python UDTF is the one-row→many-rows member of the UDF surface
+    (the reference's closest construct: events yielding ResultSets of
+    several records, /root/reference/nexus/base.py:553-608). Scale note:
+    UDTFs evaluate row-at-a-time in Python — correct but the slow path;
+    for bulk segmentation prefer the codegen split+explode used by
+    ``text_chunks``. This operator exists for API parity and for
+    expansions that genuinely need imperative per-row logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx int, segment string")
+    class WordWindowSegment:
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            words = text.split(" ")
+            for i in range(0, len(words), width):
+                yield (i // width + 1, " ".join(words[i : i + width]))
+
+    name = "ep_word_window_segment"
+    spark.udtf.register(name, WordWindowSegment)
+    return name
+
+
+def q_text_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-word segmentation of a deterministic document subset via a
+    LATERAL-joined Python UDTF; DuckDB recomputes with str_split + list
+    slices, so the oracle pins both the window arithmetic and the join
+    ordinals."""
+    fn = _segment_udtf_registered(spark)
+    _docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        f"""SELECT d.doc_id, s.seg_idx, s.segment
+            FROM _udtf_docs d, LATERAL {fn}(d.text, 10) s
+            ORDER BY d.doc_id, s.seg_idx"""
+    )
+
+
+_register(
+    "text_segments_udtf",
+    q_text_segments_udtf,
+    """WITH parts AS (
+         SELECT doc_id, str_split(text, ' ') AS p
+         FROM documents WHERE doc_id % 4 = 0),
+       segs AS (
+         SELECT doc_id, p,
+                unnest(generate_series(1, CAST(ceil(len(p) / 10.0) AS BIGINT)))
+                    AS seg_idx
+         FROM parts)
+       SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+              array_to_string(list_slice(p, (seg_idx - 1) * 10 + 1,
+                                         seg_idx * 10), ' ') AS segment
+       FROM segs ORDER BY doc_id, seg_idx""",
 )

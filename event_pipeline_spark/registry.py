@@ -23,7 +23,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod_name in (
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
-        "cdc",
+        "cdc", "fuzzy", "sketches",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,64 @@
+"""Blocked Levenshtein matching: pair semantics, blocking contract, and
+the length prefilter's no-loss guarantee (the oracle in test_oracles
+pins the full result against DuckDB; these pin the operator's edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string, blk int")
+
+
+def test_pairs_within_threshold_and_once_each(spark):
+    df = _df(
+        spark,
+        [
+            (1, "kitten", 0),
+            (2, "sitten", 0),  # dist 1 from kitten
+            (3, "sitting", 0),  # dist 2 from sitten, 3 from kitten
+            (4, "zebra", 0),
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df, "id", "s", max_dist=2, block_cols=["blk"]
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 2}  # (1,3) is dist 3; zebra matches none
+
+
+def test_blocking_prevents_cross_block_pairs(spark):
+    df = _df(spark, [(1, "same", 0), (2, "same", 1)])
+    assert (
+        fuzzy_pairs(df, "id", "s", max_dist=2, block_cols=["blk"]).count() == 0
+    )
+
+
+def test_length_prefilter_loses_nothing(spark):
+    """Rows whose length gap exceeds max_dist must already be beyond the
+    threshold — the prefilter is pure pruning. Verified by comparing
+    against the unfiltered kernel."""
+    rows = [
+        (i, w, 0)
+        for i, w in enumerate(
+            ["a", "ab", "abc", "abcd", "abcde", "xyz", "xyzzy", "ab-cd"]
+        )
+    ]
+    df = _df(spark, rows)
+    fast = fuzzy_pairs(df, "id", "s", max_dist=2, block_cols=["blk"])
+    left = df.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), "blk")
+    right = df.select(F.col("id").alias("id_b"), F.col("s").alias("sb"), "blk")
+    naive = (
+        left.join(right, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.levenshtein("sa", "sb") <= 2)
+        .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("dist"))
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.collect())
+    )

@@ -1,0 +1,119 @@
+"""Sketch operators: error bounds vs exact answers and merge
+consistency — the contracts that make sketches safe to roll up at
+100 TB (approximate values, exact guarantees)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.sketches import (
+    QUERIES,
+    hll_merge,
+    hll_partial,
+    kll_merge_partials,
+)
+from event_pipeline_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").cache()
+
+
+def test_hll_estimates_within_rsd(spark, sf_dir, events):
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in QUERIES["sketch_hll_daily_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for et, est in got.items():
+        # lg_k=12 → relative standard error ~1.6%; allow 4 sigma
+        assert abs(est - exact[et]) <= max(3, 0.065 * exact[et]), et
+
+
+def test_hll_union_of_partials_matches_whole(events):
+    """Merge consistency: union(daily sketches) == one sketch over all
+    rows — the property that makes incremental rollups sound (HLL
+    register-max is associative and order-insensitive)."""
+    daily = hll_partial(
+        events.withColumn("day", F.to_date("ts")),
+        "user_id",
+        ["event_type", "day"],
+    )
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merge(daily, ["event_type"]).collect()
+    }
+    whole = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_merge(
+            hll_partial(events, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_theta_algebra_consistent_and_bounded(spark, sf_dir, events):
+    row = QUERIES["sketch_theta_overlap"](spark, sf_dir).first()
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    n_a = clicks.distinct().count()
+    n_b = buys.distinct().count()
+    n_union = clicks.union(buys).distinct().count()
+    n_int = clicks.intersect(buys).count()
+    for name, est, exact in [
+        ("n_a", row["n_a"], n_a),
+        ("n_b", row["n_b"], n_b),
+        ("n_union", row["n_union"], n_union),
+        ("n_intersect", row["n_intersect"], n_int),
+        ("n_a_only", row["n_a_only"], n_a - n_int),
+    ]:
+        assert abs(est - exact) <= max(3, 0.05 * max(exact, 1)), (
+            name,
+            est,
+            exact,
+        )
+    # inclusion–exclusion holds approximately on the estimates themselves
+    assert row["n_union"] <= row["n_a"] + row["n_b"] + 1e-6
+
+
+def test_kll_quantiles_within_rank_bounds(spark, sf_dir, events):
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["sketch_kll_value_quantiles"](spark, sf_dir).collect()
+    }
+    # KLL k=200 → rank error ~1.65%; check the returned value's true rank
+    # sits inside a generous rank window around the target
+    exact = {
+        r["event_type"]: r["q"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.44, 0.56, 0.90, 0.99))"
+            ).alias("q")
+        )
+        .collect()
+    }
+    for et, row in got.items():
+        lo50, hi50, lo95, hi95 = exact[et]
+        assert lo50 - 1e-9 <= row["p50"] <= hi50 + 1e-9, et
+        assert lo95 - 1e-9 <= row["p95"] <= hi95 + 1e-9, et
+
+
+def test_kll_merge_across_groups(events):
+    """KLL partials built per-day merge into a valid whole-table sketch
+    (kll_sketch_merge_double), with n preserved exactly."""
+    daily = events.withColumn("day", F.to_date("ts")).groupBy("day").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("kll")
+    )
+    merged = kll_merge_partials(
+        daily.withColumn("all", F.lit(1)), "kll", ["all"]
+    ).select(F.kll_sketch_get_n_double("kll").alias("n")).first()["n"]
+    assert merged == events.where(F.col("value").isNotNull()).count()
