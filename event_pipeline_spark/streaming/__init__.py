@@ -30,9 +30,11 @@ from event_pipeline_spark.streaming.stateful import (
 )
 from event_pipeline_spark.streaming.windows import (
     dedup_stream,
+    ensure_event_time,
     session,
     sessionize,
     sliding,
+    stream_stream_join,
     tumbling,
     with_watermark,
 )
@@ -61,6 +63,8 @@ __all__ = [
     "sessionize",
     "sliding",
     "stateful_apply",
+    "stream_stream_join",
+    "ensure_event_time",
     "tumbling",
     "with_watermark",
 ]

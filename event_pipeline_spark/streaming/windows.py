@@ -88,6 +88,58 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(running))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    within: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time-bounded stream-stream equi-join: pair rows sharing
+    ``keys`` whose right event lands in ``[left_ts, left_ts + within]``.
+
+    Both sides get the same watermark; the time-bound condition is what
+    lets Spark EVICT buffered rows — without it, each side's join state
+    grows without limit (at 100 TB/day the job dies in hours). State
+    held per side ≈ rows in (watermark + within) of event time × key
+    cardinality, independent of stream length.
+
+    ``how``: "inner" (emits as matches arrive) or the outer variants
+    ("left_outer"/"right_outer"/"full_outer" — null-padded rows emit
+    only once the watermark passes the join horizon, so a terminating
+    micro-batch run sees outer rows only for horizons the final
+    watermark crossed).
+
+    Column collision note: ``keys`` are equi-joined with the USING form
+    (single copy in the output); all other columns must be pre-aliased
+    distinct by the caller. Works identically on batch DataFrames
+    (condition degenerates to an interval predicate), which is how the
+    differential test pins semantics: stream(availableNow) == batch.
+    """
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    # The time bound lives INSIDE the join condition: for outer joins a
+    # post-filter would turn null-padded rows into dropped rows, and for
+    # all variants Spark derives its state-eviction horizon from it.
+    cond = [l[k] == r[k] for k in keys] + [
+        r[right_ts] >= l[left_ts],
+        r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"),
+    ]
+    joined = l.join(r, on=cond, how=how)
+    # collapse the duplicated equi-key columns to one copy each
+    keep = [F.coalesce(l[k], r[k]).alias(k) for k in keys]
+    others = [
+        c
+        for c in joined.columns
+        if c not in set(keys)
+    ]
+    return joined.select(*keep, *[F.col(c) for c in others])
+
+
 def dedup_stream(
     df: DataFrame, keys: list[str], ts_col: str, watermark: str
 ) -> DataFrame:

@@ -407,3 +407,110 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     _await(q)
     got = sorted(r["id"] for r in spark.sql("SELECT id FROM dd").collect())
     assert got == [1, 2, 3]  # the redelivered 2 was dropped
+
+
+# -- stream-stream joins -----------------------------------------------------
+
+def test_stream_stream_inner_join_equals_batch(spark, tmp_path):
+    """Clicks joined to purchases within 30 minutes per user: the
+    streaming inner join (availableNow, multi-micro-batch) delivers
+    exactly the rows the same expression produces on batch frames."""
+    from event_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_stream_join,
+    )
+
+    clicks_dir = f"file://{tmp_path}/ssj_clicks"
+    buys_dir = f"file://{tmp_path}/ssj_buys"
+
+    def write(path, rows, schema):
+        spark.createDataFrame(rows, schema).select(
+            "*", F.to_timestamp(F.col("ts_s")).alias("ts")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    c_schema = "user_id long, click_id long, ts_s string"
+    b_schema = "user_id long, buy_id long, ts_s string"
+    write(clicks_dir, [(1, 10, "2026-01-01 10:00:00"), (2, 20, "2026-01-01 10:05:00")], c_schema)
+    write(clicks_dir, [(1, 11, "2026-01-01 11:00:00")], c_schema)
+    write(buys_dir, [(1, 100, "2026-01-01 10:20:00"),   # joins click 10
+                     (2, 200, "2026-01-01 10:50:00")], b_schema)  # outside 30m of 20
+    write(buys_dir, [(1, 101, "2026-01-01 11:10:00")], b_schema)  # joins click 11
+
+    def build(cl, by):
+        cl = cl.withColumnRenamed("ts", "click_ts")
+        by = by.withColumnRenamed("ts", "buy_ts")
+        return stream_stream_join(
+            cl, by, keys=["user_id"], left_ts="click_ts",
+            right_ts="buy_ts", watermark="1 hour", within="30 MINUTES",
+        ).select("user_id", "click_id", "buy_id")
+
+    out = build(
+        read_parquet_stream(spark, clicks_dir, max_files_per_trigger=1),
+        read_parquet_stream(spark, buys_dir, max_files_per_trigger=1),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ssj_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {tuple(r) for r in spark.table("ssj").collect()}
+    want = {
+        tuple(r)
+        for r in build(
+            spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir)
+        ).collect()
+    }
+    assert got == want == {(1, 10, 100), (1, 11, 101)}
+
+
+def test_stream_stream_left_outer_join_pads_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched click emits a
+    null-padded row once the watermark passes its join horizon (advanced
+    by a later sentinel row — the standard way to flush outer state in a
+    bounded run)."""
+    from event_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_stream_join,
+    )
+
+    clicks_dir = f"file://{tmp_path}/ssjo_clicks"
+    buys_dir = f"file://{tmp_path}/ssjo_buys"
+
+    def write(path, rows, schema):
+        spark.createDataFrame(rows, schema).select(
+            "*", F.to_timestamp(F.col("ts_s")).alias("ts")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    c_schema = "user_id long, click_id long, ts_s string"
+    b_schema = "user_id long, buy_id long, ts_s string"
+    write(clicks_dir, [(1, 10, "2026-01-01 10:00:00"),   # will match
+                       (2, 20, "2026-01-01 10:00:00")], c_schema)  # never matches
+    write(buys_dir, [(1, 100, "2026-01-01 10:10:00")], b_schema)
+    # sentinel rows far in the future push both watermarks past the
+    # 10:00 + 30min + 10min horizon so the outer row for user 2 flushes
+    write(clicks_dir, [(9, 90, "2026-01-01 14:00:00")], c_schema)
+    write(buys_dir, [(9, 900, "2026-01-01 14:00:00")], b_schema)
+
+    cl = read_parquet_stream(spark, clicks_dir, max_files_per_trigger=1)
+    by = read_parquet_stream(spark, buys_dir, max_files_per_trigger=1)
+    out = stream_stream_join(
+        cl.withColumnRenamed("ts", "click_ts"),
+        by.withColumnRenamed("ts", "buy_ts"),
+        keys=["user_id"], left_ts="click_ts", right_ts="buy_ts",
+        watermark="10 minutes", within="30 MINUTES", how="left_outer",
+    ).select("user_id", "click_id", "buy_id")
+    q = (
+        out.writeStream.format("memory").queryName("ssjo")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ssjo_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {tuple(r) for r in spark.table("ssjo").collect()}
+    assert (1, 10, 100) in got          # matched pair
+    assert (2, 20, None) in got         # null-padded after horizon
+    assert (9, 90, 900) in got          # sentinel matched itself
