@@ -267,3 +267,37 @@ class TestKafkaSource:
         finally:
             query.stop()
         assert got == {"u0": (20, 5), "u1": (25, 5)}
+
+
+# -- Python DataSource connector (Spark 4 DataSource API) --------------------
+
+def test_http_json_datasource_partitioned_read(spark, http_url):
+    """The http_json connector plans one InputPartition per manifest URL
+    (executor-side fetch) and delivers the same rows as the driver-side
+    fetch_json path."""
+    from event_pipeline_spark.sources.http import (
+        HAS_DATASOURCE_API,
+        register_http_json,
+    )
+
+    assert HAS_DATASOURCE_API
+    register_http_json(spark)
+    df = (
+        spark.read.format("http_json")
+        .schema("userId long, id long, title string")
+        .option("urls", f"{http_url};{http_url}")
+        .load()
+    )
+    rows = df.collect()
+    single = fetch_json(spark, http_url).count()
+    assert len(rows) == 2 * single  # two partitions, one fetch each
+    assert df.rdd.getNumPartitions() == 2
+    assert {r["userId"] for r in rows} and all(r["title"] for r in rows)
+
+
+def test_http_json_datasource_requires_schema(spark, http_url):
+    from event_pipeline_spark.sources.http import register_http_json
+
+    register_http_json(spark)
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("http_json").option("urls", http_url).load()
