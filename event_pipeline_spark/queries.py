@@ -1265,3 +1265,41 @@ def q45_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q46",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
+              CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS min_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS max_k
+       FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+       GROUP BY event_type ORDER BY event_type""",
+)
+def q46_variant_typed_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark's VARIANT type: ``parse_json``
+    once, then typed path extraction (``variant_get(..., 'bigint')``)
+    feeding both the predicate and the aggregates. VARIANT stores a
+    parsed binary form, so repeated path access avoids q29's repeated
+    JSON string parsing — at 100 TB the parse happens once per row, not
+    once per extraction. DuckDB's oracle uses its JSON path functions on
+    the same column."""
+    events = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k") % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
