@@ -103,6 +103,7 @@ try:  # pragma: no cover — import guard exercised via HAS_DATASOURCE_API
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     HAS_DATASOURCE_API = True
@@ -138,6 +139,9 @@ try:  # pragma: no cover — import guard exercised via HAS_DATASOURCE_API
         def reader(self, schema) -> "HttpJsonReader":
             return HttpJsonReader(schema, self.options)
 
+        def simpleStreamReader(self, schema) -> "HttpJsonStreamReader":
+            return HttpJsonStreamReader(schema, self.options)
+
     class HttpJsonReader(DataSourceReader):
         def __init__(self, schema, options) -> None:
             self.field_names = [f.name for f in schema.fields]
@@ -159,6 +163,53 @@ try:  # pragma: no cover — import guard exercised via HAS_DATASOURCE_API
             yield from _rows_from_json(
                 _get(url, self.timeout), self.field_names
             )
+
+    class HttpJsonStreamReader(SimpleDataSourceStreamReader):
+        """Polling micro-batch reader: each trigger GETs the manifest
+        URLs once and emits their rows, advancing an epoch offset.
+
+        The reference's closest construct is cron-scheduled re-ingestion
+        (/root/reference/nexus/mixins/schedule.py:79-131); here the
+        poll rides Structured Streaming's offset log, so restarts resume
+        from the recorded epoch and downstream gets exactly-once
+        micro-batches. Options:
+
+        - ``urls`` / ``timeout``: as the batch reader.
+        - ``max_epochs``: stop emitting after N polls (0 = unbounded) —
+          lets availableNow/terminating tests drain deterministically.
+        """
+
+        def __init__(self, schema, options) -> None:
+            self.field_names = [f.name for f in schema.fields]
+            raw = options.get("urls") or options.get("url") or ""
+            self.urls = [
+                u.strip()
+                for u in raw.replace("\n", ";").split(";")
+                if u.strip()
+            ]
+            if not self.urls:
+                raise ValueError("http_json: set option 'urls'")
+            self.timeout = float(options.get("timeout", "30"))
+            self.max_epochs = int(options.get("max_epochs", "0"))
+
+        def initialOffset(self) -> dict:
+            return {"epoch": 0}
+
+        def read(self, start: dict):
+            epoch = start["epoch"]
+            if self.max_epochs and epoch >= self.max_epochs:
+                return iter(()), start
+            rows = [
+                row
+                for url in self.urls
+                for row in _rows_from_json(
+                    _get(url, self.timeout), self.field_names
+                )
+            ]
+            return iter(rows), {"epoch": epoch + 1}
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing to clean up; HTTP has no consumable offsets
 
     def register_http_json(spark: SparkSession) -> None:
         """Register the connector once per session (idempotent)."""

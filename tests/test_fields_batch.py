@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
@@ -301,3 +302,37 @@ def test_http_json_datasource_requires_schema(spark, http_url):
     register_http_json(spark)
     with pytest.raises(Exception, match="schema"):
         spark.read.format("http_json").option("urls", http_url).load()
+
+
+def test_http_json_datasource_streams_polls(spark, http_url, tmp_path):
+    """The streaming side of the connector: two polls (max_epochs=2)
+    deliver the manifest rows twice through the offset log, then the
+    query drains and stops."""
+    from event_pipeline_spark.sources.http import register_http_json
+
+    register_http_json(spark)
+    stream = (
+        spark.readStream.format("http_json")
+        .schema("userId long, id long, title string")
+        .option("urls", http_url)
+        .option("max_epochs", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("httpstream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/http_ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    single = fetch_json(spark, http_url).count()
+    try:
+        # max_epochs=2 caps the offset log at two polls; wait for both
+        for _ in range(60):
+            if spark.table("httpstream").count() >= 2 * single:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert spark.table("httpstream").count() == 2 * single
