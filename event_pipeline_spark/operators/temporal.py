@@ -212,3 +212,108 @@ SELECT e.event_id, n.n_nationkey AS band_id
 FROM events e JOIN nation n
   ON e.value >= n.n_nationkey * 4.0 AND e.value <= n.n_nationkey * 4.0 + 6.0
 ORDER BY e.event_id, band_id"""
+
+
+# ---------------------------------------------------------------------------
+# Resampling: regular time spine + gap fill (round 3)
+# ---------------------------------------------------------------------------
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts: str,
+    value_exprs: dict[str, F.Column],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed-step per-key time spine,
+    forward-filling value columns across empty buckets.
+
+    The time-series primitive behind dashboards and training-feature
+    snapshots ("state of X at every hour"): ① per-key bucket aggregate
+    (one shuffle, map-side partial), ② per-key spine via
+    ``sequence(min, max, step)`` + explode — generated, not joined from
+    a calendar table, so the spine costs |keys| rows of state, ③ one
+    window sort per key carries the last observed value forward.
+    Buckets with no rows report count 0 and the carried value.
+
+    ``value_exprs`` maps output name → aggregate over the bucket (use
+    exact integer forms for cross-engine determinism). Closest reference
+    construct: interval-scheduled re-aggregation
+    (/root/reference/nexus/mixins/schedule.py:79-131) — here the
+    "schedule" is materialized as data.
+    """
+    bucket = F.date_trunc("hour", F.col(ts)).alias("__h")
+    hourly = df.groupBy(*keys, bucket).agg(
+        F.count("*").alias("__n"),
+        *[expr.alias(name) for name, expr in value_exprs.items()],
+    )
+    spine = (
+        hourly.groupBy(*keys)
+        .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias("__h"),
+        )
+    )
+    joined = spine.join(hourly, on=[*keys, "__h"], how="left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(name, ignorenulls=True).over(w).alias(name)
+        for name in value_exprs
+    ]
+    return joined.select(
+        *keys,
+        F.col("__h").alias("h"),
+        F.coalesce("__n", F.lit(0)).alias("n"),
+        *filled,
+    )
+
+
+def q_resample_ffill_hourly(spark, sf_dir: str) -> DataFrame:
+    """Hourly per-user activity spine with forward-filled spend (users
+    0–4 keep the differential small; sums in integer cents)."""
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    cents = F.sum(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    out = resample_ffill(
+        events,
+        keys=["user_id"],
+        ts="ts",
+        value_exprs={"cents": cents},
+    )
+    return out.select(
+        "user_id",
+        "h",
+        "n",
+        (F.col("cents") / 100.0).alias("filled"),
+    ).orderBy("user_id", "h")
+
+
+QUERIES["resample_ffill_hourly"] = q_resample_ffill_hourly
+ORACLES["resample_ffill_hourly"] = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events WHERE user_id < 5 GROUP BY user_id, date_trunc('hour', ts)),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      FROM hourly GROUP BY user_id)
+    SELECT s.user_id, s.h, COALESCE(n, 0) AS n,
+           last_value(cents IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.h) / 100.0 AS filled
+    FROM spine s LEFT JOIN hourly USING (user_id, h)
+    ORDER BY s.user_id, s.h
+"""

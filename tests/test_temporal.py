@@ -190,3 +190,31 @@ class TestAsofVsPandas:
                 assert got[lid] is None
             else:
                 assert got[lid] == pytest.approx(px)
+
+
+# -- resample + forward fill -------------------------------------------------
+
+def test_resample_ffill_fills_gaps_and_carries_values(spark):
+    from event_pipeline_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2026-01-01 10:15:00", 1.0),
+            ("a", "2026-01-01 13:40:00", 5.0),   # 11:00 and 12:00 are gaps
+            ("b", "2026-01-01 10:05:00", 2.0),
+        ],
+        "k string, ts_s string, v double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = resample_ffill(
+        df,
+        keys=["k"],
+        ts="ts",
+        value_exprs={"total": F.sum("v")},
+    ).collect()
+    rows = {(r["k"], r["h"].hour): (r["n"], r["total"]) for r in out}
+    assert rows[("a", 10)] == (1, 1.0)
+    assert rows[("a", 11)] == (0, 1.0)  # gap bucket: count 0, carried value
+    assert rows[("a", 12)] == (0, 1.0)
+    assert rows[("a", 13)] == (1, 5.0)
+    assert rows[("b", 10)] == (1, 2.0)
+    assert len(rows) == 5  # b's spine is one bucket; no cross-key bleed

@@ -1,0 +1,70 @@
+"""Expectations operator: rule compilation, null semantics, one-scan
+plan shape, referential orphans (the oracle in test_oracles pins the
+registered contract against DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.validate import (
+    check_referential,
+    check_rows,
+    expect,
+)
+
+
+def test_row_rules_count_violations_and_nulls_violate(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (4, 5.0)], "id long, v double"
+    )
+    got = {
+        r["rule"]: r["violations"]
+        for r in check_rows(
+            df,
+            {
+                "v_positive": F.col("v") > 0,  # -1 and NULL violate
+                "id_not_null": F.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    assert got == {"v_positive": 2, "id_not_null": 0}
+
+
+def test_row_rules_evaluate_in_one_scan(spark):
+    """All rules fold into a single aggregate: exactly one scan node in
+    the physical plan regardless of rule count."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    report = check_rows(
+        df,
+        {
+            "a": F.col("id") >= 0,
+            "b": F.col("m") < 7,
+            "c": F.col("id") < 50,
+            "d": F.col("m") != 3,
+        },
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1 or plan.count("Range") == 1
+    got = {r["rule"]: r["violations"] for r in report.collect()}
+    assert got == {"a": 0, "b": 0, "c": 50, "d": 14}
+
+
+def test_referential_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    row = check_referential(child, "k", parent, "p", "fk").first()
+    assert (row["rule"], row["violations"]) == ("fk", 1)
+
+
+def test_expect_unions_and_orders(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    parent = spark.createDataFrame([(1,)], "p long")
+    rows = expect(
+        df,
+        {"z_rule": F.col("k") > 0},
+        referential=[(df, "k", parent, "p", "a_fk")],
+    ).collect()
+    assert [r["rule"] for r in rows] == ["a_fk", "z_rule"]
+    assert [r["violations"] for r in rows] == [1, 0]
