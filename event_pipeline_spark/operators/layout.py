@@ -80,3 +80,89 @@ def prunable_files(path: str, key: str, lo, hi) -> tuple[list[str], int]:
         if not (fmax < lo or fmin > hi)
     ]
     return hit, len(ranges)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    *,
+    target_file_mb: int = 256,
+    sort_keys: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a directory of parquet files into
+    ~``target_file_mb``-sized files; returns the file count written.
+
+    The maintenance operator every long-running ingestion needs —
+    streaming sinks and per-batch appends produce thousands of KB-scale
+    files whose open/footer overhead eventually dominates scans (and
+    whose count explodes driver listing time at 100 TB). Sizing comes
+    from the actual on-disk bytes, not row counts, so compressed width
+    is respected. With ``sort_keys`` the rewrite also restores
+    range-sorted min/max pruning (write_range_sorted's layout);
+    without, a round-robin repartition balances file sizes exactly.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(src, n))
+        for n in os.listdir(src)
+        if n.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // (target_file_mb << 20)))  # ceil div
+    df = spark.read.parquet(src)
+    if sort_keys:
+        (
+            df.repartitionByRange(n_files, *sort_keys)
+            .sortWithinPartitions(*sort_keys)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return sum(1 for n in os.listdir(dest) if n.endswith(".parquet"))
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Bit-interleaved Z-value of two non-negative int columns — the
+    space-filling-curve key that clusters BOTH dimensions at once.
+    Columns are used modulo 2^bits (callers bucket/rank real values
+    into that range first). Pure bitwise expressions → whole-stage
+    codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    key_a: str,
+    key_b: str,
+    n_files: int,
+    *,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional clustering: sort by the Z-value of (key_a,
+    key_b) so parquet footers carry tight min/max on BOTH columns.
+    A single-key sort gives perfect pruning on one dimension and none
+    on the other; the Z-curve trades a little of each for pruning on
+    both — the standard layout for workloads that filter on either of
+    two fine-grained keys (e.g. time AND tenant)."""
+    from pyspark.sql import functions as F
+
+    zcol = zorder_value(F.col(key_a), F.col(key_b), bits)
+    (
+        df.withColumn("__z", zcol)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -40,3 +40,86 @@ def test_unsorted_layout_cannot_prune(spark, tmp_path):
     df.repartition(8, "k").write.parquet(out)
     hit, total = prunable_files(out, "k", 10_000, 12_000)
     assert total == 8 and len(hit) == 8  # every file must be read
+
+
+# -- compaction ---------------------------------------------------------------
+
+def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
+    from event_pipeline_spark.operators.layout import compact_parquet
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    spark.range(20_000).repartition(40).write.parquet(src)
+    import os as _os
+
+    assert sum(n.endswith(".parquet") for n in _os.listdir(src)) == 40
+    written = compact_parquet(spark, src, dest, target_file_mb=1)
+    assert written < 40
+    assert spark.read.parquet(dest).count() == 20_000
+    got = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+    assert got == list(range(20_000))
+
+
+def test_compact_with_sort_keys_restores_pruning(spark, tmp_path):
+    from event_pipeline_spark.operators.layout import (
+        compact_parquet,
+        prunable_files,
+    )
+
+    src, dest = str(tmp_path / "frag2"), str(tmp_path / "compacted2")
+    # fragmented AND unsorted: every file spans the whole key range
+    # (the uuid-seeded payload keeps parquet from compressing the data
+    # under one target file)
+    spark.range(300_000).selectExpr(
+        "id % 9973 AS k", "id AS v", "uuid() AS pad"
+    ).repartition(30).write.parquet(src)
+    hit, total = prunable_files(src, "k", 100, 200)
+    assert hit and len(hit) == total  # no pruning before compaction
+    compact_parquet(spark, src, dest, target_file_mb=1, sort_keys=["k"])
+    hit2, total2 = prunable_files(dest, "k", 100, 200)
+    assert total2 > 1 and len(hit2) <= max(1, total2 // 3)
+
+
+# -- z-order ------------------------------------------------------------------
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(zorder_value(F.col("a"), F.col("b"), 3).alias("z")).first()["z"]
+    # a bits -> even positions (1,0,1), b bits -> odd positions (0,1,1):
+    # z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 0b011011
+    assert z == 0b011011
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Single-key sort prunes only its own dimension; the Z-ordered
+    layout prunes meaningfully on BOTH keys."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.layout import (
+        prunable_files,
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n, files = 200_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 449).alias("a"),
+        ((F.col("id") * 7919) % 463).alias("b"),
+    )
+    a_sorted, zordered = str(tmp_path / "asort"), str(tmp_path / "zord")
+    write_range_sorted(df, a_sorted, ["a"], files)
+    write_zordered(df, zordered, "a", "b", files, bits=9)
+
+    # dimension a: both layouts prune
+    hit_a_sorted, tot1 = prunable_files(a_sorted, "a", 10, 40)
+    hit_a_z, tot2 = prunable_files(zordered, "a", 10, 40)
+    assert len(hit_a_sorted) < tot1 and len(hit_a_z) < tot2
+    # dimension b: only the Z-ordered layout prunes
+    hit_b_sorted, _ = prunable_files(a_sorted, "b", 10, 40)
+    hit_b_z, totz = prunable_files(zordered, "b", 10, 40)
+    assert len(hit_b_sorted) == len(hit_b_sorted)  # baseline reads all
+    assert len(hit_b_sorted) == _
+    assert len(hit_b_z) < totz
