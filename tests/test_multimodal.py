@@ -244,3 +244,127 @@ def test_codec_roundtrips_property():
 
     image_roundtrip()
     wav_roundtrip()
+
+
+# -- PNG codec (round 3: real compressed format, stdlib zlib) ----------------
+
+def test_png_roundtrip_exact_all_shapes():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    for shape in [(13, 9), (8, 5, 3), (6, 4, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = codecs.decode_image(codecs.encode_png(px), "png")
+        assert back.shape == px.shape and (back == px).all(), shape
+
+
+def _reference_unfilter(filters, filt_rows, w, ch):
+    """Independent scalar implementation of PNG unfiltering (spec
+    pseudocode, no numpy) — cross-checks the vectorized decoder."""
+    stride = w * ch
+    prev = [0] * stride
+    out = []
+    for f, line in zip(filters, filt_rows):
+        cur = [0] * stride
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                rec = line[x]
+            elif f == 1:
+                rec = line[x] + a
+            elif f == 2:
+                rec = line[x] + b
+            elif f == 3:
+                rec = line[x] + (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec = line[x] + pred
+            cur[x] = rec & 0xFF
+        out.append(cur)
+        prev = cur
+    return out
+
+
+def test_png_decode_every_filter_type_against_reference():
+    """Hand-build a PNG whose five scanlines use filters 0..4 and check
+    the decoder against an independent spec-pseudocode unfilterer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.codecs import _png_chunk, _PNG_SIG
+
+    rng = np.random.default_rng(11)
+    w, h, ch = 6, 5, 3
+    filters = [0, 1, 2, 3, 4]
+    filt_rows = [list(rng.integers(0, 256, w * ch)) for _ in range(h)]
+    raw = b"".join(
+        bytes([f]) + bytes(row) for f, row in zip(filters, filt_rows)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = codecs.decode_image(payload, "png")
+    want = np.array(
+        _reference_unfilter(filters, filt_rows, w, ch), dtype=np.uint8
+    ).reshape(h, w, ch)
+    assert (got == want).all()
+
+
+def test_png_rejects_what_it_cannot_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.codecs import _png_chunk, _PNG_SIG
+
+    with _pytest.raises(ValueError, match="signature"):
+        codecs.decode_image(b"notapng", "png")
+    # 16-bit depth → honest NotImplementedError, not wrong pixels
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        codecs.decode_image(deep, "png")
+
+
+def test_png_flows_through_multimodal_features(spark):
+    """A PNG payload rides the binary-column pipeline end-to-end: REAL
+    decode (fake=False) → per-image features in mapInPandas — the path
+    that previously raised NotImplementedError for png."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    payload = codecs.encode_png(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), {"format": "png"})],
+        "media_id long, content binary, meta struct<format: string>",
+    )
+    row = extract_features(df, fake=False).first()
+    assert row["n_bytes"] == len(payload)
+    assert len(row["features"]) > 0 and all(
+        f == f for f in row["features"]
+    )  # real decode produced finite features, no NotImplementedError
