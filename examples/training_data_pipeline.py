@@ -2,11 +2,15 @@
 
 Composes the north-star operators into the standard curation flow:
 
-    Load |-> Clean |-> Dedup |-> Layout
+    Validate |-> Clean |-> Dedup |-> Layout
 
+- **Validate**: ingest contract (expectations) evaluated in one scan —
+  a failing contract routes the pipeline to its failure branch instead
+  of silently curating bad data;
 - **Clean**: language-ID + quality score, keep docs above threshold;
 - **Dedup**: drop exact duplicates (normalized-text digest, the
-  shuffle-a-hash-not-the-text design);
+  shuffle-a-hash-not-the-text design), then near-duplicate clusters via
+  MinHash-LSH keep one representative per cluster;
 - **Layout**: token counts → deterministic train/val split → FFD token
   packing → stable shards, written to a parquet store.
 
@@ -25,7 +29,10 @@ from pyspark.sql import functions as F
 
 from event_pipeline_spark.core.events import event
 from event_pipeline_spark.core.fields import InputDataField
-from event_pipeline_spark.operators.dedup import dedup_exact
+from event_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+)
 from event_pipeline_spark.operators.packing import (
     assign_shards,
     pack_greedy,
@@ -48,6 +55,25 @@ def Load(spark, sf_dir):
 
 
 @event
+def Validate(spark, previous_result):
+    """Ingest contract: one scan, every rule a conditional count. A
+    non-empty violation set fails the event, routing execution to the
+    pipeline's failure branch (reference semantics: on_failure edge)."""
+    from event_pipeline_spark.operators.validate import check_rows
+
+    report = check_rows(
+        previous_result,
+        {
+            "doc_id_not_null": F.col("doc_id").isNotNull(),
+            "text_not_null": F.col("text").isNotNull(),
+            "n_chars_consistent": F.col("n_chars") >= 0,
+        },
+    )
+    bad = report.where(F.col("violations") > 0).count()
+    return bad == 0, previous_result
+
+
+@event
 def Clean(spark, previous_result, min_quality):
     docs = previous_result.withColumn(
         "lang_pred", predict_language(F.col("text"))
@@ -57,7 +83,12 @@ def Clean(spark, previous_result, min_quality):
 
 @event
 def Dedup(spark, previous_result):
-    return True, dedup_exact(previous_result, text_col="text")
+    exact = dedup_exact(previous_result, text_col="text")
+    # near-dup pass: LSH candidates -> keep the smallest doc_id of each
+    # similar pair's cluster (greedy representative selection)
+    pairs = minhash_near_duplicates(exact, threshold=0.7)
+    losers = pairs.select(F.greatest("id_a", "id_b").alias("doc_id")).distinct()
+    return True, exact.join(losers, "doc_id", "left_anti")
 
 
 @event
@@ -87,7 +118,7 @@ class TrainingDataPipeline(Pipeline):
     n_shards = InputDataField(int, default=8)
 
     class Meta:
-        pointy = "Load |-> Clean |-> Dedup |-> Layout"
+        pointy = "Load |-> Validate |-> Clean |-> Dedup |-> Layout"
 
 
 def main() -> None:
