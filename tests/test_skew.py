@@ -93,3 +93,52 @@ def test_key_skew_diagnostic(spark, skewed):
     # 51 groups, hot holds ~91% of rows -> ratio ~46x uniform
     assert top[0]["skew_ratio"] > 10
     assert abs(top[0]["share"] - 5000 / 5500) < 0.001
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The no-code-change skew path: AQE detects a skewed partition in a
+    sort-merge join at runtime and splits it (the plan marks the join
+    skew=true). Salting (above) is for the cases this can't fix —
+    aggregations and broadcast-ineligible shapes — so this test pins
+    where the built-in path takes over."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        # force SMJ + make the skew detector fire on test-sized data
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k"
+        )
+        # coalescing would merge the small partitions and mask the skew
+        # decision on test-sized data
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 95% of the left side lands on key 0; right side is uniform
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.toPandas()) == 400_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
