@@ -4,8 +4,10 @@ Real decode/encode — not stubs — for the formats this environment can
 honestly handle: BMP (24-bit uncompressed BI_RGB), PPM/PGM (binary
 P6/P5), WAV (PCM integer/float), and — since round 3 — PNG (8-bit
 gray/RGB/RGBA, all five scanline filters, DEFLATE via the stdlib's
-zlib). Formats that genuinely need an external codec (jpeg/mp3/mp4)
-stay behind the ``fake=True`` gate in ``operators/multimodal.py``.
+zlib) and single-frame GIF (variable-width LZW implemented here, both
+directions). Formats that genuinely need an external codec
+(jpeg/mp3/mp4) stay behind the ``fake=True`` gate in
+``operators/multimodal.py``.
 
 Everything here is driver/executor-side scalar code invoked from inside
 Arrow-batched ``mapInPandas`` — one call per payload, numpy throughout,
@@ -26,13 +28,14 @@ __all__ = [
     "decode_image",
     "decode_wav",
     "encode_bmp",
+    "encode_gif",
     "encode_png",
     "encode_ppm",
     "encode_wav",
     "resize_nearest",
 ]
 
-SUPPORTED_IMAGE_FORMATS = ("bmp", "ppm", "pgm", "png")
+SUPPORTED_IMAGE_FORMATS = ("bmp", "ppm", "pgm", "png", "gif")
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +151,8 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         return _decode_ppm(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt == "gif":
+        return _decode_gif(payload)
     raise NotImplementedError(
         f"image format {fmt!r} requires an external codec (supported "
         f"pure-numpy formats: {SUPPORTED_IMAGE_FORMATS})"
@@ -361,3 +366,182 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {f} invalid")
     arr = out.astype(np.uint8).reshape(h, w, ch)
     return arr[:, :, 0] if ch == 1 else arr
+
+
+# ---------------------------------------------------------------------------
+# GIF: single-frame GIF87a/89a, global/local palettes, real variable-width
+# LZW (decode and encode) — pure python/numpy, no external codec.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes,
+    code width grows after the dictionary fills each width."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend([i] for i in range(clear))
+        table.extend(([], []))  # clear + eoi placeholders
+        return min_code_size + 1
+
+    width = reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + [entry[0]])
+            elif prev is not None and code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Real LZW compression, inverse of ``_lzw_decode``."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for idx in indices:
+        cand = run + bytes([int(idx)])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+        run = bytes([int(idx)])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """uint8 (H,W,3) RGB (≤256 distinct colors) or (H,W) palette-index
+    gray → single-frame GIF89a with a global color table and real LZW."""
+    arr = np.ascontiguousarray(pixels)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected uint8 (H,W,3) or (H,W), got {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, image has {len(palette)}")
+    depth = max(1, int(len(palette) - 1).bit_length())
+    gct = np.zeros((1 << depth, 3), np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    min_code = max(2, depth)
+    out.append(min_code)
+    payload = _lzw_encode(indices, min_code)
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(b"".join(chunks), min_code)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            idx = np.array(indices[: iw * ih], np.int32).reshape(ih, iw)
+            return pal[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contained no image data")

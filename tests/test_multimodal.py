@@ -368,3 +368,66 @@ def test_png_flows_through_multimodal_features(spark):
     assert len(row["features"]) > 0 and all(
         f == f for f in row["features"]
     )  # real decode produced finite features, no NotImplementedError
+
+
+# -- GIF codec (round 3: real LZW, both directions) --------------------------
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 7, (23, 17))]
+    back = codecs.decode_image(codecs.encode_gif(px), "gif")
+    assert back.shape == (23, 17, 3) and (back == px).all()
+
+
+def test_gif_roundtrip_exercises_lzw_width_growth_and_reset():
+    """A 250-color 200x180 image forces the LZW code width through every
+    step up to 12 bits and past the 4096-entry dictionary reset."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (250, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 250, (200, 180))]
+    data = codecs.encode_gif(px)
+    assert (codecs.decode_image(data, "gif") == px).all()
+    # random indices are LZW-incompressible; the bound here is only that
+    # 12-bit codes cost at most ~2 bytes/pixel (sanity, not compression)
+    assert len(data) < 2 * px.shape[0] * px.shape[1]
+    # structured data, by contrast, must actually compress
+    tile = pal[np.tile(np.arange(10).reshape(1, 10), (100, 18)) % 250]
+    packed = codecs.encode_gif(tile)
+    assert (codecs.decode_image(packed, "gif") == tile).all()
+    assert len(packed) < tile.shape[0] * tile.shape[1] // 4
+
+
+def test_gif_decodes_foreign_fixture():
+    """The canonical 43-byte transparent-pixel GIF (a widely published
+    byte string produced by other encoders) — pins wire-format interop,
+    not just self-consistency."""
+    from event_pipeline_spark.operators import codecs
+
+    fixture = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff"
+        b"!\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    px = codecs.decode_image(fixture, "gif")
+    assert px.shape == (1, 1, 3) and px.tolist() == [[[0, 0, 0]]]
+
+
+def test_gif_rejects_too_many_colors():
+    import numpy as np
+    import pytest as _pytest
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)  # ~1600 colors
+    with _pytest.raises(ValueError, match="256"):
+        codecs.encode_gif(px)
