@@ -1303,3 +1303,48 @@ def q46_variant_typed_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_Q47_BODY = """
+    WITH RECURSIVE member AS (
+           SELECT c_nationkey AS grp,
+                  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                                 ORDER BY c_custkey) - 1)
+                             / 20.0) AS BIGINT) AS bucket,
+                  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_custkey) AS rn,
+                  c_custkey
+           FROM {customer}),
+         edges AS (
+           SELECT m1.c_custkey AS a, m2.c_custkey AS b
+           FROM member m1 JOIN member m2
+             ON m1.grp = m2.grp AND m1.bucket = m2.bucket
+            AND m2.rn = m1.rn + 1),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION ALL
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT m.c_custkey AS id,
+           LEAST(m.c_custkey, COALESCE(MIN(r.a), m.c_custkey)) AS cluster_id
+    FROM member m LEFT JOIN reach r ON r.b = m.c_custkey
+    GROUP BY m.c_custkey ORDER BY id
+"""
+
+
+@query("q47", _Q47_BODY.format(customer="customer"))
+def q47_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE transitive closure, executed BY SPARK (recursive
+    CTEs landed in Spark 4): chain edges link consecutive customers
+    within 20-member buckets per nation, and the recursion walks each
+    chain forward (acyclic edges — Spark's recursive CTEs require
+    UNION ALL, so the closure must terminate structurally); each node's
+    cluster id is its least reachable ancestor — the declarative twin
+    of ``operators/dedup.py::duplicate_clusters``'s label propagation.
+    The IDENTICAL SQL text is the DuckDB oracle, so this pins Spark's
+    recursive-CTE semantics (not just a reimplementation) against a
+    second engine. Bucketing bounds recursion depth at 20 (well under
+    ``spark.sql.cteRecursionLevelLimit``) and keeps the edge count
+    linear in rows — the scalable chain form, not the quadratic
+    all-pairs form."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q47_customer")
+    return spark.sql(_Q47_BODY.format(customer="_q47_customer"))
