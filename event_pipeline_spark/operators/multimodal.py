@@ -307,3 +307,78 @@ _register(
                   6) AS feature_sum
        FROM documents ORDER BY media_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Spectral audio features (round 3): numpy FFT over real decoded WAV
+# ---------------------------------------------------------------------------
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("duration_sec", T.DoubleType(), False),
+        T.StructField("dominant_hz", T.DoubleType(), False),
+        T.StructField("spectral_centroid_hz", T.DoubleType(), False),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _spectral_features(payload: bytes, n_bands: int = 8):
+    """Real frequency-domain features from a PCM WAV payload: dominant
+    frequency (argmax of the magnitude spectrum), spectral centroid,
+    and energy split across ``n_bands`` log-ish linear bands."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rate, samples = codecs.decode_wav(bytes(payload))
+    mono = samples.astype(np.float64).mean(axis=1)
+    if samples.dtype.kind in "iu":
+        mono = mono / float(np.iinfo(samples.dtype).max)
+    if mono.size == 0:
+        return rate, 0.0, 0.0, 0.0, [0.0] * n_bands
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
+    power = spec**2
+    total = float(power.sum()) or 1.0
+    dominant = float(freqs[int(np.argmax(spec[1:])) + 1]) if spec.size > 1 else 0.0
+    centroid = float((freqs * power).sum() / total)
+    edges = np.linspace(0, rate / 2, n_bands + 1)
+    bands = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum() / total)
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return rate, mono.size / rate, dominant, centroid, bands
+
+
+def audio_spectral_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """WAV payloads → FFT features via Arrow-batched mapInPandas (one
+    Python crossing per batch; the FFT itself is numpy, vectorized).
+    The real-decode analogue of ``extract_features`` for the audio
+    modality — feeds audio dedup/quality filters the way image stats
+    feed the visual ones."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                rate, dur, dom, cen, bands = _spectral_features(
+                    payload, n_bands
+                )
+                out.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "duration_sec": dur,
+                        "dominant_hz": dom,
+                        "spectral_centroid_hz": cen,
+                        "band_energy": bands,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=SPECTRAL_SCHEMA
+    )

@@ -431,3 +431,57 @@ def test_gif_rejects_too_many_colors():
     px = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)  # ~1600 colors
     with _pytest.raises(ValueError, match="256"):
         codecs.encode_gif(px)
+
+
+# -- spectral audio features (round 3) ---------------------------------------
+
+def test_spectral_features_find_known_tone(spark):
+    """A synthesized 440 Hz sine must come back with dominant_hz ~440,
+    centroid near it, and all its energy in the right band."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    rate, secs = 8000, 1.0
+    t = np.arange(int(rate * secs)) / rate
+    tone = (np.sin(2 * np.pi * 440.0 * t) * 32000).astype(np.int16)
+    payload = codecs.encode_wav(tone.reshape(-1, 1), rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    row = audio_spectral_features(df).first()
+    assert row["sample_rate"] == rate
+    assert abs(row["duration_sec"] - secs) < 1e-6
+    assert abs(row["dominant_hz"] - 440.0) < 2.0
+    assert abs(row["spectral_centroid_hz"] - 440.0) < 15.0
+    # 440 Hz lies in band 0 of 8 over [0, 4000): [0, 500)
+    assert row["band_energy"][0] > 0.95
+    assert abs(sum(row["band_energy"]) - 1.0) < 1e-6
+
+
+def test_spectral_features_two_tones_pick_the_louder(spark):
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    mix = 0.9 * np.sin(2 * np.pi * 1500.0 * t) + 0.3 * np.sin(
+        2 * np.pi * 300.0 * t
+    )
+    payload = codecs.encode_wav(
+        (mix * 20000).astype(np.int16).reshape(-1, 1), rate
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, content binary"
+    )
+    row = audio_spectral_features(df).first()
+    assert abs(row["dominant_hz"] - 1500.0) < 2.0
+    # band 3 of 8 over [0,4000) is [1500,2000) — boundary: 1500 lands there
+    assert row["band_energy"][3] > 0.5
