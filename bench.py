@@ -64,6 +64,8 @@ OPERATORS = [
     "cdc_snapshot_diff",
     "dedup_minhash_pairs",
     "text_quality",
+    "fuzzy_name_pairs",
+    "resample_ffill_hourly",
 ]
 
 

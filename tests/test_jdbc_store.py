@@ -95,3 +95,28 @@ def test_lookup_dsl_pushdown_reaches_database_scan(store):
     assert "GreaterThanOrEqual(n,20)" in plan and "EqualTo(ok,true)" in plan
     ids = sorted(r["id"] for r in df.collect())
     assert "r1" not in ids and "r3" in ids  # r1: n=10 filtered in the DB
+
+
+def test_partitioned_parallel_read(store, spark):
+    """partitionColumn splits the scan into parallel range queries — the
+    data-plane feature the reference's single-cursor stores lack."""
+    from event_pipeline_spark.stores.jdbc import JDBCStore
+
+    big = spark.range(1, 1001).selectExpr(
+        "CAST(id AS STRING) AS id", "id AS n"
+    )
+    store.write_table("bulk", big)
+    pstore = JDBCStore(
+        store.url,
+        spark,
+        partition_options={
+            "partitionColumn": "n",
+            "lowerBound": 1,
+            "upperBound": 1000,
+            "numPartitions": 4,
+        },
+    )
+    df = pstore.as_dataframe("bulk")
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    assert df.agg({"n": "sum"}).first()[0] == 500_500
