@@ -1348,3 +1348,34 @@ def q47_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs form."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("_q47_customer")
     return spark.sql(_Q47_BODY.format(customer="_q47_customer"))
+
+
+_Q48_BODY = """
+    WITH pool AS (
+      SELECT CASE WHEN c_acctbal < 100 THEN NULL ELSE c_custkey END AS k
+      FROM {customer} WHERE c_mktsegment = 'BUILDING')
+    SELECT variant, n FROM (
+      SELECT 'not_in_with_nulls' AS variant, COUNT(*) AS n
+      FROM {orders} WHERE o_custkey NOT IN (SELECT k FROM pool)
+      UNION ALL
+      SELECT 'not_in_null_filtered' AS variant, COUNT(*) AS n
+      FROM {orders}
+      WHERE o_custkey NOT IN (SELECT k FROM pool WHERE k IS NOT NULL)
+    ) ORDER BY variant
+"""
+
+
+@query("q48", _Q48_BODY.format(customer="customer", orders="orders"))
+def q48_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic contract: ``NOT IN`` against a set containing
+    NULL can never be TRUE (every row filters out — the classic trap a
+    left-anti-join rewrite gets wrong), while the IS NOT NULL-guarded
+    variant returns the anti-join answer. Both engines must agree on
+    both counts; the identical SQL text is the oracle. The reference's
+    ``__isnull`` lookups (nexus/result.py:450-451) motivate pinning
+    NULL-handling parity explicitly."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q48_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q48_orders")
+    return spark.sql(
+        _Q48_BODY.format(customer="_q48_customer", orders="_q48_orders")
+    )
