@@ -70,3 +70,30 @@ def test_training_data_pipeline_end_to_end(spark, sf_dir, tmp_path):
     for r in rows:
         packs[r["pack_id"]] += r["tokens"]
     assert max(packs.values()) <= 2048
+
+
+def test_realtime_attribution_example_end_to_end(spark, sf_dir, tmp_path):
+    """Stream-stream attribution: the drained stream must land exactly
+    the rows the identical batch expression produces, and the report's
+    HLL estimate must be near the exact converter count."""
+    import importlib
+
+    mod = importlib.import_module("examples.realtime_attribution")
+    work = f"file://{tmp_path}/attr"
+    clicks_dir, buys_dir = mod.prepare_sources(spark, sf_dir, work)
+    sink = mod.run_stream(spark, clicks_dir, buys_dir, work)
+
+    streamed = spark.read.parquet(sink)
+    batch = mod.attributed(
+        spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir)
+    )
+    assert streamed.count() == batch.count() > 0
+    s_keys = {(r["click_id"], r["buy_id"]) for r in streamed.collect()}
+    b_keys = {(r["click_id"], r["buy_id"]) for r in batch.collect()}
+    assert s_keys == b_keys
+
+    rep = mod.report(spark, sink)
+    first = rep.first()
+    exact = streamed.select("user_id").distinct().count()
+    assert abs(first["approx_distinct_converters"] - exact) <= max(3, 0.05 * exact)
+    assert rep.count() == exact
