@@ -159,3 +159,41 @@ def make_running_stats_processor(key: str = "user_id", value_col: str = "value")
 
 
 RUNNING_STATS_SCHEMA = "user_id string, n long, total double, mn double, mx double"
+
+
+def sessionizing_counts(
+    df: DataFrame, key: str = "user_id", idle_ms: int = 2_000
+) -> DataFrame:
+    """Per-key counter whose state EXPIRES after ``idle_ms`` of
+    processing-time inactivity — the bounded-state guarantee custom
+    stateful operators need at 100 TB: keys that go quiet are evicted
+    (and report a final ``closed=true`` row) instead of accumulating
+    forever. Uses processing-time timeouts; the watermark-driven twin is
+    ``EventTimeTimeout`` with the same handler shape."""
+
+    def update(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            n = state.get[0] if state.exists else 0
+            state.remove()
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n": [n], "closed": [True]}
+            )
+            return
+        total = state.get[0] if state.exists else 0
+        for pdf in batches:
+            total += len(pdf)
+        state.update((total,))
+        state.setTimeoutDuration(idle_ms)
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n": [total], "closed": [False]}
+        )
+
+    return stateful_apply(
+        df,
+        [key],
+        update,
+        output_schema=f"{key} string, n long, closed boolean",
+        state_schema="n long",
+        output_mode="update",
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+    )

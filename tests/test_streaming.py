@@ -514,3 +514,56 @@ def test_stream_stream_left_outer_join_pads_after_watermark(spark, tmp_path):
     assert (1, 10, 100) in got          # matched pair
     assert (2, 20, None) in got         # null-padded after horizon
     assert (9, 90, 900) in got          # sentinel matched itself
+
+
+def test_stateful_timeout_expires_idle_keys(spark, tmp_path):
+    """Processing-time state expiry: a key that goes idle must emit a
+    final closed=true row and its state must be evicted (state size
+    stays bounded by ACTIVE keys — the 24/7 operating contract)."""
+    from event_pipeline_spark.streaming.stateful import sessionizing_counts
+
+    src_dir = f"file://{tmp_path}/to_src"
+    mk = lambda rows: spark.createDataFrame(rows, "user_id string, v long")  # noqa: E731
+    mk([("a", 1), ("a", 2), ("b", 1)]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    from event_pipeline_spark.streaming import read_parquet_stream
+
+    stream = read_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        sessionizing_counts(stream, "user_id", idle_ms=1_500)
+        .writeStream.format("memory")
+        .queryName("toq")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/to_ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for the first batch's live rows
+        for _ in range(40):
+            if spark.table("toq").where("closed = false").count() >= 2:
+                break
+            time.sleep(0.5)
+        # go idle past the timeout, then land data for a DIFFERENT key —
+        # the new batch advances processing time and fires a's timeout
+        time.sleep(2.5)
+        mk([("c", 1)]).coalesce(1).write.mode("append").parquet(src_dir)
+        for _ in range(60):
+            done = (
+                spark.table("toq").where("closed = true").count() >= 2
+                and spark.table("toq")
+                .where("user_id = 'c' AND NOT closed")
+                .count()
+                >= 1
+            )
+            if done:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.table("toq").collect()
+    closed = {r["user_id"]: r["n"] for r in rows if r["closed"]}
+    live = {r["user_id"]: r["n"] for r in rows if not r["closed"]}
+    assert closed.get("a") == 2 and closed.get("b") == 1  # final counts at expiry
+    assert live.get("a") == 2 and live.get("b") == 1 and live.get("c") == 1
