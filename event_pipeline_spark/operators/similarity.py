@@ -498,3 +498,148 @@ def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("sim_kmeans_clusters", q_sim_kmeans)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 3): m-subvector codebooks + ADC search —
+# the memory side of IVF-PQ. A d-dim float32 vector (d*4 bytes) becomes
+# m uint8 codes: 64-dim → 8 bytes, a 32x cut, which is what lets a
+# trillion-vector index fit a cluster's RAM. Codebooks are trained on a
+# capped driver sample (same recipe as IVF's coarse quantizer) and ride
+# the plan as a broadcast; encode and search are Arrow-batched numpy.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    m_subvectors: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_cap: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subvector Lloyd's k-means on a bounded sample → codebooks of
+    shape (m, n_codes, d/m). L2 metric in code space (the PQ standard);
+    callers normalize vectors first when cosine ranking is wanted."""
+    n = df.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).sample(frac, seed=seed).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    d = sample.shape[1]
+    if d % m_subvectors:
+        raise ValueError(f"dim {d} not divisible by m={m_subvectors}")
+    sub = d // m_subvectors
+    k = min(n_codes, len(sample))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_subvectors, k, sub))
+    for mi in range(m_subvectors):
+        block = sample[:, mi * sub : (mi + 1) * sub]
+        cent = block[rng.choice(len(block), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = block[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectors → m uint8-range codes (stored as array<smallint>): per
+    subvector, the index of the nearest codebook centroid."""
+    m, k, sub = books.shape
+    flat = books.reshape(m * k, sub)
+
+    @F.pandas_udf("array<smallint>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        n = len(x)
+        codes = np.empty((n, m), np.int16)
+        for mi in range(m):
+            block = x[:, mi * sub : (mi + 1) * sub]  # (n, sub)
+            cent = flat[mi * k : (mi + 1) * k]  # (k, sub)
+            # ||b - c||^2 = ||b||^2 - 2 b.c + ||c||^2 ; argmin over c
+            d2 = (
+                -2.0 * (block @ cent.T)
+                + (cent**2).sum(axis=1)[None, :]
+            )
+            codes[:, mi] = d2.argmin(axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return df.select(id_col, enc(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_decode_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Codes → reconstructed vectors (test/diagnostic helper)."""
+    m, k, sub = books.shape
+    return np.concatenate(
+        [books[mi][codes[:, mi]] for mi in range(m)], axis=1
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    query_vec: np.ndarray,
+    books: np.ndarray,
+    *,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation: the query stays full-precision;
+    each subvector contributes via a precomputed (m x k) lookup table,
+    so scoring a code is m table gathers + a sum — no vector decode.
+    One scan of the code table, per-partition numpy, global top-k via
+    TakeOrderedAndProject."""
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.empty((m, k))
+    for mi in range(m):
+        qs = q[mi * sub : (mi + 1) * sub]
+        lut[mi] = ((books[mi] - qs[None, :]) ** 2).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)
+        if c.size == 0:
+            return pd.Series([], dtype="float64")
+        dist = lut[np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(dist)
+
+    return (
+        encoded.select(id_col, F.round(adc(F.col("pq_codes")), 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top_k)
+    )
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-10 nearest to the deterministic query vector
+    (vec_id 0's embedding). Rows-only by design (quantized ranking is
+    approximate); recall + compression contracts in test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    books = train_pq_codebooks(emb, m_subvectors=8)
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    encoded = pq_encode(emb.where(F.col("vec_id") != 0), books)
+    return pq_topk(encoded, qv, books, top_k=10)
+
+
+_register("sim_pq_topk", q_sim_pq_topk)
