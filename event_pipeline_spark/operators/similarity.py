@@ -643,3 +643,74 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("sim_pq_topk", q_sim_pq_topk)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_vec: np.ndarray,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    *,
+    top_k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ pipeline: rows live in their nearest coarse cell
+    holding only (id, cell, m-byte code); a query probes ``n_probe``
+    cells and ranks the candidates by ADC. Memory per row = one int +
+    m bytes (no float vectors in the index), scan per query = the
+    probed cells only — the composition that serves billion-vector
+    corpora from RAM. Both codebooks train on capped samples and ride
+    the plan as broadcasts."""
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    qsims = centroids @ q
+    probe_cells = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+
+    lut = np.empty((m, k))
+    for mi in range(m):
+        qs = q[mi * sub : (mi + 1) * sub]
+        lut[mi] = ((books[mi] - qs[None, :]) ** 2).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)
+        if c.size == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
+
+    index = corpus.select(
+        F.col(id_col),
+        F.element_at(_assign_udf(centroids, 1)(F.col(vec_col)), 1).alias("cell"),
+        F.col(vec_col),
+    )
+    encoded = pq_encode(
+        index.where(F.col("cell").isin(probe_cells)),
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return (
+        encoded.select(id_col, F.round(adc(F.col("pq_codes")), 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top_k)
+    )
+
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe + PQ-rank top-10 for the deterministic query (vec_id
+    0). Rows-only by design; recall contract in test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    centroids = train_ivf_centroids(emb, n_clusters=8)
+    books = train_pq_codebooks(emb, m_subvectors=8)
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    return ivfpq_topk(
+        emb.where(F.col("vec_id") != 0), qv, centroids, books, n_probe=3
+    )
+
+
+_register("sim_ivfpq_topk", q_sim_ivfpq_topk)

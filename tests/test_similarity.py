@@ -218,3 +218,34 @@ class TestProductQuantization:
             )[0]
             want = float(((qn - recon) ** 2).sum())
             assert abs(r["adc_dist"] - want) < 1e-4
+
+
+def test_ivfpq_recall_against_bruteforce(spark, emb):
+    """The composed IVF-probe + PQ-rank path keeps most of the exact
+    top-10 despite indexing only (cell, 8-byte code) per row."""
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    centroids = train_ivf_centroids(emb, n_clusters=8)
+    books = train_pq_codebooks(emb, m_subvectors=8)
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    qn = qv / np.linalg.norm(qv)
+    all_rows = emb.where(F.col("vec_id") != 0).collect()
+    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    truth = {all_rows[i]["vec_id"] for i in np.argsort(-(mat @ qn))[:10]}
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            emb.where(F.col("vec_id") != 0), qv, centroids, books, n_probe=3
+        ).collect()
+    }
+    assert len(got & truth) >= 4  # probing 3/8 cells + 8-byte codes
