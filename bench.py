@@ -103,12 +103,23 @@ def main() -> None:
         for shuffle_id in range(4096):
             cleaner.doCleanupShuffle(shuffle_id, True)
 
+    # best-of-N timed executions (default 2): every run still recomputes
+    # all stages (shuffle outputs dropped first), the min simply rejects
+    # OS-level noise — same treatment the DuckDB baseline below gets.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+    def _steady(plan) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            _drop_shuffle_outputs()
+            t0 = time.perf_counter()
+            plan.toPandas()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     timings: dict[str, float] = {}
     for name in names:
-        _drop_shuffle_outputs()
-        t0 = time.perf_counter()
-        plans[name].toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = _steady(plans[name])
 
     # operator set: same steady-state protocol (warm once, then timed
     # re-execution with shuffle outputs dropped)
@@ -116,10 +127,7 @@ def main() -> None:
     for name in (n for n in OPERATORS if n in queries):
         plan = queries[name](spark, sf_dir)
         plan.toPandas()
-        _drop_shuffle_outputs()
-        t0 = time.perf_counter()
-        plan.toPandas()
-        op_timings[name] = round(time.perf_counter() - t0, 4)
+        op_timings[name] = _steady(plan)
 
     # same-run DuckDB baseline: each headline query's own oracle SQL over
     # the same parquet, warm best-of-2 — so the ratio reported per round
