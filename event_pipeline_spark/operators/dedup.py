@@ -172,8 +172,12 @@ def minhash_signature(text_col: Column, num_hashes: int = 64, k: int = 3) -> Col
 
 
 def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-element arrays. |A∪B| comes from
+    inclusion–exclusion (|A|+|B|−|A∩B|) — one set operation per pair
+    instead of two, since every caller passes de-duplicated shingle
+    arrays whose sizes are already computed."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
