@@ -806,3 +806,134 @@ def _clusters_oracle_sql() -> str:
 
 
 _register("dedup_clusters", _dedup_clusters_minhash, _clusters_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs existing corpus (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _banded_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, band-hash) rows — the narrow LSH index both the
+    self-join and the cross-corpus join build candidates from."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, k_shingle).alias("_sig"),
+    )
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice("_sig", b * rows + 1, rows).cast(
+                                    "array<string>"
+                                ),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    ).select("_id", "_bucket.band", "_bucket.bh")
+
+
+def minhash_cross_near_duplicates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN a new batch and an existing corpus —
+    the incremental-ingestion flow: band both sides, join band keys
+    ACROSS sides only (never corpus×corpus, which a 100 TB re-self-join
+    would redundantly redo every batch), verify candidates exactly.
+    In production the corpus side's banded index is written once and
+    appended per batch; each ingest shuffles only the new batch's
+    (band, hash, id) rows against it. Pairs are normalized to
+    ``id_a < id_b``."""
+    kw = dict(
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    bn = _banded_signatures(new_df, **kw).alias("n")
+    bc = _banded_signatures(corpus_df, **kw).alias("c")
+    cand = (
+        bn.join(
+            bc,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bh") == F.col("c.bh"))
+            & (F.col("n._id") != F.col("c._id")),
+        )
+        .select(
+            F.least("n._id", "c._id").alias("id_a"),
+            F.greatest("n._id", "c._id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    both = new_df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k_shingle).alias("_sh"),
+    ).unionByName(
+        corpus_df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k_shingle).alias("_sh"),
+        )
+    ).dropDuplicates(["_id"])
+    return (
+        cand.join(
+            both.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            both.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+        .where(F.size(F.array_intersect("sh_a", "sh_b")) > 0)
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split: even doc_ids are the standing corpus, odd
+    doc_ids the incoming batch; report cross-side near-dup pairs."""
+    docs = _docs(spark, sf_dir)
+    return minhash_cross_near_duplicates(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    ).orderBy("id_a", "id_b")
+
+
+_register(
+    "dedup_incremental_minhash",
+    _dedup_incremental_minhash,
+    _minhash_pair_ctes()
+    + """
+       SELECT id_a, id_b, jaccard FROM verified
+       WHERE jaccard >= 0.7 AND (id_a % 2) != (id_b % 2)
+       ORDER BY id_a, id_b""",
+)

@@ -217,3 +217,31 @@ class TestDuplicateClusters:
                   .withColumnRenamed("cluster_id", "cb"), "b")
         )
         assert joined.where(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_incremental_cross_pairs_exclude_within_side(spark):
+    """The incremental flow must report only new-vs-corpus pairs: two
+    identical docs inside the corpus (or inside the batch) are that
+    side's own self-dedup problem, not this operator's."""
+    from event_pipeline_spark.operators.dedup import (
+        minhash_cross_near_duplicates,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(0, text), (2, text), (4, "completely different words here "
+                                   "about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, text), (3, "nothing like anything in the corpus at all "
+                        "zebra quartz lantern")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_cross_near_duplicates(new, corpus).collect()
+    }
+    assert (0, 1) in got and (1, 2) in got  # new doc 1 matches both copies
+    assert (0, 2) not in got  # corpus-internal duplicate NOT reported
+    assert all(3 not in pair and 4 not in pair for pair in got)
