@@ -567,3 +567,59 @@ def test_stateful_timeout_expires_idle_keys(spark, tmp_path):
     live = {r["user_id"]: r["n"] for r in rows if not r["closed"]}
     assert closed.get("a") == 2 and closed.get("b") == 1  # final counts at expiry
     assert live.get("a") == 2 and live.get("b") == 1 and live.get("c") == 1
+
+
+def test_streaming_incremental_near_dedup_against_corpus(spark, tmp_path):
+    """The production ingest flow end-to-end: each micro-batch is
+    near-dup-checked against the standing corpus (cross-side LSH, never
+    a corpus self-join) and only novel docs append — so the corpus stays
+    deduplicated as it grows, batch by batch."""
+    from event_pipeline_spark.operators.dedup import (
+        minhash_cross_near_duplicates,
+    )
+
+    src = f"file://{tmp_path}/inc_src"
+    corpus_dir = f"file://{tmp_path}/inc_corpus"
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    alt = "spark shuffles partition data across executors during wide joins"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    # seed corpus with doc 0; batch 1 brings a near-dup of it + a novel
+    # doc; batch 2 brings a near-dup of BATCH 1's novel doc
+    spark.createDataFrame(
+        [(0, base)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(corpus_dir)
+    write_batch([(10, base + " today"), (11, alt)])
+    write_batch([(20, alt + " nightly"), (21, "entirely novel zebra "
+                                              "quartz lantern text body")])
+
+    def ingest(batch_df, _bid):
+        corpus = spark.read.parquet(corpus_dir)
+        dupes = minhash_cross_near_duplicates(
+            batch_df, corpus, threshold=0.6
+        )
+        dupe_ids = dupes.select(
+            F.greatest("id_a", "id_b").alias("doc_id")
+        ).distinct()
+        batch_df.join(dupe_ids, "doc_id", "left_anti").write.mode(
+            "append"
+        ).parquet(corpus_dir)
+
+    stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{tmp_path}/inc_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    final = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert 0 in final and 11 in final and 21 in final  # seed + novels kept
+    assert 10 not in final  # near-dup of the seed rejected
+    assert 20 not in final  # near-dup of batch 1's novel doc rejected
