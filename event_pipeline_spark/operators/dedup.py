@@ -25,8 +25,9 @@ ones: every hash in the MinHash/SimHash paths derives from md5 (DuckDB
 SQL and the driver value-hash checks candidate generation, verification,
 and clustering bit-for-bit: ``dedup_exact_hash``, ``dedup_minhash_pairs``,
 ``dedup_simhash_pairs``, ``dedup_ngram_jaccard``, ``dedup_cluster_exact``,
-``dedup_clusters``. Recall against brute-force additionally asserted in
-tests/test_dedup.py.
+``dedup_clusters``, and ``dedup_incremental_minhash`` (new batch vs
+standing corpus — the incremental-ingestion flow, cross-side LSH only).
+Recall against brute-force additionally asserted in tests/test_dedup.py.
 """
 
 from __future__ import annotations
