@@ -853,9 +853,43 @@ def _banded_signatures(
     ).select("_id", "_bucket.band", "_bucket.bh")
 
 
+def build_minhash_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable corpus-side artifacts for incremental near-dup:
+    ``(banded_index, shingle_table)``.
+
+    ``banded_index`` is the narrow ``(_id, band, bh)`` LSH index;
+    ``shingle_table`` is ``(_id, _sh)`` for exact verification. A
+    production ingest loop writes both ONCE (e.g. parquet partitioned
+    by ``band``), appends each accepted batch's rows, and feeds them
+    back into :func:`minhash_cross_near_duplicates` via
+    ``corpus_index=`` / ``corpus_shingles=`` — so per-ingest cost is
+    proportional to the batch, not the standing corpus."""
+    banded = _banded_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k_shingle).alias("_sh"),
+    ).dropDuplicates(["_id"])
+    return banded, sh
+
+
 def minhash_cross_near_duplicates(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -863,15 +897,26 @@ def minhash_cross_near_duplicates(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    corpus_index: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN a new batch and an existing corpus —
     the incremental-ingestion flow: band both sides, join band keys
     ACROSS sides only (never corpus×corpus, which a 100 TB re-self-join
     would redundantly redo every batch), verify candidates exactly.
-    In production the corpus side's banded index is written once and
-    appended per batch; each ingest shuffles only the new batch's
-    (band, hash, id) rows against it. Pairs are normalized to
-    ``id_a < id_b``."""
+
+    Two ways to supply the corpus side:
+
+    - ``corpus_df``: raw documents; signatures and shingles are
+      (re)computed in this call. Fine for one-off comparisons, but the
+      cost grows with corpus size per ingest.
+    - ``corpus_index`` + ``corpus_shingles``: precomputed artifacts
+      from :func:`build_minhash_index`, typically read back from
+      parquet. This is the scaling path — the standing corpus is never
+      re-shingled; each ingest shuffles only the new batch's
+      ``(band, hash, id)`` rows against the stored index.
+
+    Pairs are normalized to ``id_a < id_b``."""
     kw = dict(
         id_col=id_col,
         text_col=text_col,
@@ -879,8 +924,21 @@ def minhash_cross_near_duplicates(
         num_hashes=num_hashes,
         bands=bands,
     )
+    if corpus_index is None or corpus_shingles is None:
+        if corpus_df is None:
+            raise ValueError(
+                "supply corpus_df, or both corpus_index and corpus_shingles"
+            )
+        corpus_index, corpus_shingles = build_minhash_index(
+            corpus_df,
+            id_col=id_col,
+            text_col=text_col,
+            k_shingle=k_shingle,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
     bn = _banded_signatures(new_df, **kw).alias("n")
-    bc = _banded_signatures(corpus_df, **kw).alias("c")
+    bc = corpus_index.alias("c")
     cand = (
         bn.join(
             bc,
@@ -894,15 +952,14 @@ def minhash_cross_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    both = new_df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k_shingle).alias("_sh"),
-    ).unionByName(
-        corpus_df.select(
+    both = (
+        new_df.select(
             F.col(id_col).alias("_id"),
             shingles(F.col(text_col), k_shingle).alias("_sh"),
         )
-    ).dropDuplicates(["_id"])
+        .unionByName(corpus_shingles)
+        .dropDuplicates(["_id"])
+    )
     return (
         cand.join(
             both.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),

@@ -243,8 +243,13 @@ def resample_ffill(
     construct: interval-scheduled re-aggregation
     (/root/reference/nexus/mixins/schedule.py:79-131) — here the
     "schedule" is materialized as data.
+
+    The bucket is derived from ``step`` itself (epoch-aligned tumbling
+    window start), so '15 minutes' and '1 day' spines bucket the data
+    at the same granularity the spine is generated at — the spine rows
+    and the aggregate buckets always line up.
     """
-    bucket = F.date_trunc("hour", F.col(ts)).alias("__h")
+    bucket = F.window(F.col(ts), step)["start"].alias("__h")
     hourly = df.groupBy(*keys, bucket).agg(
         F.count("*").alias("__n"),
         *[expr.alias(name) for name, expr in value_exprs.items()],

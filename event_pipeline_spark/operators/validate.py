@@ -21,11 +21,15 @@ Registered queries:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES = {}
 ORACLES = {}
+
+_RULE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -34,7 +38,19 @@ def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     ``rules`` maps rule name → a boolean Column that is True when the
     row SATISFIES the expectation (NULL counts as a violation, as in
     SQL constraint semantics). Returns ``rule, violations`` rows.
+
+    Rule names are interpolated into a ``stack(...)`` expression, so
+    they must be bare identifiers; anything else (or an empty rules
+    dict) raises ``ValueError`` up front rather than producing a
+    malformed SQL expression.
     """
+    if not rules:
+        raise ValueError("check_rows: rules dict must not be empty")
+    for name in rules:
+        if not _RULE_NAME.match(name):
+            raise ValueError(
+                f"check_rows: rule name {name!r} is not a bare identifier"
+            )
     counts = df.agg(
         *[
             F.sum(

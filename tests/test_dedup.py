@@ -245,3 +245,43 @@ def test_incremental_cross_pairs_exclude_within_side(spark):
     assert (0, 1) in got and (1, 2) in got  # new doc 1 matches both copies
     assert (0, 2) not in got  # corpus-internal duplicate NOT reported
     assert all(3 not in pair and 4 not in pair for pair in got)
+
+
+def test_incremental_reuses_persisted_index(spark, tmp_path):
+    """The scaling path: build the corpus index ONCE, persist it, and
+    run an ingest from the parquet artifacts alone — identical pairs to
+    the recompute path, with the raw corpus never re-shingled."""
+    from event_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_cross_near_duplicates,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(0, text), (2, text), (4, "completely different words here "
+                                   "about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, text), (3, "nothing like anything in the corpus at all "
+                        "zebra quartz lantern")],
+        "doc_id long, text string",
+    )
+    idx, sh = build_minhash_index(corpus)
+    idx.write.parquet(str(tmp_path / "index"))
+    sh.write.parquet(str(tmp_path / "shingles"))
+
+    from_artifacts = minhash_cross_near_duplicates(
+        new,
+        corpus_index=spark.read.parquet(str(tmp_path / "index")),
+        corpus_shingles=spark.read.parquet(str(tmp_path / "shingles")),
+    )
+    recomputed = minhash_cross_near_duplicates(new, corpus)
+    as_pairs = lambda df: {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    assert as_pairs(from_artifacts) == as_pairs(recomputed)
+    assert (0, 1) in {(a, b) for a, b, _ in as_pairs(from_artifacts)}
+
+    with pytest.raises(ValueError, match="corpus_df"):
+        minhash_cross_near_duplicates(new)

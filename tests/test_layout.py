@@ -118,8 +118,7 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     hit_a_z, tot2 = prunable_files(zordered, "a", 10, 40)
     assert len(hit_a_sorted) < tot1 and len(hit_a_z) < tot2
     # dimension b: only the Z-ordered layout prunes
-    hit_b_sorted, _ = prunable_files(a_sorted, "b", 10, 40)
+    hit_b_sorted, tot_b = prunable_files(a_sorted, "b", 10, 40)
     hit_b_z, totz = prunable_files(zordered, "b", 10, 40)
-    assert len(hit_b_sorted) == len(hit_b_sorted)  # baseline reads all
-    assert len(hit_b_sorted) == _
+    assert len(hit_b_sorted) == tot_b  # a-sorted layout reads every file
     assert len(hit_b_z) < totz

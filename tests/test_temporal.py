@@ -218,3 +218,45 @@ def test_resample_ffill_fills_gaps_and_carries_values(spark):
     assert rows[("a", 13)] == (1, 5.0)
     assert rows[("b", 10)] == (1, 2.0)
     assert len(rows) == 5  # b's spine is one bucket; no cross-key bleed
+
+
+def test_resample_ffill_non_hour_steps(spark):
+    """The bucket granularity follows ``step``: a 15-minute spine
+    aggregates into 15-minute buckets (no phantom always-empty rows),
+    and a daily spine rolls data up to days (nothing dropped)."""
+    from event_pipeline_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2026-01-01 10:05:00", 1.0),
+            ("a", "2026-01-01 10:20:00", 2.0),
+            ("a", "2026-01-01 11:10:00", 8.0),  # 10:30 and 10:45 are gaps
+            ("a", "2026-01-03 00:30:00", 4.0),
+        ],
+        "k string, ts_s string, v double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+
+    q = resample_ffill(
+        df.where(F.col("ts") < "2026-01-02"),
+        keys=["k"],
+        ts="ts",
+        value_exprs={"total": F.sum("v")},
+        step="15 minutes",
+    ).collect()
+    quarter = {(r["h"].hour, r["h"].minute): (r["n"], r["total"]) for r in q}
+    assert quarter[(10, 0)] == (1, 1.0)
+    assert quarter[(10, 15)] == (1, 2.0)
+    assert quarter[(10, 30)] == (0, 2.0)  # gap: count 0, carried value
+    assert quarter[(10, 45)] == (0, 2.0)
+    assert quarter[(11, 0)] == (1, 8.0)
+    assert len(quarter) == 5  # every spine row is a real 15-min bucket
+
+    d = resample_ffill(
+        df, keys=["k"], ts="ts", value_exprs={"total": F.sum("v")},
+        step="1 day",
+    ).collect()
+    daily = {r["h"].day: (r["n"], r["total"]) for r in d}
+    assert daily[1] == (3, 11.0)  # all three Jan-1 rows roll up — none dropped
+    assert daily[2] == (0, 11.0)
+    assert daily[3] == (1, 4.0)
+    assert len(daily) == 3

@@ -4,6 +4,7 @@ registered contract against DuckDB)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from event_pipeline_spark.operators.validate import (
@@ -68,3 +69,13 @@ def test_expect_unions_and_orders(spark):
     ).collect()
     assert [r["rule"] for r in rows] == ["a_fk", "z_rule"]
     assert [r["violations"] for r in rows] == [1, 0]
+
+
+def test_rule_names_must_be_bare_identifiers(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="not a bare identifier"):
+        check_rows(df, {"bad'name": F.col("k") > 0})
+    with pytest.raises(ValueError, match="not a bare identifier"):
+        check_rows(df, {"back`tick": F.col("k") > 0})
+    with pytest.raises(ValueError, match="must not be empty"):
+        check_rows(df, {})
