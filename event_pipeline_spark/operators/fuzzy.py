@@ -40,7 +40,7 @@ def fuzzy_pairs(
     *,
     max_dist: int,
     block_cols: list[str],
-    broadcast_build: bool = True,
+    broadcast_build: bool | None = None,
 ) -> DataFrame:
     """All within-block pairs with ``levenshtein(text_a, text_b) <=
     max_dist``; each unordered pair appears once (``id_a < id_b``).
@@ -48,6 +48,21 @@ def fuzzy_pairs(
     Blocking is part of the declared semantics (as with LSH bands): a
     pair in different blocks is never compared. Returns
     ``id_a, id_b, dist``.
+
+    ``broadcast_build`` is three-state, defaulting to the scale-safe
+    choice — let Catalyst decide from statistics:
+
+    - ``None`` (default): no hint. Catalyst broadcasts the build side
+      when its estimated size is under ``autoBroadcastJoinThreshold``
+      (and AQE re-checks at runtime), otherwise plans a shuffled
+      block-key join. A 100 TB corpus can never be accidentally
+      broadcast.
+    - ``True``: force broadcast — only when the caller KNOWS the
+      ``(block, id, text)`` projection fits executor memory.
+    - ``False``: force a sort-merge block join (spill-safe for
+      past-memory corpora; parallelism bounded by |blocks|, so
+      pre-salt huge blocks or LSH first — an all-pairs block of
+      millions is wrong at any setting).
     """
     # Round-robin repartition the probe side: the edit-distance kernel
     # runs inside the join's output pipeline, so its parallelism is the
@@ -66,14 +81,13 @@ def fuzzy_pairs(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
     )
-    # broadcast_build=True: pair generation parallelism is the probe
-    # side's round-robin partitioning — right when (id, text) of the
-    # whole table fits executor memory. For corpora past that, pass
-    # False: the equi-join shuffles both sides by block key instead
-    # (parallelism bounded by |blocks|; pre-salt huge blocks or LSH
-    # first — an all-pairs block of millions is wrong at any setting).
-    if broadcast_build:
+    # Under a broadcast plan the kernel's parallelism is the probe
+    # side's round-robin partitioning above; under a shuffled plan both
+    # sides hash by block key and the repartition is re-shuffled away.
+    if broadcast_build is True:
         right = F.broadcast(right)
+    elif broadcast_build is False:
+        right = right.hint("merge")
     dist: Column = F.levenshtein("text_a", "text_b", max_dist)
     return (
         left.join(right, on=block_cols)

@@ -62,3 +62,42 @@ def test_length_prefilter_loses_nothing(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_nonbroadcast_path_plans_shuffled_join_same_pairs(spark):
+    """broadcast_build=False must plan a shuffled (sort-merge) block
+    join — no BroadcastExchange anywhere — and produce pairs identical
+    to the forced-broadcast plan. This is the past-executor-memory
+    corpus path."""
+    df = _df(
+        spark,
+        [(1, "kitten", 0), (2, "sitten", 0), (3, "mitten", 0),
+         (4, "banana", 1), (5, "bananas", 1), (6, "zebra", 1)],
+    )
+    kw = dict(max_dist=2, block_cols=["blk"])
+    shuffled = fuzzy_pairs(df, "id", "s", broadcast_build=False, **kw)
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+    bcast = fuzzy_pairs(df, "id", "s", broadcast_build=True, **kw)
+    bplan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in bplan
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, bcast.collect())
+    )
+
+
+def test_default_lets_catalyst_choose_by_statistics(spark, sf_dir):
+    """With no flag, a small parquet build side is auto-broadcast from
+    its size statistics — the scale-safe default can never broadcast a
+    corpus whose stats exceed the threshold."""
+    from event_pipeline_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    auto = fuzzy_pairs(
+        cust, "c_custkey", "c_name", max_dist=2, block_cols=["c_nationkey"]
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # sf0.001 stats are under threshold
