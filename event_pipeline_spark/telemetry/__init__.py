@@ -9,6 +9,15 @@ from event_pipeline_spark.telemetry.metrics import (
     NetworkTelemetry,
     TelemetryLogger,
 )
+from event_pipeline_spark.telemetry.publisher import (
+    CompositePublisher,
+    ElasticsearchPublisher,
+    GrafanaCloudPublisher,
+    MetricsPublisher,
+    PrometheusPublisher,
+    es_bulk_payload,
+    publish_df_distributed,
+)
 from event_pipeline_spark.telemetry.reporter import (
     execution_metrics,
     failed_events,
@@ -21,8 +30,15 @@ from event_pipeline_spark.telemetry.signals import ALL_SIGNALS, SoftSignal
 
 __all__ = [
     "ALL_SIGNALS",
+    "CompositePublisher",
+    "ElasticsearchPublisher",
     "EVENT_METRICS_SCHEMA",
     "EventMetrics",
+    "GrafanaCloudPublisher",
+    "MetricsPublisher",
+    "PrometheusPublisher",
+    "es_bulk_payload",
+    "publish_df_distributed",
     "NETWORK_METRICS_SCHEMA",
     "NetworkMetrics",
     "NetworkTelemetry",
