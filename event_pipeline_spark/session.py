@@ -30,6 +30,35 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ensure_protobuf_env() -> None:
+    """Put the vendored protobuf shim on ``PYTHONPATH`` before the JVM
+    launches, when no real protobuf install exists.
+
+    ``transformWithStateInPandas`` spawns a DRIVER-side Python worker
+    (state-schema validation, ``transform_with_state_driver_worker``)
+    whose import path comes from the JVM process environment — not from
+    ``addPyFile`` — so the shim must be in the environment the JVM
+    inherits at launch. Harmless when protobuf is installed (no-op) or
+    when the JVM is already up (the var simply goes unused).
+    """
+    vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_vendor")
+    try:
+        import google.protobuf as _gp
+
+        origin = getattr(_gp, "__file__", "") or ""
+        if not origin.startswith(vendor):
+            return  # real protobuf install — don't shadow it in workers
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+        return
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            vendor + (os.pathsep + existing if existing else "")
+        )
+
+
 def get_session(
     app_name: str = "event_pipeline_spark",
     *,
@@ -53,6 +82,8 @@ def get_session(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+
+    _ensure_protobuf_env()
 
     builder = (
         SparkSession.builder.master(master)

@@ -73,14 +73,71 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+_shipped_to: set[str] = set()  # spark app ids the vendor zip was added to
 
-def has_transform_with_state() -> bool:
-    """True when the state-v2 Python client can run (protobuf installed)."""
+
+def _vendor_dir():
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parent.parent / "_vendor"
+
+
+def ensure_protobuf(spark: "Any" = None) -> bool:
+    """Make ``google.protobuf`` importable, vendoring the repo's
+    pure-Python runtime shim (``event_pipeline_spark/_vendor``) when no
+    real protobuf install exists.
+
+    Driver side: the vendor dir joins ``sys.path``. Worker side: when a
+    session is passed, the shim is zipped once and shipped via
+    ``addPyFile`` so executor Python workers can import it too — which
+    is what lets ``transformWithStateInPandas``'s state-server client
+    run in a container with no protobuf wheel and no network.
+    """
+    import importlib
+    import sys
+
     try:
         import google.protobuf  # noqa: F401
+        available = True
     except ImportError:
-        return False
-    return True
+        vendor = _vendor_dir()
+        if not (vendor / "google" / "protobuf").is_dir():
+            return False
+        if str(vendor) not in sys.path:
+            sys.path.insert(0, str(vendor))
+        importlib.invalidate_caches()
+        try:
+            import google.protobuf  # noqa: F401
+            available = True
+        except ImportError:
+            return False
+    if spark is not None and available:
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _shipped_to:
+            _shipped_to.add(app_id)
+            spark.sparkContext.addPyFile(_vendor_zip())
+    return available
+
+
+def _vendor_zip() -> str:
+    """Zip the vendored ``google`` package for addPyFile (cached)."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    out = Path(tempfile.gettempdir()) / "eps_protobuf_shim.zip"
+    vendor = _vendor_dir()
+    if not out.exists():
+        with zipfile.ZipFile(out, "w") as zf:
+            for py in sorted((vendor / "google").rglob("*.py")):
+                zf.write(py, py.relative_to(vendor))
+    return str(out)
+
+
+def has_transform_with_state(spark: "Any" = None) -> bool:
+    """True when the state-v2 Python client can run (protobuf installed
+    or the vendored shim available)."""
+    return ensure_protobuf(spark)
 
 
 def transform_with_state(
@@ -102,7 +159,7 @@ def transform_with_state(
     ``spark.sql.streaming.stateStore.providerClass`` to
     ``ROCKSDB_PROVIDER`` before starting the query.
     """
-    if not has_transform_with_state():
+    if not ensure_protobuf(df.sparkSession):
         raise RuntimeError(
             "transformWithStateInPandas needs the 'protobuf' package "
             "(pyspark's state-v2 client imports google.protobuf); install "

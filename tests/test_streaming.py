@@ -226,30 +226,32 @@ def test_running_counts_stateful(spark, tmp_path):
 
 # -- state API v2: transformWithStateInPandas --------------------------------
 
-def test_transform_with_state_gated_when_protobuf_missing(spark):
+def test_transform_with_state_gated_when_protobuf_missing(spark, monkeypatch):
     """The v2 wrapper degrades to a clear error (not a worker crash) when
-    pyspark's protobuf-based state client can't run."""
+    pyspark's protobuf-based state client can't run — simulated by
+    forcing the availability probe off (the vendored shim makes the
+    real-absence path otherwise unreachable)."""
+    import event_pipeline_spark.streaming.stateful as stateful_mod
     from event_pipeline_spark.streaming import (
-        has_transform_with_state,
         make_running_stats_processor,
         transform_with_state,
     )
 
     proc = make_running_stats_processor("user_id", "v")
     df = spark.createDataFrame([("a", 1.0)], "user_id string, v double")
-    if has_transform_with_state():
-        pytest.skip("protobuf present; gating path not reachable")
+    monkeypatch.setattr(stateful_mod, "ensure_protobuf", lambda s=None: False)
     with pytest.raises(RuntimeError, match="protobuf"):
         transform_with_state(df, ["user_id"], proc, "user_id string, n long")
 
 
 @pytest.mark.skipif(
     not has_transform_with_state(),
-    reason="protobuf not installed (pyspark state-v2 client needs it)",
+    reason="protobuf unavailable and vendored shim missing",
 )
 def test_transform_with_state_running_stats(spark, tmp_path):
-    """Per-key running stats survive micro-batches via state v2 (needs the
-    RocksDB provider + protobuf)."""
+    """Per-key running stats survive micro-batches via state v2: the
+    RocksDB provider + the repo's vendored pure-Python protobuf runtime
+    (event_pipeline_spark/_vendor) talking to the JVM state server."""
     from event_pipeline_spark.streaming import (
         ROCKSDB_PROVIDER,
         RUNNING_STATS_SCHEMA,
