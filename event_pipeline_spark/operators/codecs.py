@@ -4,10 +4,12 @@ Real decode/encode — not stubs — for the formats this environment can
 honestly handle: BMP (24-bit uncompressed BI_RGB), PPM/PGM (binary
 P6/P5), WAV (PCM integer/float), and — since round 3 — PNG (8-bit
 gray/RGB/RGBA, all five scanline filters, DEFLATE via the stdlib's
-zlib) and single-frame GIF (variable-width LZW implemented here, both
-directions). Formats that genuinely need an external codec
-(jpeg/mp3/mp4) stay behind the ``fake=True`` gate in
-``operators/multimodal.py``.
+zlib), single-frame GIF (variable-width LZW implemented here, both
+directions), and — since round 4 — baseline sequential JPEG (ITU-T
+T.81: Huffman entropy coding, DCT via basis-matrix matmuls, 4:4:4 and
+4:2:0 sampling, both directions). Formats that genuinely need an
+external codec (progressive jpeg/mp3/mp4) stay behind the
+``fake=True`` gate in ``operators/multimodal.py``.
 
 Everything here is driver/executor-side scalar code invoked from inside
 Arrow-batched ``mapInPandas`` — one call per payload, numpy throughout,
@@ -29,13 +31,14 @@ __all__ = [
     "decode_wav",
     "encode_bmp",
     "encode_gif",
+    "encode_jpeg",
     "encode_png",
     "encode_ppm",
     "encode_wav",
     "resize_nearest",
 ]
 
-SUPPORTED_IMAGE_FORMATS = ("bmp", "ppm", "pgm", "png", "gif")
+SUPPORTED_IMAGE_FORMATS = ("bmp", "ppm", "pgm", "png", "gif", "jpeg")
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +145,7 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """Binary payload → uint8 array, (H, W, 3) RGB or (H, W) gray.
 
     Raises ValueError for malformed payloads and NotImplementedError for
-    formats that need an external codec (png, jpeg, ...).
+    formats that need an external codec (webp, heic, ...).
     """
     fmt = (fmt or "").lower()
     if fmt == "bmp":
@@ -153,6 +156,8 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         return _decode_png(payload)
     if fmt == "gif":
         return _decode_gif(payload)
+    if fmt in ("jpeg", "jpg"):
+        return _decode_jpeg(payload)
     raise NotImplementedError(
         f"image format {fmt!r} requires an external codec (supported "
         f"pure-numpy formats: {SUPPORTED_IMAGE_FORMATS})"
@@ -545,3 +550,504 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF contained no image data")
+
+
+# ---------------------------------------------------------------------------
+# JPEG: baseline sequential DCT (ITU-T T.81), both directions, pure numpy
+# ---------------------------------------------------------------------------
+#
+# Decoder: marker parse (DQT/SOF0/DHT/SOS/DRI), canonical Huffman decode
+# over the byte-stuffed entropy stream, DC prediction + EXTEND, zigzag
+# dequantization, vectorized 8x8 IDCT (DCT basis matmul), chroma
+# upsampling by replication, JFIF YCbCr->RGB. Baseline only — SOF2
+# (progressive) and arithmetic coding raise NotImplementedError.
+#
+# Encoder: 4:4:4 (or grayscale) baseline JFIF. The Huffman tables are
+# generated canonical tables (DC: twelve 4-bit codes; AC: all 162
+# run/size symbols at 8 bits) — JPEG embeds tables in DHT, so any
+# Kraft-valid table is spec-correct; this avoids transcribing Annex K
+# while keeping files readable by every decoder.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+
+# IJG-style base quantization tables (public, T.81 Annex K examples)
+_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32)
+_QCHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32)
+
+
+def _dct_basis() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.full((8, 1), 0.5)
+    c[0] = 0.5 / np.sqrt(2.0)
+    return c * np.cos((2 * n + 1) * k * np.pi / 16.0)
+
+
+_DCT_C = _dct_basis()
+
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: BITS counts + symbol order."""
+
+    def __init__(self, counts: list[int], symbols: list[int]):
+        self.counts = counts
+        self.symbols = symbols
+        self.decode_map: dict[tuple[int, int], int] = {}
+        self.encode_map: dict[int, tuple[int, int]] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                sym = symbols[k]
+                self.decode_map[(length, code)] = sym
+                self.encode_map[sym] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment; un-stuffs
+    0xFF00 and stops (raising a marker signal) at real markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                raise _RestartMarker(nxt)
+            else:
+                self.marker = nxt
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside scan"
+                )
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def consume_restart(self) -> None:
+        """Skip a RSTn marker at the (byte-aligned) current position."""
+        self.byte_align()
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, code: int):
+        self.code = code
+
+
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    code, length = 0, 0
+    for _ in range(16):
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.decode_map.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    frame = None  # (precision, h, w, comps)
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                sp += 1
+                if pq:
+                    q = np.frombuffer(seg, ">u2", 64, sp).astype(np.int32)
+                    sp += 128
+                else:
+                    q = np.frombuffer(seg, np.uint8, 64, sp).astype(np.int32)
+                    sp += 64
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = q
+                qtables[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                counts = list(seg[sp + 1 : sp + 17])
+                n = sum(counts)
+                symbols = list(seg[sp + 17 : sp + 17 + n])
+                htables[(tc, th)] = _HuffTable(counts, symbols)
+                sp += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/1) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan[cs] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(
+                payload, pos + seglen, frame, scan, qtables, htables,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG contained no scan")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component coefficient planes (in 8x8 block units)
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros(
+            (mcus_y * cv * 8, mcus_x * ch * 8), np.float64
+        )
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.consume_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            try:
+                for cid, ch, cv, tq in comps:
+                    dc_t = htables[(0, scan[cid][0])]
+                    ac_t = htables[(1, scan[cid][1])]
+                    q = qtables[tq]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = _decode_block(reader, dc_t, ac_t, pred, cid)
+                            deq = blk * q
+                            px = _DCT_C.T @ deq @ _DCT_C
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _RestartMarker:
+                # encoder emitted RST early (shouldn't happen mid-MCU)
+                raise ValueError("unexpected restart marker mid-MCU")
+            mcu_count += 1
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        plane = planes[cid] + 128.0
+        # upsample to full resolution by replication
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_t, ac_t, pred, cid) -> np.ndarray:
+    coeffs = np.zeros(64, np.float64)
+    t = _huff_decode(reader, dc_t)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    coeffs[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        coeffs[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+        k += 1
+    out = np.zeros((8, 8), np.float64)
+    out.flat[:] = coeffs
+    return out
+
+
+# -- encoder ----------------------------------------------------------------
+
+def _make_dc_table() -> _HuffTable:
+    counts = [0] * 16
+    counts[3] = 12  # twelve 4-bit codes; max code 1011, never all-ones
+    return _HuffTable(counts, list(range(12)))
+
+
+def _make_ac_table() -> _HuffTable:
+    symbols = [0x00, 0xF0]  # EOB, ZRL
+    for run in range(16):
+        for size in range(1, 11):
+            symbols.append((run << 4) | size)
+    symbols = sorted(set(symbols))
+    counts = [0] * 16
+    counts[7] = len(symbols)  # all at 8 bits: 162/256 Kraft-valid
+    return _HuffTable(counts, symbols)
+
+
+_DC_TABLE = _make_dc_table()
+_AC_TABLE = _make_ac_table()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self) -> None:
+        while self.nacc:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(writer, coeffs_zz, pred, dc_t, ac_t):
+    diff = int(coeffs_zz[0]) - pred
+    t = _category(diff)
+    length, code = dc_t.encode_map[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(coeffs_zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coeffs_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_t.encode_map[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        length, code = ac_t.encode_map[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_t.encode_map[0x00]
+        writer.write(code, length)
+    return int(coeffs_zz[0])
+
+
+def _zigzag_blocks(quant: np.ndarray) -> np.ndarray:
+    """(by, bx, 8, 8) -> (by, bx, 64) in zigzag scan order."""
+    flat = quant.reshape(quant.shape[0], quant.shape[1], 64)
+    return flat[:, :, _ZIGZAG]
+
+
+def _avg_pool2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean downsample (pad to even with edge replication first)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+    ) / 4.0
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """Baseline sequential JFIF: grayscale (H, W) or RGB (H, W, 3),
+    4:4:4 or 4:2:0 chroma sampling. Lossy — round-trips within a
+    quality-dependent tolerance (exact for flat blocks at high
+    quality). Huffman tables are generated canonical tables embedded in
+    DHT (spec-valid; JPEG files carry their own tables)."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    pixels = np.asarray(pixels, np.float64)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qlum = _scaled_qtable(_QLUM, quality).reshape(8, 8).astype(np.float64)
+    qchrom = _scaled_qtable(_QCHROM, quality).reshape(8, 8).astype(np.float64)
+    if gray:
+        comps = [(pixels, qlum, 1, 1, 0)]  # (plane, q, ch, cv, tq)
+    else:
+        r, g, b = pixels[..., 0], pixels[..., 1], pixels[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            comps = [
+                (y, qlum, 2, 2, 0),
+                (_avg_pool2(cb), qchrom, 1, 1, 1),
+                (_avg_pool2(cr), qchrom, 1, 1, 1),
+            ]
+        else:
+            comps = [
+                (y, qlum, 1, 1, 0),
+                (cb, qchrom, 1, 1, 1),
+                (cr, qchrom, 1, 1, 1),
+            ]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    for tq, q in ((0, qlum),) if gray else ((0, qlum), (1, qchrom)):
+        zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    nc = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i, (_p, _q, ch, cv, tq) in enumerate(comps):
+        out += bytes([i + 1, (ch << 4) | cv, tq])
+    for tc_th, table in (
+        ((0x00,), _DC_TABLE), ((0x10,), _AC_TABLE),
+        *((((0x01,), _DC_TABLE), ((0x11,), _AC_TABLE)) if not gray else ()),
+    ):
+        body = bytes(tc_th) + bytes(table.counts) + bytes(table.symbols)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        out += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+
+    # entropy-coded data, MCU-interleaved; DCT vectorized per component
+    zz_planes = []
+    for plane, q, ch, cv, _tq in comps:
+        ph, pw = mcus_y * cv * 8, mcus_x * ch * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        dct = np.einsum("ij,abjk,lk->abil", _DCT_C, blocks - 128.0, _DCT_C)
+        zz_planes.append(_zigzag_blocks(np.rint(dct / q).astype(np.int32)))
+    writer = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_p, _q, ch, cv, _tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        preds[ci] = _encode_block(
+                            writer,
+                            zz_planes[ci][my * cv + by, mx * ch + bx],
+                            preds[ci],
+                            _DC_TABLE,
+                            _AC_TABLE,
+                        )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -7,7 +7,7 @@ codec layer is real for the formats pure numpy can handle (BMP, PPM/PGM,
 WAV-PCM — see ``operators/codecs.py``): ``fake=False`` decodes those
 payloads for real and computes real pixel/sample statistics, and
 ``resize_images(fake=False)`` does an actual decode→nearest-neighbor
-resize→re-encode round trip. Remaining compressed formats (jpeg/mp3/mp4) need
+resize→re-encode round trip. Remaining compressed formats (progressive jpeg, mp3/mp4) need
 codec libraries this container doesn't ship, so they raise
 NotImplementedError; ``fake=True`` substitutes a deterministic
 content-hash-seeded feature vector so downstream plumbing stays
@@ -166,9 +166,9 @@ FEATURES_SCHEMA = T.StructType(
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """Binary payloads → fixed-dim feature vectors via Arrow-batched
     mapInPandas. ``fake=False`` decodes for real — pure-numpy codecs for
-    bmp/ppm/pgm/png/wav (``operators/codecs.py``; png via stdlib zlib);
-    other formats raise NotImplementedError (jpeg/video need libraries
-    this container lacks)."""
+    bmp/ppm/pgm/png/gif/jpeg/wav (``operators/codecs.py``; png via
+    stdlib zlib, jpeg baseline implemented here); other formats raise
+    NotImplementedError (video needs libraries this container lacks)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

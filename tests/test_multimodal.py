@@ -485,3 +485,115 @@ def test_spectral_features_two_tones_pick_the_louder(spark):
     assert abs(row["dominant_hz"] - 1500.0) < 2.0
     # band 3 of 8 over [0,4000) is [1500,2000) — boundary: 1500 lands there
     assert row["band_energy"][3] > 0.5
+
+
+# -- JPEG codec (round 4: baseline sequential DCT, both directions) ----------
+
+def test_jpeg_flat_blocks_round_trip_exactly():
+    """Flat 8x8-aligned regions survive DCT+quantization exactly: only
+    the DC coefficient is non-zero and high-quality quantization keeps
+    it lossless."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    img = np.zeros((16, 32), np.uint8)
+    img[:8] = 200
+    img[8:] = 40
+    back = codecs.decode_image(codecs.encode_jpeg(img, quality=95), "jpeg")
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+def test_jpeg_rgb_444_near_lossless_at_high_quality():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    x = np.linspace(0, 255, 40)
+    rgb = np.stack(
+        [np.tile(x, (32, 1)), np.tile(x[::-1], (32, 1)),
+         np.full((32, 40), 90.0)],
+        axis=-1,
+    ).astype(np.uint8)
+    data = codecs.encode_jpeg(rgb, quality=95)
+    back = codecs.decode_image(data, "jpeg")
+    assert back.shape == rgb.shape
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    assert err.max() <= 2  # smooth gradients: near-lossless at q95
+    assert len(data) < rgb.nbytes  # actually compressed
+
+
+def test_jpeg_420_subsampling_and_odd_dimensions():
+    """4:2:0 exercises the decoder's MCU interleave (4 Y blocks + Cb +
+    Cr) and chroma upsample; odd dims exercise edge padding/cropping."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    grad = np.zeros((19, 21, 3), np.uint8)
+    grad[..., 0] = np.linspace(20, 230, 21)[None, :]
+    grad[..., 1] = np.linspace(240, 30, 19)[:, None]
+    grad[..., 2] = 128
+    data = codecs.encode_jpeg(grad, quality=92, subsample="420")
+    back = codecs.decode_image(data, "jpeg")
+    assert back.shape == grad.shape
+    err = np.abs(back.astype(int) - grad.astype(int))
+    assert err.mean() < 6  # chroma is quarter-res; luma stays tight
+    y_in = 0.299 * grad[..., 0] + 0.587 * grad[..., 1] + 0.114 * grad[..., 2]
+    y_out = 0.299 * back[..., 0] + 0.587 * back[..., 1] + 0.114 * back[..., 2]
+    assert np.abs(y_in - y_out).max() <= 6
+
+
+def test_jpeg_grayscale_and_quality_tradeoff():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    hi = codecs.encode_jpeg(img, quality=95)
+    lo = codecs.encode_jpeg(img, quality=30)
+    assert len(lo) < len(hi)  # harsher quantization compresses harder
+    err_hi = np.abs(
+        codecs.decode_image(hi, "jpeg").astype(int) - img.astype(int)
+    ).mean()
+    err_lo = np.abs(
+        codecs.decode_image(lo, "jpeg").astype(int) - img.astype(int)
+    ).mean()
+    assert err_hi < err_lo  # and loses more signal
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import numpy as np
+    import pytest
+
+    from event_pipeline_spark.operators import codecs
+
+    data = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        codecs.decode_image(bytes(data), "jpeg")
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_image(b"not a jpeg at all", "jpeg")
+
+
+def test_jpeg_flows_through_multimodal_features(spark):
+    """JPEG payloads ride the fake=False feature path end-to-end —
+    closing the r3 gate that raised NotImplementedError for jpeg."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = codecs.encode_jpeg(px, quality=85)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), {"format": "jpeg"})],
+        "media_id long, content binary, meta struct<format: string>",
+    )
+    row = extract_features(df, fake=False).first()
+    assert row["n_bytes"] == len(payload)
+    assert len(row["features"]) > 0 and all(f == f for f in row["features"])
