@@ -22,8 +22,12 @@ from event_pipeline_spark.streaming.scheduler import (
 from event_pipeline_spark.streaming.stateful import (
     ROCKSDB_PROVIDER,
     RUNNING_STATS_SCHEMA,
+    SESSION_LOG_SCHEMA,
+    TIMER_SCHEMA,
     has_transform_with_state,
     make_running_stats_processor,
+    make_session_log_processor,
+    make_timer_processor,
     running_counts,
     stateful_apply,
     transform_with_state,
@@ -42,6 +46,8 @@ from event_pipeline_spark.streaming.windows import (
 __all__ = [
     "ROCKSDB_PROVIDER",
     "RUNNING_STATS_SCHEMA",
+    "SESSION_LOG_SCHEMA",
+    "TIMER_SCHEMA",
     "dedup_stream",
     "CronSchedule",
     "EmbeddedScheduler",
@@ -55,6 +61,8 @@ __all__ = [
     "observe_errors",
     "has_transform_with_state",
     "make_running_stats_processor",
+    "make_session_log_processor",
+    "make_timer_processor",
     "make_trigger",
     "read_parquet_stream",
     "running_counts",

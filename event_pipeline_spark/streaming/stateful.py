@@ -218,6 +218,120 @@ def make_running_stats_processor(key: str = "user_id", value_col: str = "value")
 RUNNING_STATS_SCHEMA = "user_id string, n long, total double, mn double, mx double"
 
 
+def make_session_log_processor(
+    key: str = "user_id", value_col: str = "value", ttl_ms: int | None = None
+):
+    """A StatefulProcessor exercising the full state-v2 variable
+    surface: a ListState event log (appendValue/get), a MapState of
+    per-bucket counts (updateValue/iterator), and an optional TTL on the
+    ValueState total — the named-state shapes the reference's stateful
+    events would map onto. Emits one row per key per batch with the log
+    length, distinct bucket count, and running total."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionLog(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._log = handle.getListState("log", "v double")
+            self._buckets = handle.getMapState(
+                "buckets", "b long", "cnt long"
+            )
+            self._total = handle.getValueState(
+                "total", "t double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            for pdf in rows:
+                for v in pdf[value_col]:
+                    v = float(v)
+                    self._log.appendValue((v,))
+                    bucket = int(v // 10)
+                    prev = (
+                        self._buckets.getValue((bucket,))[0]
+                        if self._buckets.containsKey((bucket,))
+                        else 0
+                    )
+                    self._buckets.updateValue((bucket,), (prev + 1,))
+                    total += v
+            self._total.update((total,))
+            log_len = sum(1 for _ in self._log.get())
+            n_buckets = sum(1 for _ in self._buckets.keys())
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "log_len": [log_len],
+                    "n_buckets": [n_buckets],
+                    "total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionLog()
+
+
+SESSION_LOG_SCHEMA = (
+    "user_id string, log_len long, n_buckets long, total double"
+)
+
+
+def make_timer_processor(key_col: str = "user_id", delay_ms: int = 10):
+    """A StatefulProcessor exercising the timer protocol: every input
+    batch registers a processing-time timer ``delay_ms`` ahead (after
+    listing existing timers); when it fires, ``handleExpiredTimer``
+    emits a ``fired=true`` row carrying the expiry. Covers
+    RegisterTimer / ListTimers / ExpiryTimerRequest — the reference's
+    scheduled-followup shape (mixins/schedule.py) on state-v2."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimerProc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            n = self._seen.get()[0] if self._seen.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._seen.update((n,))
+            existing = list(self._handle.listTimers())
+            now = timer_values.getCurrentProcessingTimeInMs()
+            self._handle.registerTimer(now + delay_ms)
+            yield pd.DataFrame(
+                {
+                    key_col: [key_tuple[0]],
+                    "n": [n],
+                    "fired": [False],
+                    "timers_before": [len(existing)],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 — pyspark calls by keyword
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [-1],
+                    "fired": [True],
+                    "timers_before": [0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TimerProc()
+
+
+TIMER_SCHEMA = "user_id string, n long, fired boolean, timers_before long"
+
+
 def sessionizing_counts(
     df: DataFrame, key: str = "user_id", idle_ms: int = 2_000
 ) -> DataFrame:

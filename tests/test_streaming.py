@@ -625,3 +625,122 @@ def test_streaming_incremental_near_dedup_against_corpus(spark, tmp_path):
     assert 0 in final and 11 in final and 21 in final  # seed + novels kept
     assert 10 not in final  # near-dup of the seed rejected
     assert 20 not in final  # near-dup of batch 1's novel doc rejected
+
+
+def test_transform_with_state_list_map_and_ttl(spark, tmp_path):
+    """The full state-v2 variable surface live: ListState append/get,
+    MapState update/keys, ValueState with TTL — exercising the shim's
+    repeated-bytes, map-call, and TTLConfig wire paths against the JVM
+    state server across micro-batches."""
+    from event_pipeline_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        SESSION_LOG_SCHEMA,
+        make_session_log_processor,
+        transform_with_state,
+    )
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        src_dir = f"file://{tmp_path}/tws2_src"
+        mk = lambda rows: spark.createDataFrame(rows, "user_id string, v double")  # noqa: E731
+        mk([("a", 3.0), ("a", 17.0), ("b", 25.0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+        mk([("a", 12.0)]).coalesce(1).write.mode("append").parquet(src_dir)
+
+        stream = read_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+        out = transform_with_state(
+            stream,
+            ["user_id"],
+            make_session_log_processor("user_id", "v", ttl_ms=3_600_000),
+            SESSION_LOG_SCHEMA,
+            time_mode="ProcessingTime",  # required for TTL-carrying state
+        )
+        # In ProcessingTime mode the engine keeps scheduling no-data
+        # batches for timer/TTL bookkeeping, so availableNow never
+        # terminates on its own: poll for the expected rows, then stop.
+        q = (
+            out.writeStream.format("memory").queryName("tws2")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_path}/tws2_ckpt")
+            .trigger(processingTime="1 second").start()
+        )
+        try:
+            def snapshot():
+                return {
+                    r["user_id"]: (r["log_len"], r["n_buckets"], r["total"])
+                    for r in spark.table("tws2")
+                    .groupBy("user_id")
+                    .agg(
+                        F.max("log_len").alias("log_len"),
+                        F.max("n_buckets").alias("n_buckets"),
+                        F.max("total").alias("total"),
+                    )
+                    .collect()
+                }
+
+            # a: values 3.0, 17.0 (batch 1) + 12.0 (batch 2) -> log of
+            # 3, buckets {0, 1}, total 32; state carried across batches
+            want = {"a": (3, 2, 32.0), "b": (1, 1, 25.0)}
+            deadline = time.time() + 120
+            final = snapshot()
+            while final != want and time.time() < deadline:
+                time.sleep(2)
+                final = snapshot()
+            assert final == want
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_timers_fire(spark, tmp_path):
+    """Processing-time timers live: registerTimer in handleInputRows,
+    the engine fires handleExpiredTimer on a later batch, listTimers
+    sees pending timers — covering the shim's RegisterTimer/ListTimers/
+    ExpiryTimerRequest + StateResponseWithTimer wire paths."""
+    from event_pipeline_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        TIMER_SCHEMA,
+        make_timer_processor,
+        transform_with_state,
+    )
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        src_dir = f"file://{tmp_path}/twst_src"
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "user_id string, v double"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+        stream = read_parquet_stream(spark, src_dir)
+        out = transform_with_state(
+            stream,
+            ["user_id"],
+            make_timer_processor("user_id", delay_ms=10),
+            TIMER_SCHEMA,
+            time_mode="ProcessingTime",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("twst")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_path}/twst_ckpt")
+            .trigger(processingTime="1 second").start()
+        )
+        try:
+            deadline = time.time() + 120
+            fired = set()
+            while len(fired) < 2 and time.time() < deadline:
+                time.sleep(2)
+                fired = {
+                    r["user_id"]
+                    for r in spark.table("twst").where("fired").collect()
+                }
+            assert fired == {"a", "b"}  # both keys' timers expired
+            rows = spark.table("twst").where("NOT fired").collect()
+            assert {r["user_id"]: r["n"] for r in rows} == {"a": 1, "b": 1}
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
