@@ -322,3 +322,48 @@ ORACLES["resample_ffill_hourly"] = """
     FROM spine s LEFT JOIN hourly USING (user_id, h)
     ORDER BY s.user_id, s.h
 """
+
+
+def q_resample_ffill_15min(spark, sf_dir: str) -> DataFrame:
+    """Quarter-hour spine for users 0-2 — locks the step-derived
+    bucketing (epoch-aligned tumbling window == DuckDB time_bucket) so
+    a regression back to hardcoded hourly buckets hash-mismatches."""
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events").where(F.col("user_id") < 3)
+    cents = F.sum(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    out = resample_ffill(
+        events,
+        keys=["user_id"],
+        ts="ts",
+        value_exprs={"cents": cents},
+        step="15 minutes",
+    )
+    return out.select(
+        "user_id",
+        "h",
+        "n",
+        (F.col("cents") / 100.0).alias("filled"),
+    ).orderBy("user_id", "h")
+
+
+QUERIES["resample_ffill_15min"] = q_resample_ffill_15min
+ORACLES["resample_ffill_15min"] = """
+    WITH bucketed AS (
+      SELECT user_id, time_bucket(INTERVAL 15 MINUTE, ts) AS h,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events WHERE user_id < 3
+      GROUP BY user_id, time_bucket(INTERVAL 15 MINUTE, ts)),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 15 MINUTE)) AS h
+      FROM bucketed GROUP BY user_id)
+    SELECT s.user_id, s.h, COALESCE(n, 0) AS n,
+           last_value(cents IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.h) / 100.0 AS filled
+    FROM spine s LEFT JOIN bucketed USING (user_id, h)
+    ORDER BY s.user_id, s.h
+"""

@@ -5,6 +5,7 @@ listener→signal bridge."""
 from event_pipeline_spark.streaming.listeners import SignalBridgeListener
 from event_pipeline_spark.streaming.observe import (
     ObservedMetricsCollector,
+    publisher_callback,
     observe,
     observe_errors,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "CronSchedule",
     "EmbeddedScheduler",
     "ObservedMetricsCollector",
+    "publisher_callback",
     "ScheduleError",
     "get_pipeline_scheduler",
     "schedule_pipeline",

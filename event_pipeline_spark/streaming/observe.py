@@ -54,6 +54,26 @@ def observe_errors(df: DataFrame, name: str = "stage", error_col: str = "error")
     )
 
 
+def publisher_callback(
+    publisher, operation_prefix: str = "stream"
+) -> Callable[[str, dict], None]:
+    """Bridge observed metrics to the telemetry publisher surface: a
+    callback for :class:`ObservedMetricsCollector` that exports each
+    micro-batch's observation as a network-shaped metric record
+    (``operation = "<prefix>:<observation name>"``) through any
+    ``MetricsPublisher`` — Elasticsearch bulk docs, a Grafana HTTP
+    push, or a composite fan-out — so a running stream's per-batch
+    health lands in the same monitoring backends as the batch
+    pipelines', with zero extra query passes."""
+
+    def cb(name: str, metrics: dict) -> None:
+        publisher.publish_network_metrics(
+            {**metrics, "operation": f"{operation_prefix}:{name}"}
+        )
+
+    return cb
+
+
 class ObservedMetricsCollector(StreamingQueryListener):
     """Accumulates ``observedMetrics`` per observation name across
     micro-batches; optionally invokes ``callback(name, metrics_dict)``

@@ -260,3 +260,48 @@ def test_publish_df_distributed_exports_from_executors(spark, tmp_path):
 
     with pytest.raises(ValueError, match="kind"):
         publish_df_distributed(df, FilePublisher, kind="bogus")
+
+
+def test_observed_stream_metrics_reach_a_publisher(spark, tmp_path):
+    """Live bridge: a streaming query's per-batch observed metrics flow
+    through ObservedMetricsCollector -> publisher_callback -> an ES
+    publisher, landing as bulk NDJSON docs tagged stream:<name>."""
+    from event_pipeline_spark.streaming import (
+        ObservedMetricsCollector,
+        observe_errors,
+        publisher_callback,
+    )
+
+    src_dir = f"file://{tmp_path}/pub_src"
+    spark.createDataFrame(
+        [(1, False), (2, True), (3, False)], "id long, error boolean"
+    ).coalesce(1).write.parquet(src_dir)
+
+    cap = _Capture()
+    pub = ElasticsearchPublisher(["http://es:9200"], transport=cap)
+    collector = ObservedMetricsCollector(callback=publisher_callback(pub))
+    spark.streams.addListener(collector)
+    try:
+        stream = spark.readStream.schema("id long, error boolean").parquet(src_dir)
+        q = (
+            observe_errors(stream, "ingest")
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp_path}/pub_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        deadline = __import__("time").time() + 15
+        while not cap.calls and __import__("time").time() < deadline:
+            __import__("time").sleep(0.5)  # listener events are async
+    finally:
+        spark.streams.removeListener(collector)
+    assert cap.calls, "no metrics were published"
+    docs = [
+        json.loads(line)
+        for _u, body, _h in cap.calls
+        for line in body.decode().splitlines()[1::2]
+    ]
+    ingest = [d for d in docs if d.get("operation") == "stream:ingest"]
+    assert ingest and ingest[0]["metric_type"] == "network"
+    assert ingest[0]["n"] == 3 and ingest[0]["errs"] == 1
