@@ -9,6 +9,12 @@ from event_pipeline_spark.telemetry.metrics import (
     NetworkTelemetry,
     TelemetryLogger,
 )
+from event_pipeline_spark.telemetry.collector import (
+    MetricsCollector,
+    TelemetryLoggerFactory,
+    register_collectors,
+    unregister_collectors,
+)
 from event_pipeline_spark.telemetry.publisher import (
     CompositePublisher,
     ElasticsearchPublisher,
@@ -35,6 +41,7 @@ __all__ = [
     "EVENT_METRICS_SCHEMA",
     "EventMetrics",
     "GrafanaCloudPublisher",
+    "MetricsCollector",
     "MetricsPublisher",
     "PrometheusPublisher",
     "es_bulk_payload",
@@ -44,6 +51,9 @@ __all__ = [
     "NetworkTelemetry",
     "SoftSignal",
     "TelemetryLogger",
+    "TelemetryLoggerFactory",
+    "register_collectors",
+    "unregister_collectors",
     "execution_metrics",
     "failed_events",
     "failed_network_ops",

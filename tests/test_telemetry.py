@@ -193,3 +193,111 @@ def test_run_registry_and_first_error(spark):
     assert get_run(run.run_id) is run  # state cache (pipeline.py:68-147)
     err = run.first_error_record()
     assert err is not None and "RegBad" in err.events
+
+
+# -- signal-driven collector (reference collector.py/factory.py parity) ------
+
+def test_collector_records_pipeline_run_via_signals(spark):
+    """register_collectors wires the signal bus to the factory's
+    logger: a DAG run lands start/end rows with durations, and a
+    failing stage records its error — the executor never touches
+    telemetry directly."""
+    from event_pipeline_spark.core.events import EventRegistry, event
+    from event_pipeline_spark.plans.dag import build_dag
+    from event_pipeline_spark.plans.executor import PipelineRunner
+    from event_pipeline_spark.telemetry import (
+        TelemetryLoggerFactory,
+        register_collectors,
+        unregister_collectors,
+    )
+
+    @event
+    def TcOk(spark, previous_result):
+        return True, None
+
+    @event
+    def TcBoom(spark, previous_result):
+        raise ValueError("kaput")
+
+    EventRegistry.register(TcOk)
+    EventRegistry.register(TcBoom)
+    TelemetryLoggerFactory.reset()
+    register_collectors()
+    try:
+        PipelineRunner(spark).run(build_dag("TcOk->TcBoom"))
+    finally:
+        unregister_collectors()
+    try:
+        metrics = {
+            m.task_id: m
+            for m in TelemetryLoggerFactory.get_logger().get_all_metrics()
+        }
+        assert metrics["TcOk"].status == "completed"
+        assert metrics["TcOk"].duration() >= 0.0
+        assert metrics["TcOk"].end_time is not None
+        assert metrics["TcBoom"].status == "failed"
+        assert "kaput" in (metrics["TcBoom"].error or "")
+    finally:
+        TelemetryLoggerFactory.reset()
+
+
+def test_collector_counts_retries(spark):
+    from event_pipeline_spark.core.events import (
+        EventBase,
+        EventRegistry,
+        RetryPolicy,
+    )
+    from event_pipeline_spark.plans.dag import build_dag
+    from event_pipeline_spark.plans.executor import PipelineRunner
+    from event_pipeline_spark.telemetry import (
+        TelemetryLoggerFactory,
+        register_collectors,
+        unregister_collectors,
+    )
+
+    calls = {"n": 0}
+
+    class TcFlaky(EventBase):
+        executor = None
+
+        def get_retry_policy(self):
+            return RetryPolicy(max_attempts=3, backoff_factor=0.0)
+
+        def process(self, *a, **k):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("flaky")
+            return True, None
+
+    EventRegistry.register(TcFlaky)
+    TelemetryLoggerFactory.reset()
+    register_collectors()
+    try:
+        PipelineRunner(spark).run(build_dag("TcFlaky"))
+    finally:
+        unregister_collectors()
+    try:
+        rows = TelemetryLoggerFactory.get_logger().get_all_metrics()
+        flaky = [m for m in rows if m.task_id == "TcFlaky"]
+        assert flaky and flaky[0].retry_count == 2  # attempts 2 and 3
+        assert flaky[0].status == "completed"
+    finally:
+        TelemetryLoggerFactory.reset()
+
+
+def test_factory_swaps_logger_class():
+    from event_pipeline_spark.telemetry import (
+        TelemetryLogger,
+        TelemetryLoggerFactory,
+    )
+
+    class Custom(TelemetryLogger):
+        pass
+
+    TelemetryLoggerFactory.reset()
+    base = TelemetryLoggerFactory.get_logger()
+    assert TelemetryLoggerFactory.get_logger() is base  # singleton
+    TelemetryLoggerFactory.set_logger_class(Custom)
+    assert isinstance(TelemetryLoggerFactory.get_logger(), Custom)
+    TelemetryLoggerFactory.reset()
+    assert type(TelemetryLoggerFactory.get_logger()) is TelemetryLogger
