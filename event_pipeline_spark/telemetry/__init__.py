@@ -32,7 +32,7 @@ from event_pipeline_spark.telemetry.reporter import (
     slow_events,
     slow_network_ops,
 )
-from event_pipeline_spark.telemetry.signals import ALL_SIGNALS, SoftSignal
+from event_pipeline_spark.telemetry.signals import ALL_SIGNALS, SoftSignal, listener
 
 __all__ = [
     "ALL_SIGNALS",
@@ -55,6 +55,7 @@ __all__ = [
     "register_collectors",
     "unregister_collectors",
     "execution_metrics",
+    "listener",
     "failed_events",
     "failed_network_ops",
     "retry_stats",

@@ -85,6 +85,32 @@ class SoftSignal:
         return responses
 
 
+def listener(
+    signal: "SoftSignal | typing.Iterable[SoftSignal]",
+    sender: typing.Any = None,
+    weak: bool = True,
+):
+    """Decorator connecting a callback to one or more signals
+    (reference decorators.py:53-93):
+
+        @listener(event_execution_end)
+        def on_end(sender, signal, **kwargs): ...
+
+        @listener([pipeline_execution_start, pipeline_execution_end])
+        def on_edge(sender, signal, **kwargs): ...
+
+    Pass ``weak=False`` for lambdas/locals that would otherwise be
+    garbage-collected out of the weak listener set."""
+
+    def wrapper(func):
+        targets = signal if isinstance(signal, (list, tuple)) else [signal]
+        for s in targets:
+            s.connect(listener=func, sender=sender, weak=weak)
+        return func
+
+    return wrapper
+
+
 # The reference's declared lifecycle signals (signals.py:213-285), same
 # names and provide_args.
 pipeline_pre_init = SoftSignal("pipeline_pre_init", ["args", "kwargs"])

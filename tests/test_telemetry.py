@@ -301,3 +301,25 @@ def test_factory_swaps_logger_class():
     assert isinstance(TelemetryLoggerFactory.get_logger(), Custom)
     TelemetryLoggerFactory.reset()
     assert type(TelemetryLoggerFactory.get_logger()) is TelemetryLogger
+
+
+def test_listener_decorator_connects_to_one_or_many_signals():
+    from event_pipeline_spark.telemetry.signals import SoftSignal, listener
+
+    a, b = SoftSignal("sig_a", ["x"]), SoftSignal("sig_b", ["x"])
+    seen = []
+
+    @listener(a, weak=False)
+    def single(sender, signal, x):
+        seen.append(("single", signal.name, x))
+
+    @listener([a, b], weak=False)
+    def multi(sender, signal, x):
+        seen.append(("multi", signal.name, x))
+
+    a.emit(sender=None, x=1)
+    b.emit(sender=None, x=2)
+    assert ("single", "sig_a", 1) in seen
+    assert ("multi", "sig_a", 1) in seen
+    assert ("multi", "sig_b", 2) in seen
+    assert ("single", "sig_b", 2) not in seen
