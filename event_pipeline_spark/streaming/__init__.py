@@ -3,6 +3,10 @@ stateful per-key processing, foreachBatch DAG execution, trigger mapping,
 listener→signal bridge."""
 
 from event_pipeline_spark.streaming.listeners import SignalBridgeListener
+from event_pipeline_spark.streaming.neardedup import (
+    NEAR_DEDUP_SCHEMA,
+    streaming_near_dedup,
+)
 from event_pipeline_spark.streaming.observe import (
     ObservedMetricsCollector,
     publisher_callback,
@@ -50,8 +54,10 @@ __all__ = [
     "SESSION_LOG_SCHEMA",
     "TIMER_SCHEMA",
     "dedup_stream",
+    "streaming_near_dedup",
     "CronSchedule",
     "EmbeddedScheduler",
+    "NEAR_DEDUP_SCHEMA",
     "ObservedMetricsCollector",
     "publisher_callback",
     "ScheduleError",

@@ -1,0 +1,177 @@
+"""Streaming near-duplicate detection: the MinHash-LSH banded index
+lives IN the state store, so every micro-batch is checked against the
+entire corpus seen so far without re-reading or re-shingling it.
+
+This composes the repo's two scale pillars: the batch incremental flow
+(``operators/dedup.py::minhash_cross_near_duplicates``) re-bands or
+re-loads the standing corpus per ingest; here the index is Spark
+state — ``transformWithStateInPandas`` keyed on the LSH bucket
+``(band, bh)``, each bucket holding a ``ListState`` of the documents
+that ever hashed into it. A new document shuffles only its own
+``bands`` narrow rows to the buckets it lands in; candidate
+verification (exact Jaccard) happens inside the bucket against only
+that bucket's residents. State is RocksDB-backed — a billion-document
+index never touches the driver.
+
+Cost contract: each document's shingle set is stored once per band
+(``bands``× duplication) so verification is bucket-local. For corpora
+where that is too fat, store only ``(id, signature)`` in state and
+verify in ``foreachBatch`` against a document store — same topology,
+one extra join.
+
+Output rows are VERIFIED pairs ``(id_a, id_b, jaccard)`` with
+``id_a < id_b``; a pair sharing several bands is emitted by each, so
+downstream consumers de-duplicate (streaming ``dropDuplicates`` on the
+pair key, or per-batch distinct in ``foreachBatch``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NEAR_DEDUP_SCHEMA = "id_a long, id_b long, jaccard double"
+
+
+def _make_bucket_processor(threshold: float):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BucketIndex(StatefulProcessor):
+        """Per-LSH-bucket resident list + exact verification."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._residents = handle.getListState(
+                "residents", "id long, sh array<string>"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            existing = [
+                (int(rid), set(sh)) for rid, sh in self._residents.get()
+            ]
+            out_a, out_b, out_j = [], [], []
+            fresh: list[tuple[int, list[str]]] = []
+            seen_ids = {rid for rid, _ in existing}
+            for pdf in rows:
+                for rid, sh in zip(pdf["docid"], pdf["sh"]):
+                    rid = int(rid)
+                    if rid in seen_ids:
+                        continue  # replays/duplicate band rows are no-ops
+                    sh_set = set(sh)
+                    for oid, osh in existing:
+                        inter = len(sh_set & osh)
+                        if not inter:
+                            continue
+                        j = inter / (len(sh_set) + len(osh) - inter)
+                        if j >= threshold:
+                            out_a.append(min(rid, oid))
+                            out_b.append(max(rid, oid))
+                            out_j.append(round(j, 6))
+                    existing.append((rid, sh_set))
+                    seen_ids.add(rid)
+                    fresh.append((rid, list(sh)))
+            for rid, sh in fresh:
+                self._residents.appendValue((rid, sh))
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "jaccard": out_j}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return BucketIndex()
+
+
+def _banded_with_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """``(band, bh, docid, sh)`` rows: the LSH bucket key per band plus
+    the shingle payload for in-bucket verification. Same signature and
+    banding math as the batch index (dedup.py::_banded_signatures),
+    inlined so the shingle column survives the explode — a stream-stream
+    self-join would need watermark bookkeeping for no gain. Payload
+    columns use bare names: the state-v2 Arrow serializer positionally
+    renames leading-underscore non-key columns (observed: _id -> _0)."""
+    from event_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+    )
+
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k_shingle).alias("_sh"),
+        minhash_signature(F.col(text_col), num_hashes, k_shingle).alias(
+            "_sig"
+        ),
+    )
+    return sig.select(
+        F.col("_id").alias("docid"),
+        F.col("_sh").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice("_sig", b * rows + 1, rows).cast(
+                                    "array<string>"
+                                ),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    ).select("docid", "sh", "_bucket.band", "_bucket.bh")
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Verified near-duplicate pairs of a streaming document source
+    against everything previously streamed (and within each batch).
+
+    Pipeline: Arrow-batched MinHash signatures → explode to narrow
+    ``(band, bh, id, shingles)`` rows → ``transformWithStateInPandas``
+    keyed on the bucket. Requires the RocksDB state store provider and
+    an update/append output mode on the writer.
+    """
+    from event_pipeline_spark.streaming.stateful import transform_with_state
+
+    rows = _banded_with_shingles(
+        stream.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ),
+        "__id",
+        "__text",
+        k_shingle,
+        num_hashes,
+        bands,
+    )
+    return transform_with_state(
+        rows,
+        ["band", "bh"],
+        _make_bucket_processor(threshold),
+        NEAR_DEDUP_SCHEMA,
+        output_mode="Update",
+    )

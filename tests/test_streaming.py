@@ -744,3 +744,54 @@ def test_transform_with_state_timers_fire(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_near_dedup_finds_cross_batch_pairs(spark, tmp_path):
+    """The LSH index lives in state: a doc streamed in batch 2 is
+    caught against its batch-1 near-duplicate without re-reading the
+    corpus; unrelated docs pair with nothing; exact duplicates report
+    jaccard 1.0."""
+    from event_pipeline_spark.streaming import streaming_near_dedup
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the fence with great interest")
+    near = text.replace("great interest", "mild interest")
+    other = ("completely different words about spark shuffles catalyst "
+             "plans and adaptive query execution at petabyte scale")
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        src_dir = f"file://{tmp_path}/nd_src"
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+        mk([(1, text), (2, other), (3, text)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+        mk([(4, near), (5, "zebra quartz lantern nothing alike "
+                           "whatsoever in any shingle")]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+        stream = read_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+        pairs = streaming_near_dedup(stream, threshold=0.5)
+        q = (
+            pairs.writeStream.format("memory").queryName("nd")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_path}/nd_ckpt")
+            .trigger(availableNow=True).start()
+        )
+        _await(q)
+        rows = spark.table("nd").collect()
+        got = {}
+        for r in rows:
+            got[(r["id_a"], r["id_b"])] = r["jaccard"]
+        # batch-1 exact duplicate
+        assert got.get((1, 3)) == 1.0
+        # batch-2 doc vs batch-1 corpus: caught via state, high jaccard
+        assert (1, 4) in got and got[(1, 4)] >= 0.5
+        assert (3, 4) in got
+        # unrelated docs never pair
+        assert all(2 not in p and 5 not in p for p in got)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
