@@ -179,3 +179,79 @@ _register(
         SELECT doc_id, lang FROM ranked WHERE rk <= {_K}
         ORDER BY lang, doc_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (round 4)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_epoch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    epoch: int = 0,
+    seed: str = "",
+    global_sort: bool = False,
+    buckets: int = 256,
+) -> DataFrame:
+    """A reproducible per-epoch permutation of a training corpus: every
+    engine, every re-run, every resume sees the same order for the same
+    ``(seed, epoch)``, and different epochs are statistically unrelated
+    orders — the property epoch shuffling needs without any RNG state.
+
+    Order key = ``md5(key || '|' || seed || '|' || epoch)`` (engine-
+    portable like every operator in this module). Two materialization
+    modes:
+
+    - ``global_sort=False`` (default, the 100 TB path): shuffle rows to
+      ``buckets`` partitions by the hash prefix and sort WITHIN each —
+      a deterministic permutation when partitions are consumed in
+      order, at the cost of one hash exchange + local sorts, never a
+      global range sort.
+    - ``global_sort=True``: total order with a ``pos`` column (range
+      partition + merge) — for bounded eval sets and the exact-order
+      oracle below.
+    """
+    h = F.md5(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit(f"|{seed}|{epoch}")
+        )
+    ).alias("__ord")
+    with_key = df.select("*", h)
+    if global_sort:
+        w = Window.orderBy(F.col("__ord"), F.col(key_col))
+        return (
+            with_key.withColumn("pos", F.row_number().over(w))
+            .drop("__ord")
+        )
+    bucket = F.conv(F.substring("__ord", 1, 4), 16, 10).cast("int") % buckets
+    return (
+        with_key.repartition(buckets, bucket)
+        .sortWithinPartitions("__ord", key_col)
+        .drop("__ord")
+    )
+
+
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-order oracle for the epoch-3 shuffle of a 500-doc slice:
+    the position of every document must match DuckDB's computation of
+    the same md5 order."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return (
+        shuffle_epoch(docs, "doc_id", epoch=3, seed="ep", global_sort=True)
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    )
+
+
+_register(
+    "shuffle_epoch",
+    q_shuffle_epoch,
+    """SELECT doc_id,
+              row_number() OVER (
+                  ORDER BY md5(doc_id::VARCHAR || '|ep|3'), doc_id
+              ) AS pos
+       FROM documents WHERE doc_id < 500
+       ORDER BY pos""",
+)
