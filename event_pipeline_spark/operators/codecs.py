@@ -8,8 +8,9 @@ zlib), single-frame GIF (variable-width LZW implemented here, both
 directions), and — since round 4 — baseline sequential JPEG (ITU-T
 T.81: Huffman entropy coding, DCT via basis-matrix matmuls, 4:4:4 and
 4:2:0 sampling, both directions). Formats that genuinely need an
-external codec (progressive jpeg/mp3/mp4) stay behind the
-``fake=True`` gate in ``operators/multimodal.py``.
+external codec (progressive jpeg, inter-frame video, mp3/mp4) stay
+behind the ``fake=True`` gate in ``operators/multimodal.py``; MJPEG
+AVI video is real here (round 4) — RIFF container + per-frame JPEG.
 
 Everything here is driver/executor-side scalar code invoked from inside
 Arrow-batched ``mapInPandas`` — one call per payload, numpy throughout,
@@ -1051,3 +1052,92 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG: RIFF container, one JPEG per frame (round 4)
+# ---------------------------------------------------------------------------
+#
+# Motion-JPEG in an AVI RIFF container — the simplest real video format,
+# and the round-4 JPEG codec supplies the per-frame compression, so the
+# whole video path stays pure numpy + stdlib. The writer emits the
+# minimal spec-complete layout (hdrl with avih + one 'vids'/'MJPG'
+# stream, movi with '00dc' chunks, even-byte padding); the reader walks
+# RIFF chunks and accepts any MJPEG AVI of that shape. Inter-frame
+# codecs (H.264 etc.) genuinely need external libraries and stay gated.
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+) -> bytes:
+    """RGB/gray frame arrays (all same shape) → MJPEG AVI bytes."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, max_bytes * fps, 0, 0,  # no index chunk -> flags 0
+        len(frames), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), max_bytes, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, list[bytes]]:
+    """MJPEG AVI bytes → ``(fps, [jpeg_frame_bytes, ...])``.
+
+    Walks the RIFF tree; frames come from '..dc'/'..db' chunks inside
+    LIST movi, fps from the avih microseconds-per-frame field. Decode a
+    frame with ``decode_image(frame, "jpeg")``.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+    fps = 0
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if tag == b"LIST":
+                walk(data, body_start + 4, body_end)
+            elif tag == b"avih" and size >= 4:
+                us = struct.unpack_from("<I", data, body_start)[0]
+                if us:
+                    fps = round(1_000_000 / us)
+            elif tag[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(bytes(data[body_start:body_end]))
+            pos = body_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI contained no video frames")
+    return fps or 1, frames

@@ -232,18 +232,74 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(batches, schema=out_schema)
 
 
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
 def sample_frames(df: DataFrame, every_ms: int, *, fake: bool = True) -> DataFrame:
-    """Video frame-sampling stub: emits (media_id, frame_idx) rows from
-    metadata duration — the explode shape is real, the decode is not."""
-    if not fake:
-        raise NotImplementedError("real frame sampling requires a video codec")
-    n_frames = F.greatest(
-        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int"),
-        F.lit(1),
-    )
-    return df.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    """Video frame sampling.
+
+    ``fake=True``: emits (media_id, frame_idx) rows from metadata
+    duration — plumbing only, no decode.
+
+    ``fake=False`` (real since r4): each binary payload is parsed as an
+    MJPEG AVI (``codecs.decode_avi_mjpeg`` — RIFF walk, one JPEG per
+    frame via the round-4 baseline JPEG decoder), frames are sampled at
+    the ``every_ms`` stride from the container's own fps, and only the
+    SAMPLED frames are decoded — per-row work is O(frames kept), the
+    property that matters when a 100 TB video corpus is sampled sparsely.
+    Emits ``FRAME_SAMPLE_SCHEMA`` rows (timestamp, dims, mean luma per
+    decoded frame). Inter-frame codecs (H.264/VP9) still need external
+    libraries and raise from the JPEG/AVI parsers.
+    """
+    if fake:
+        n_frames = F.greatest(
+            (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int"),
+            F.lit(1),
+        )
+        return df.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+
+    from event_pipeline_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                fps, frames = codecs.decode_avi_mjpeg(bytes(payload))
+                frame_ms = 1000.0 / fps
+                stride = max(1, int(round(every_ms / frame_ms)))
+                for idx in range(0, len(frames), stride):
+                    img = codecs.decode_image(frames[idx], "jpeg")
+                    luma = (
+                        img.mean()
+                        if img.ndim == 2
+                        else (
+                            0.299 * img[..., 0]
+                            + 0.587 * img[..., 1]
+                            + 0.114 * img[..., 2]
+                        ).mean()
+                    )
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(int(idx * frame_ms))
+                    out["height"].append(int(img.shape[0]))
+                    out["width"].append(int(img.shape[1]))
+                    out["mean_luma"].append(round(float(luma), 3))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=FRAME_SAMPLE_SCHEMA
     )
 
 
