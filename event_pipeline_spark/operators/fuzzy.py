@@ -64,18 +64,23 @@ def fuzzy_pairs(
       pre-salt huge blocks or LSH first — an all-pairs block of
       millions is wrong at any setting).
     """
-    # Round-robin repartition the probe side: the edit-distance kernel
-    # runs inside the join's output pipeline, so its parallelism is the
-    # probe side's partition count — a small input file would otherwise
-    # serialize millions of kernel calls onto a few cores (measured 15s
-    # → 1s at sf0.1). Round-robin (not by block key) so a hot block
-    # cannot skew a partition; the build side broadcasts.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # Round-robin repartition the probe side under a broadcast plan: the
+    # edit-distance kernel runs inside the join's output pipeline, so
+    # its parallelism is the probe side's partition count — a small
+    # input file would otherwise serialize millions of kernel calls onto
+    # a few cores (measured 15s → 1s at sf0.1). Round-robin (not by
+    # block key) so a hot block cannot skew a partition. Under a FORCED
+    # shuffle join the block-key exchange re-partitions anyway, so the
+    # round-robin pass would be a pure extra scan of the probe side —
+    # skipped.
     left = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
-    ).repartition(parallelism)
+    )
+    if broadcast_build is not False:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        left = left.repartition(parallelism)
     right = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"),

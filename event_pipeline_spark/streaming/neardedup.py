@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 NEAR_DEDUP_SCHEMA = "id_a long, id_b long, jaccard double"
 
 
-def _make_bucket_processor(threshold: float):
+def _make_bucket_processor(threshold: float, state_ttl_ms: int | None):
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -45,7 +45,8 @@ def _make_bucket_processor(threshold: float):
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._residents = handle.getListState(
-                "residents", "id long, sh array<string>"
+                "residents", "id long, sh array<string>",
+                ttlDurationMs=state_ttl_ms,
             )
 
         def handleInputRows(self, key_tuple, rows, timer_values):
@@ -147,6 +148,7 @@ def streaming_near_dedup(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs of a streaming document source
     against everything previously streamed (and within each batch).
@@ -155,6 +157,13 @@ def streaming_near_dedup(
     ``(band, bh, id, shingles)`` rows → ``transformWithStateInPandas``
     keyed on the bucket. Requires the RocksDB state store provider and
     an update/append output mode on the writer.
+
+    ``state_ttl_ms`` bounds retention: bucket residents expire after
+    the window, so documents only dedupe against the last N
+    hours/days of the stream — the production posture when the index
+    must not grow forever (requires ``timeMode=ProcessingTime``; the
+    writer then keeps scheduling timer batches, so pair output should
+    be consumed continuously rather than via availableNow).
     """
     from event_pipeline_spark.streaming.stateful import transform_with_state
 
@@ -171,7 +180,8 @@ def streaming_near_dedup(
     return transform_with_state(
         rows,
         ["band", "bh"],
-        _make_bucket_processor(threshold),
+        _make_bucket_processor(threshold, state_ttl_ms),
         NEAR_DEDUP_SCHEMA,
         output_mode="Update",
+        time_mode="ProcessingTime" if state_ttl_ms else "None",
     )
