@@ -91,7 +91,10 @@ def pack_greedy(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        pdf = pd.concat(list(batches), ignore_index=True)
+        parts = list(batches)
+        if not parts:  # empty partition: mapInPandas yields NO batches
+            return
+        pdf = pd.concat(parts, ignore_index=True)
         if pdf.empty:
             return
         pdf = pdf.sort_values(tokens_col, ascending=False, kind="mergesort")

@@ -2,7 +2,7 @@
 
 Composes the north-star operators into the standard curation flow:
 
-    Validate |-> Clean |-> Dedup |-> Layout
+    Validate |-> Clean |-> Dedup |-> Select |-> Layout
 
 - **Validate**: ingest contract (expectations) evaluated in one scan —
   a failing contract routes the pipeline to its failure branch instead
@@ -11,6 +11,9 @@ Composes the north-star operators into the standard curation flow:
 - **Dedup**: drop exact duplicates (normalized-text digest, the
   shuffle-a-hash-not-the-text design), then near-duplicate clusters via
   MinHash-LSH keep one representative per cluster;
+- **Select** (round 4): a trained quality classifier (heuristic-seeded
+  labels -> HashingTF + logistic regression) scores survivors, and the
+  distributed prefix sum fills a global token budget best-first;
 - **Layout**: token counts → deterministic train/val split → FFD token
   packing → stable shards, written to a parquet store.
 
@@ -92,10 +95,42 @@ def Dedup(spark, previous_result):
 
 
 @event
-def Layout(spark, previous_result, budget, n_shards, out_dir):
+def Select(spark, previous_result, token_budget):
+    """Model-based selection: seed labels from the heuristic quality
+    score's top half, train the classifier, keep the best-scoring docs
+    until the corpus token budget is full (distributed prefix sum — no
+    single-partition window)."""
+    from event_pipeline_spark.operators.classify import (
+        score_documents,
+        train_quality_classifier,
+    )
+    from event_pipeline_spark.operators.prefix import select_token_budget
+
     docs = previous_result.withColumn(
         "tokens", bpe_ish_token_count(F.col("text")).cast("long")
     )
+    median = docs.approxQuantile("quality", [0.5], 0.01)[0]
+    labeled = docs.withColumn(
+        "label", (F.col("quality") >= median).cast("double")
+    )
+    model = train_quality_classifier(labeled)
+    scored = score_documents(model, docs)
+    return True, select_token_budget(
+        scored,
+        score_col="p_good",
+        tokens_col="tokens",
+        budget=token_budget,
+        id_col="doc_id",
+    )
+
+
+@event
+def Layout(spark, previous_result, budget, n_shards, out_dir):
+    from event_pipeline_spark.operators.sampling import shuffle_epoch
+
+    # epoch-0 deterministic shuffle before packing: reproducible order
+    # on any engine/re-run, no RNG state
+    docs = shuffle_epoch(previous_result, "doc_id", epoch=0, seed="corpus")
     split = train_val_test_split(
         docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -114,11 +149,12 @@ class TrainingDataPipeline(Pipeline):
     sf_dir = InputDataField(str, default="/root/testdata/sf0.001")
     out_dir = InputDataField(str)
     min_quality = InputDataField(float, default=0.3)
+    token_budget = InputDataField(int, default=200_000)
     budget = InputDataField(int, default=2048)
     n_shards = InputDataField(int, default=8)
 
     class Meta:
-        pointy = "Load |-> Validate |-> Clean |-> Dedup |-> Layout"
+        pointy = "Load |-> Validate |-> Clean |-> Dedup |-> Select |-> Layout"
 
 
 def main() -> None:

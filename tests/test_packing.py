@@ -95,3 +95,16 @@ class TestPackGreedy:
         by_doc = {r["doc_id"]: r for r in rows}
         assert by_doc[1]["pack_tokens"] == 5000  # alone in its pack
         assert by_doc[2]["pack_id"] == by_doc[3]["pack_id"]  # small ones share
+
+
+def test_pack_greedy_survives_empty_partitions(spark):
+    """An over-partitioned input (more partitions than rows) delivers
+    empty batch iterators to mapInPandas — packing must skip them, not
+    crash on an empty concat."""
+    from event_pipeline_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id long, tokens long"
+    ).repartition(16)
+    out = pack_greedy(df, "doc_id", "tokens", budget=100).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
