@@ -66,6 +66,8 @@ OPERATORS = [
     "text_quality",
     "fuzzy_name_pairs",
     "resample_ffill_hourly",
+    "select_token_budget",
+    "shuffle_epoch",
 ]
 
 
