@@ -26,10 +26,12 @@ from event_pipeline_spark.streaming.scheduler import (
 )
 from event_pipeline_spark.streaming.stateful import (
     ROCKSDB_PROVIDER,
+    EVENT_SESSION_SCHEMA,
     RUNNING_STATS_SCHEMA,
     SESSION_LOG_SCHEMA,
     TIMER_SCHEMA,
     has_transform_with_state,
+    make_event_time_session_processor,
     make_running_stats_processor,
     make_session_log_processor,
     make_timer_processor,
@@ -50,6 +52,7 @@ from event_pipeline_spark.streaming.windows import (
 
 __all__ = [
     "ROCKSDB_PROVIDER",
+    "EVENT_SESSION_SCHEMA",
     "RUNNING_STATS_SCHEMA",
     "SESSION_LOG_SCHEMA",
     "TIMER_SCHEMA",
@@ -68,6 +71,7 @@ __all__ = [
     "observe",
     "observe_errors",
     "has_transform_with_state",
+    "make_event_time_session_processor",
     "make_running_stats_processor",
     "make_session_log_processor",
     "make_timer_processor",

@@ -332,6 +332,58 @@ def make_timer_processor(key_col: str = "user_id", delay_ms: int = 10):
 TIMER_SCHEMA = "user_id string, n long, fired boolean, timers_before long"
 
 
+def make_event_time_session_processor(
+    key_col: str = "user_id", ts_col: str = "ts", gap_ms: int = 500
+):
+    """Event-time session close via timers: every batch re-registers a
+    timer at (max event time + gap); when the WATERMARK passes it —
+    i.e. the key has been silent for the gap in event time — the timer
+    fires and emits a ``closed`` row with the session's event count.
+    The state-v2 form of the reference's idle-session expiry, driven by
+    data time, not wall clock."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EventTimeSession(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N803
+            n = self._count.get()[0] if self._count.exists() else 0
+            max_ts = 0
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    batch_max = pdf[ts_col].max()
+                    max_ts = max(max_ts, int(batch_max.timestamp() * 1000))
+            self._count.update((n,))
+            # one live timer per key: re-arm at the newest event + gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(max_ts + gap_ms)
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "closed": [False]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803
+            n = self._count.get()[0] if self._count.exists() else 0
+            self._count.clear()
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "closed": [True]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return EventTimeSession()
+
+
+EVENT_SESSION_SCHEMA = "user_id string, n long, closed boolean"
+
+
 def sessionizing_counts(
     df: DataFrame, key: str = "user_id", idle_ms: int = 2_000
 ) -> DataFrame:

@@ -841,3 +841,58 @@ def test_streaming_near_dedup_state_survives_restart(spark, tmp_path):
         assert pairs == {(1, 2, 1.0)}  # doc 1 came from restored state
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """Event-time timers: a key idle past the gap IN EVENT TIME is
+    closed when the watermark crosses its timer — wall clock plays no
+    part. Covers timeMode=EventTime + deleteTimer re-arming."""
+    from event_pipeline_spark.streaming import (
+        EVENT_SESSION_SCHEMA,
+        make_event_time_session_processor,
+        transform_with_state,
+    )
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        src_dir = f"file://{tmp_path}/et_src"
+
+        def write(rows):
+            spark.createDataFrame(rows, "user_id string, ts_s string").select(
+                "user_id", F.to_timestamp("ts_s").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+            time.sleep(1.1)
+
+        # a: two events, then silence; b keeps the watermark moving
+        write([("a", "2026-01-01 10:00:00"), ("a", "2026-01-01 10:00:01"),
+               ("b", "2026-01-01 10:00:01")])
+        write([("b", "2026-01-01 10:00:10")])   # wm -> ~10:00:01
+        write([("b", "2026-01-01 10:00:20")])   # wm -> ~10:00:10 > a's timer
+
+        stream = read_parquet_stream(
+            spark, src_dir, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        out = transform_with_state(
+            stream,
+            ["user_id"],
+            make_event_time_session_processor("user_id", "ts", gap_ms=500),
+            EVENT_SESSION_SCHEMA,
+            time_mode="EventTime",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("et")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_path}/et_ckpt")
+            .trigger(availableNow=True).start()
+        )
+        _await(q)
+        rows = spark.table("et").collect()
+        closed = {r["user_id"]: r["n"] for r in rows if r["closed"]}
+        assert closed.get("a") == 2  # a's session closed by event time
+        open_counts = {
+            r["user_id"]: r["n"] for r in rows if not r["closed"]
+        }
+        assert open_counts["b"] >= 1  # b stayed live while data flowed
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
