@@ -24,6 +24,10 @@ from event_pipeline_spark.streaming.scheduler import (
     get_pipeline_scheduler,
     schedule_pipeline,
 )
+from event_pipeline_spark.streaming.sinks import (
+    idempotent_parquet_writer,
+    read_sink,
+)
 from event_pipeline_spark.streaming.stateful import (
     ROCKSDB_PROVIDER,
     EVENT_SESSION_SCHEMA,
@@ -57,6 +61,8 @@ __all__ = [
     "SESSION_LOG_SCHEMA",
     "TIMER_SCHEMA",
     "dedup_stream",
+    "idempotent_parquet_writer",
+    "read_sink",
     "streaming_near_dedup",
     "CronSchedule",
     "EmbeddedScheduler",
