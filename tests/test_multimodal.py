@@ -652,3 +652,41 @@ def test_sample_frames_real_path_decodes_only_sampled_frames(spark):
     assert all((r["height"], r["width"]) == (8, 8) for r in rows)
     lumas = [r["mean_luma"] for r in rows]
     assert [round(l) for l in lumas] == [10, 85, 160, 235]
+
+
+# The 16x16 RGB logo JPEG shipped in CPython's imghdr test data —
+# produced by a real-world encoder (standard Annex-K Huffman tables,
+# JFIF, 4:2:0), so decoding it proves interop beyond our own encoder.
+_PYTHON_JPG = bytes.fromhex(
+    "ffd8ffe000104a46494600010101000100010000ffdb0043000302020202020302020203"
+    "03030304060404040404080606050609080a0a090809090a0c0f0c0a0b0e0b09090d110d"
+    "0e0f101011100a0c12131210130f101010ffdb00430103030304030408040408100b090b"
+    "101010101010101010101010101010101010101010101010101010101010101010101010"
+    "1010101010101010101010101010ffc00011080010001003012200021101031101ffc400"
+    "160001010100000000000000000000000000070405ffc400241000010401040202030000"
+    "0000000000000102030406050708121311220014093132ffc40015010101000000000000"
+    "00000000000000000006ffc4002311000102050305000000000000000000000102110304"
+    "05062100123115166181e1ffda000c03010002110311003f0014a6d26a1b73c1e61312d4"
+    "951cf31163e42565beba5aec694540b1e520b254a51fd2cab8faf220ab963d976c9335e6"
+    "9b77d7e66da71781a5571c7f1cea71e24b39d7e32253f21a69ded4714a38b482e84b892a"
+    "71691ecd2d213bf1efb91a74aceea15a758ed548ac655b858b81857b21299867a96b94b9"
+    "49654fb9c88529114b812af07ad9f23c807e55be0df662a140cce8e69a3d5cb743b3d77a"
+    "6558b1d9512188bf64b8d3f1c3680429c0d0febb3c02e03c5407b4bdd97b54e627fb6edf"
+    "9460148262138db8529828370589727960e432896fc3828ea7528cea208dbe78191f07ad"
+    "7fffd9"
+)
+
+
+def test_jpeg_decodes_foreign_fixture():
+    """A real-world encoder's baseline JPEG (CPython test data, 543
+    bytes) decodes to the known 16x16 RGB image — exact corner pixel
+    and mean pinned from the first successful decode."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    img = codecs.decode_image(_PYTHON_JPG, "jpeg")
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    assert abs(float(img.mean()) - 92.182) < 0.05
+    assert img[0, 0].tolist() == [0, 2, 7]
+    assert img[8, 8].tolist() == [250, 235, 74]
