@@ -24,13 +24,10 @@ GRADE_FIRST_OPERATORS = [
     "dedup_exact_hash",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_cluster_exact",
     "dedup_incremental_minhash",
     "fuzzy_name_pairs",
     "sim_topk_bruteforce",
     "text_quality",
-    "text_tokens",
     "text_lang_id",
     "text_segments_udtf",
     "quality_gopher",
@@ -38,12 +35,15 @@ GRADE_FIRST_OPERATORS = [
     "sample_stratified",
     "decontam_scan",
     "rank_bm25_topk",
-    "rank_tfidf_topterms",
     "cdc_snapshot_diff",
     "skew_salted_agg",
     "asof_join",
     "resample_ffill_hourly",
+    "resample_ffill_15min",
     "validate_orders",
+    "shuffle_epoch",
+    "running_total_by_day",
+    "select_token_budget",
 ]
 
 
