@@ -7,10 +7,14 @@ gray/RGB/RGBA, all five scanline filters, DEFLATE via the stdlib's
 zlib), single-frame GIF (variable-width LZW implemented here, both
 directions), and — since round 4 — baseline sequential JPEG (ITU-T
 T.81: Huffman entropy coding, DCT via basis-matrix matmuls, 4:4:4 and
-4:2:0 sampling, both directions). Formats that genuinely need an
-external codec (progressive jpeg, inter-frame video, mp3/mp4) stay
-behind the ``fake=True`` gate in ``operators/multimodal.py``; MJPEG
-AVI video is real here (round 4) — RIFF container + per-frame JPEG.
+4:2:0 sampling, both directions — and PROGRESSIVE mode too: spectral
+selection + successive approximation, EOBn run codes, refinement
+correction bits, decoder and encoder, verified pixel-identical to the
+baseline coefficients and against a real libjpeg-progressive photo).
+Formats that genuinely need an external codec (arithmetic-coded jpeg,
+inter-frame video, mp3/mp4) stay behind the ``fake=True`` gate in
+``operators/multimodal.py``; MJPEG AVI video is real here (round 4) —
+RIFF container + per-frame JPEG.
 
 Everything here is driver/executor-side scalar code invoked from inside
 Arrow-batched ``mapInPandas`` — one call per payload, numpy throughout,
@@ -713,20 +717,32 @@ def _extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline (SOF0/1) and progressive (SOF2) JPEG decode.
+
+    Coefficient-domain architecture: every scan — baseline full-band,
+    progressive DC/AC first scans and DC/AC successive-approximation
+    refinements (T.81 G.1.2) — accumulates into per-component zigzag
+    coefficient arrays; dequantize + IDCT + upsample + YCbCr happen
+    once at EOI. Arithmetic coding and hierarchical mode stay gated.
+    """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}
-    frame = None  # (precision, h, w, comps)
+    frame = None  # (h, w, comps) with comps = [(cid, ch, cv, tq), ...]
     restart_interval = 0
-    while pos < len(payload):
+    coeffs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag order
+    preds: dict[int, int] = {}
+    mcus = (0, 0)
+    saw_scan = False
+    while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
@@ -743,9 +759,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     q = np.frombuffer(seg, np.uint8, 64, sp).astype(np.int32)
                     sp += 64
-                tbl = np.zeros(64, np.int32)
-                tbl[_ZIGZAG] = q
-                qtables[tq] = tbl.reshape(8, 8)
+                qtables[tq] = q.copy()  # zigzag order, matching coeffs
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
@@ -755,7 +769,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = list(seg[sp + 17 : sp + 17 + n])
                 htables[(tc, th)] = _HuffTable(counts, symbols)
                 sp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -764,9 +778,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus = (-(-w // (8 * hmax)), -(-h // (8 * vmax)))
+            for cid, ch, cv, _tq in comps:
+                coeffs[cid] = np.zeros(
+                    (mcus[1] * cv, mcus[0] * ch, 64), np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) supported"
+                "only baseline sequential (SOF0/1) and progressive (SOF2) "
+                "JPEG supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -774,59 +796,37 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                payload, pos + seglen, frame, scan, qtables, htables,
-                restart_interval,
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan(
+                payload, pos + seglen, frame, mcus, scan_comps,
+                (ss, se, ah, al), coeffs, htables, restart_interval,
             )
+            saw_scan = True
+            continue
         pos += seglen
-    raise ValueError("JPEG contained no scan")
+    if not saw_scan:
+        raise ValueError("JPEG contained no scan")
+    return _finish_jpeg(frame, mcus, coeffs, qtables)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+def _finish_jpeg(frame, mcus, coeffs, qtables) -> np.ndarray:
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # per-component coefficient planes (in 8x8 block units)
-    planes = {}
-    for cid, ch, cv, _tq in comps:
-        planes[cid] = np.zeros(
-            (mcus_y * cv * 8, mcus_x * ch * 8), np.float64
-        )
-    reader = _BitReader(data, pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.consume_restart()
-                pred = {cid: 0 for cid, *_ in comps}
-            try:
-                for cid, ch, cv, tq in comps:
-                    dc_t = htables[(0, scan[cid][0])]
-                    ac_t = htables[(1, scan[cid][1])]
-                    q = qtables[tq]
-                    for by in range(cv):
-                        for bx in range(ch):
-                            blk = _decode_block(reader, dc_t, ac_t, pred, cid)
-                            deq = blk * q
-                            px = _DCT_C.T @ deq @ _DCT_C
-                            y0 = (my * cv + by) * 8
-                            x0 = (mx * ch + bx) * 8
-                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
-            except _RestartMarker:
-                # encoder emitted RST early (shouldn't happen mid-MCU)
-                raise ValueError("unexpected restart marker mid-MCU")
-            mcu_count += 1
     out_planes = []
-    for cid, ch, cv, _tq in comps:
-        plane = planes[cid] + 128.0
-        # upsample to full resolution by replication
+    for cid, ch, cv, tq in comps:
+        zz = coeffs[cid].astype(np.float64) * qtables[tq]  # both zigzag
+        by, bx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz  # zigzag vector -> natural raster order
+        blocks = nat.reshape(by, bx, 8, 8)
+        px = np.einsum("ji,abjk,kl->abil", _DCT_C, blocks, _DCT_C)
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
         ry, rx = vmax // cv, hmax // ch
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -841,12 +841,93 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_block(reader, dc_t, ac_t, pred, cid) -> np.ndarray:
-    coeffs = np.zeros(64, np.float64)
+def _decode_scan(
+    data, pos, frame, mcus, scan_comps, band, coeffs, htables,
+    restart_interval,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient arrays;
+    returns the stream position after the scan's data."""
+    h, w, comps = frame
+    ss, se, ah, al = band
+    by_comp = {cid: (cid, ch, cv, tq) for cid, ch, cv, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in scan_comps}
+    state = {"eobrun": 0}
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcus[0] * mcus[1]  # MCUs
+    else:
+        cid, ch, cv, _tq = by_comp[scan_comps[0][0]]
+        bw = -(-(-(-w * ch // hmax)) // 8)
+        bh = -(-(-(-h * cv // vmax)) // 8)
+        units = bw * bh
+
+    done = 0
+    while done < units:
+        if restart_interval and done and done % restart_interval == 0:
+            reader.consume_restart()
+            pred = {c: 0 for c in pred}
+            state["eobrun"] = 0
+        try:
+            if interleaved:
+                mx, my = done % mcus[0], done // mcus[0]
+                for cs, dc_sel, ac_sel in scan_comps:
+                    _cid, ch, cv, _tq = by_comp[cs]
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            _decode_unit(
+                                reader, htables, dc_sel, ac_sel, band,
+                                coeffs[cs][my * cv + byy, mx * ch + bxx],
+                                pred, cs, state,
+                            )
+            else:
+                cs, dc_sel, ac_sel = scan_comps[0]
+                bxx, byy = done % bw, done // bw
+                _decode_unit(
+                    reader, htables, dc_sel, ac_sel, band,
+                    coeffs[cs][byy, bxx], pred, cs, state,
+                )
+        except _RestartMarker:
+            raise ValueError("unexpected restart marker mid-unit")
+        done += 1
+    reader.byte_align()
+    return reader.pos
+
+
+def _decode_unit(reader, htables, dc_sel, ac_sel, band, zz, pred, cid, state):
+    """One 8x8 block's contribution for this scan's band/approximation.
+    ``zz`` is the block's 64-coefficient zigzag vector (mutated)."""
+    ss, se, ah, al = band
+    if ss == 0 and se == 63 and ah == 0 and al == 0:
+        # baseline: full-band DC+AC in one pass
+        _decode_block_full(
+            reader, htables[(0, dc_sel)], htables[(1, ac_sel)], zz, pred, cid
+        )
+        return
+    if ss == 0:  # DC-only scan (progressive requires Se==0 here)
+        if ah == 0:
+            t = _huff_decode(reader, htables[(0, dc_sel)])
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            pred[cid] += diff
+            zz[0] = pred[cid] << al
+        else:  # DC refinement: one bit
+            if reader.read_bit():
+                zz[0] |= 1 << al
+        return
+    if ah == 0:
+        _decode_ac_first(reader, htables[(1, ac_sel)], zz, ss, se, al, state)
+    else:
+        _decode_ac_refine(reader, htables[(1, ac_sel)], zz, ss, se, al, state)
+
+
+def _decode_block_full(reader, dc_t, ac_t, zz, pred, cid) -> None:
     t = _huff_decode(reader, dc_t)
     diff = _extend(reader.read_bits(t), t) if t else 0
     pred[cid] += diff
-    coeffs[0] = pred[cid]
+    zz[0] = pred[cid]
     k = 1
     while k < 64:
         rs = _huff_decode(reader, ac_t)
@@ -859,11 +940,85 @@ def _decode_block(reader, dc_t, ac_t, pred, cid) -> np.ndarray:
         k += r
         if k > 63:
             raise ValueError("AC run overflows block")
-        coeffs[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+        zz[k] = _extend(reader.read_bits(s), s)
         k += 1
-    out = np.zeros((8, 8), np.float64)
-    out.flat[:] = coeffs
-    return out
+
+
+def _decode_ac_first(reader, ac_t, zz, ss, se, al, state) -> None:
+    """Progressive AC first scan (Ah=0): values at this approximation
+    level, with EOBn run-length codes spanning blocks (G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, ac_t, zz, ss, se, al, state) -> None:
+    """Progressive AC refinement (Ah>0): correction bits for known
+    coefficients, new +-1<<Al coefficients inserted by run (G.1.2.3)."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if reader.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # EOBn: n = (1<<r) + extra blocks end here, the
+                    # CURRENT block included (its tail corrections are
+                    # read below before the run is decremented)
+                    e = 1 << r
+                    if r:
+                        e += reader.read_bits(r)
+                    state["eobrun"] = e
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with s > 1")
+                newval = p1 if reader.read_bit() else m1
+            # advance past r zero-history coefficients, correcting
+            # nonzero ones along the way
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        # EOB span covers the rest of this block: correction bits only
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
 
 
 # -- encoder ----------------------------------------------------------------
@@ -875,13 +1030,16 @@ def _make_dc_table() -> _HuffTable:
 
 
 def _make_ac_table() -> _HuffTable:
-    symbols = [0x00, 0xF0]  # EOB, ZRL
+    # EOB/EOBn (r<<4 for r=0..14: progressive end-of-band run lengths),
+    # ZRL, and every run/size pair — 176 symbols, all at 8 bits
+    # (176/256 Kraft-valid; max canonical code 175, never all-ones)
+    symbols = [r << 4 for r in range(15)] + [0xF0]
     for run in range(16):
         for size in range(1, 11):
             symbols.append((run << 4) | size)
     symbols = sorted(set(symbols))
     counts = [0] * 16
-    counts[7] = len(symbols)  # all at 8 bits: 162/256 Kraft-valid
+    counts[7] = len(symbols)
     return _HuffTable(counts, symbols)
 
 
@@ -1141,3 +1299,297 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, list[bytes]]:
     if not frames:
         raise ValueError("AVI contained no video frames")
     return fps or 1, frames
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+#
+# Emits the canonical progressive scan script: interleaved DC at Al=1 +
+# DC refinement, then per-component AC bands 1-5 and 6-63 at Al=1
+# followed by their refinement scans (T.81 G.1.2, EOBn run codes and
+# the correction-bit buffering of G.1.2.3). Because the final
+# coefficients equal the baseline encoder's quantized coefficients
+# EXACTLY, a correct progressive decode must reproduce the baseline
+# decode pixel-for-pixel — the self-oracle the tests pin.
+
+
+def _ac_level(v: int, al: int) -> int:
+    """AC point transform: magnitude shift TOWARD ZERO (T.81 A.4)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgressiveACWriter:
+    """Per-scan AC emission state: EOB run + buffered correction bits
+    (refinement only), flushed in decoder-read order."""
+
+    def __init__(self, writer: _BitWriter, table: _HuffTable):
+        self.w = writer
+        self.t = table
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def _emit(self, sym: int) -> None:
+        length, code = self.t.encode_map[sym]
+        self.w.write(code, length)
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0:
+            if self.pending:
+                for b in self.pending:
+                    self.w.write(b, 1)
+                self.pending = []
+            return
+        e = self.eobrun
+        r = e.bit_length() - 1
+        self._emit(r << 4)
+        if r:
+            self.w.write(e - (1 << r), r)
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+        self.eobrun = 0
+
+    def code_with_bits(self, sym: int, value: int, nbits: int) -> None:
+        """A Huffman code + immediate bits, then buffered corrections."""
+        self._emit(sym)
+        if nbits:
+            self.w.write(value, nbits)
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+
+def _encode_ac_first_block(ac: _ProgressiveACWriter, zz, ss, se, al) -> None:
+    vals = [_ac_level(int(zz[k]), al) for k in range(ss, se + 1)]
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    if last_nz < 0:
+        ac.eobrun += 1
+        if ac.eobrun == 0x7FFF:
+            ac.flush_eob()
+        return
+    ac.flush_eob()
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac.code_with_bits(0xF0, 0, 0)
+            run -= 16
+        s = _category(v)
+        ac.code_with_bits(
+            (run << 4) | s, v if v > 0 else v + (1 << s) - 1, s
+        )
+        run = 0
+    if last_nz < len(vals) - 1:
+        ac.eobrun += 1
+        if ac.eobrun == 0x7FFF:
+            ac.flush_eob()
+
+
+def _encode_ac_refine_block(ac: _ProgressiveACWriter, zz, ss, se, ah, al) -> None:
+    """Exact inverse of the decoder's G.1.2.3 consumption: correction
+    bits attach to the specific ZRL/newval/EOB code whose advance walks
+    past their coefficient, so the windows line up bit-for-bit."""
+    cur = [_ac_level(int(zz[k]), al) for k in range(ss, se + 1)]
+    prev = [_ac_level(int(zz[k]), ah) for k in range(ss, se + 1)]
+    n = len(cur)
+    new_positions = [
+        i for i in range(n) if prev[i] == 0 and cur[i] != 0
+    ]
+    if not new_positions:
+        # no newly significant coefficients: the whole block joins the
+        # EOB run; its correction bits ride the pending buffer
+        ac.eobrun += 1
+        for i in range(n):
+            if prev[i] != 0:
+                ac.pending.append(abs(cur[i]) & 1)
+        if ac.eobrun == 0x7FFF:
+            ac.flush_eob()
+        return
+    ac.flush_eob()
+    pos = 0
+    for j in new_positions:
+        # zero-history zeros and corrections strictly before j
+        zeros = [
+            i for i in range(pos, j) if prev[i] == 0 and cur[i] == 0
+        ]
+        run = len(zeros)
+        while run > 15:
+            # this ZRL's advance covers positions up to (and incl.) the
+            # 16th zero — only corrections in that window ride with it
+            boundary = zeros[len(zeros) - run + 15]
+            window_bits = [
+                abs(cur[i]) & 1
+                for i in range(pos, boundary + 1)
+                if prev[i] != 0
+            ]
+            ac.code_with_bits(0xF0, 0, 0)
+            for b in window_bits:
+                ac.w.write(b, 1)
+            pos = boundary + 1
+            run -= 16
+        tail_bits = [
+            abs(cur[i]) & 1 for i in range(pos, j) if prev[i] != 0
+        ]
+        ac.code_with_bits((run << 4) | 1, 1 if cur[j] > 0 else 0, 1)
+        for b in tail_bits:
+            ac.w.write(b, 1)
+        pos = j + 1
+    if pos < n:
+        ac.eobrun += 1
+        ac.pending.extend(
+            abs(cur[i]) & 1 for i in range(pos, n) if prev[i] != 0
+        )
+        if ac.eobrun == 0x7FFF:
+            ac.flush_eob()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """Progressive JFIF (SOF2): same quantized coefficients as
+    :func:`encode_jpeg`, delivered as DC-first + band + refinement
+    scans. ``decode_image`` must produce pixels identical to the
+    baseline encoding's decode."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    pixels = np.asarray(pixels, np.float64)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qlum = _scaled_qtable(_QLUM, quality).reshape(8, 8).astype(np.float64)
+    qchrom = _scaled_qtable(_QCHROM, quality).reshape(8, 8).astype(np.float64)
+    if gray:
+        comps = [(pixels, qlum, 1, 1, 0)]
+    else:
+        r, g, b = pixels[..., 0], pixels[..., 1], pixels[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            comps = [
+                (y, qlum, 2, 2, 0),
+                (_avg_pool2(cb), qchrom, 1, 1, 1),
+                (_avg_pool2(cr), qchrom, 1, 1, 1),
+            ]
+        else:
+            comps = [
+                (y, qlum, 1, 1, 0),
+                (cb, qchrom, 1, 1, 1),
+                (cr, qchrom, 1, 1, 1),
+            ]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    zz_planes = []
+    for plane, q, ch, cv, _tq in comps:
+        ph, pw = mcus_y * cv * 8, mcus_x * ch * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        dct = np.einsum("ij,abjk,lk->abil", _DCT_C, blocks - 128.0, _DCT_C)
+        zz_planes.append(_zigzag_blocks(np.rint(dct / q).astype(np.int32)))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ((0, qlum),) if gray else ((0, qlum), (1, qchrom)):
+        zzq = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq.tobytes()
+    nc = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i, (_p, _q, ch, cv, tq) in enumerate(comps):
+        out += bytes([i + 1, (ch << 4) | cv, tq])
+    for tc_th, table in (
+        ((0x00,), _DC_TABLE), ((0x10,), _AC_TABLE),
+        *((((0x01,), _DC_TABLE), ((0x11,), _AC_TABLE)) if not gray else ()),
+    ):
+        body = bytes(tc_th) + bytes(table.counts) + bytes(table.symbols)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_specs, ss, se, ah, al, body_bits):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_specs), len(comp_specs)
+        )
+        for ci, tbls in comp_specs:
+            hdr += bytes([ci, tbls])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr + body_bits
+
+    # scan 1: interleaved DC first at Al=1
+    writer = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_p, _q, ch, cv, _tq) in enumerate(comps):
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        coef = int(zz_planes[ci][my * cv + byy, mx * ch + bxx][0])
+                        v = coef >> 1  # DC point transform: arithmetic
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        length, code = _DC_TABLE.encode_map[t]
+                        writer.write(code, length)
+                        if t:
+                            writer.write(
+                                diff if diff > 0 else diff + (1 << t) - 1, t
+                            )
+    writer.flush()
+    out += sos([(i + 1, 0x00) for i in range(nc)], 0, 0, 0, 1, writer.out)
+    # scan 2: interleaved DC refinement (Ah=1, Al=0) — bit0 per block
+    writer = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_p, _q, ch, cv, _tq) in enumerate(comps):
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        coef = int(zz_planes[ci][my * cv + byy, mx * ch + bxx][0])
+                        writer.write(coef & 1, 1)
+    writer.flush()
+    out += sos([(i + 1, 0x00) for i in range(nc)], 0, 0, 1, 0, writer.out)
+
+    # per-component AC band scans: first at Al=1, then refinements
+    bands = [(1, 5), (6, 63)]
+    for al_first in (True, False):
+        for ss, se in bands:
+            for ci, (_p, _q, ch, cv, _tq) in enumerate(comps):
+                plane = zz_planes[ci]
+                bh_c, bw_c = plane.shape[:2]
+                # non-interleaved grid per T.81 (can be smaller than the
+                # interleaved layout's grid)
+                bw_n = -(-(-(-w * ch // hmax)) // 8)
+                bh_n = -(-(-(-h * cv // vmax)) // 8)
+                writer = _BitWriter()
+                ac = _ProgressiveACWriter(writer, _AC_TABLE)
+                for byy in range(bh_n):
+                    for bxx in range(bw_n):
+                        if al_first:
+                            _encode_ac_first_block(
+                                ac, plane[byy, bxx], ss, se, 1
+                            )
+                        else:
+                            _encode_ac_refine_block(
+                                ac, plane[byy, bxx], ss, se, 1, 0
+                            )
+                ac.flush_eob()
+                writer.flush()
+                ah, al = (0, 1) if al_first else (1, 0)
+                # SOS selector byte: DC table (high nibble, unused in AC
+                # scans) | AC table (low nibble: 0 luma, 1 chroma)
+                out += sos(
+                    [(ci + 1, 0x00 if ci == 0 else 0x01)],
+                    ss, se, ah, al, writer.out,
+                )
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -168,7 +168,7 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     mapInPandas. ``fake=False`` decodes for real — pure-numpy codecs for
     bmp/ppm/pgm/png/gif/jpeg/wav (``operators/codecs.py``; png via
     stdlib zlib, jpeg baseline implemented here); other formats raise
-    NotImplementedError (video needs libraries this container lacks)."""
+    NotImplementedError (inter-frame video codecs need libraries this container lacks)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

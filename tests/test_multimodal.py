@@ -564,7 +564,7 @@ def test_jpeg_grayscale_and_quality_tradeoff():
     assert err_hi < err_lo  # and loses more signal
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_arithmetic_and_garbage():
     import numpy as np
     import pytest
 
@@ -572,8 +572,8 @@ def test_jpeg_rejects_progressive_and_garbage():
 
     data = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
+    with pytest.raises(NotImplementedError, match="SOF"):
         codecs.decode_image(bytes(data), "jpeg")
     with pytest.raises(ValueError, match="SOI"):
         codecs.decode_image(b"not a jpeg at all", "jpeg")
@@ -690,3 +690,66 @@ def test_jpeg_decodes_foreign_fixture():
     assert abs(float(img.mean()) - 92.182) < 0.05
     assert img[0, 0].tolist() == [0, 2, 7]
     assert img[8, 8].tolist() == [250, 235, 74]
+
+
+# -- progressive JPEG (round 4: spectral selection + successive approx.) -----
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """The self-oracle: the progressive encoder delivers the SAME
+    quantized coefficients as the baseline encoder via DC-first +
+    band + refinement scans (EOBn runs, ZRL correction windows,
+    successive approximation), so a correct progressive decode is
+    pixel-identical to the baseline decode — across colorspaces,
+    subsampling, and qualities."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 255, 40)
+    grad = np.stack(
+        [np.tile(x, (32, 1)), np.tile(x[::-1], (32, 1)),
+         np.full((32, 40), 90.0)], -1,
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (48, 56, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+
+    cases = [
+        (grad, dict(quality=90, subsample="444")),
+        (grad, dict(quality=90, subsample="420")),
+        (noise, dict(quality=30, subsample="420")),
+        (noise, dict(quality=95, subsample="444")),
+    ]
+    for img, kw in cases:
+        base = codecs.decode_image(codecs.encode_jpeg(img, **kw), "jpeg")
+        prog = codecs.decode_image(
+            codecs.encode_jpeg_progressive(img, **kw), "jpeg"
+        )
+        assert np.array_equal(base, prog), kw
+    bg = codecs.decode_image(codecs.encode_jpeg(gray, quality=60), "jpeg")
+    pg = codecs.decode_image(
+        codecs.encode_jpeg_progressive(gray, quality=60), "jpeg"
+    )
+    assert np.array_equal(bg, pg)
+
+
+def test_progressive_jpeg_decodes_foreign_photo():
+    """A real-world progressive photo (rust embedded-book asset,
+    libjpeg-encoded, 477x720, successive approximation) decodes with
+    pinned dimensions, statistics, and sample pixels."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from event_pipeline_spark.operators import codecs
+
+    path = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+            "share/doc/rust/html/embedded-book/assets/f3.jpg")
+    if not os.path.exists(path):
+        pytest.skip("foreign progressive fixture not on this machine")
+    img = codecs.decode_image(open(path, "rb").read(), "jpeg")
+    assert img.shape == (477, 720, 3)
+    assert abs(float(img.mean()) - 107.9) < 0.5
+    assert img[0, 0].tolist() == [236, 240, 235]
+    assert img[238, 360].tolist() == [80, 81, 79]
