@@ -7,7 +7,8 @@ codec layer is real for the formats pure numpy can handle (BMP, PPM/PGM,
 WAV-PCM — see ``operators/codecs.py``): ``fake=False`` decodes those
 payloads for real and computes real pixel/sample statistics, and
 ``resize_images(fake=False)`` does an actual decode→nearest-neighbor
-resize→re-encode round trip. Remaining compressed formats (progressive jpeg, mp3/mp4) need
+resize→re-encode round trip. Remaining formats (arithmetic-coded jpeg,
+mp3/mp4, inter-frame video) need
 codec libraries this container doesn't ship, so they raise
 NotImplementedError; ``fake=True`` substitutes a deterministic
 content-hash-seeded feature vector so downstream plumbing stays
