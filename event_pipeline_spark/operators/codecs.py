@@ -622,19 +622,26 @@ def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical JPEG Huffman table: BITS counts + symbol order."""
+    """Canonical JPEG Huffman table: BITS counts + symbol order. An
+    8-bit prefix LUT serves codes up to 8 bits in one probe (the common
+    case in every table this module emits or meets)."""
 
     def __init__(self, counts: list[int], symbols: list[int]):
         self.counts = counts
         self.symbols = symbols
         self.decode_map: dict[tuple[int, int], int] = {}
         self.encode_map: dict[int, tuple[int, int]] = {}
+        self.lut: list[tuple[int, int] | None] = [None] * 256
         code, k = 0, 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
                 sym = symbols[k]
                 self.decode_map[(length, code)] = sym
                 self.encode_map[sym] = (length, code)
+                if length <= 8:
+                    base = code << (8 - length)
+                    for suffix in range(1 << (8 - length)):
+                        self.lut[base | suffix] = (sym, length)
                 code += 1
                 k += 1
             code <<= 1
@@ -677,6 +684,9 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
+        if self.nbits >= n:  # fast path: bits already buffered
+            self.nbits -= n
+            return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -702,6 +712,21 @@ class _RestartMarker(Exception):
 
 
 def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    if reader.nbits < 8:
+        # top up from buffered stream bytes only while safe; stop at a
+        # potential marker so scan-end behavior is unchanged
+        try:
+            while reader.nbits < 8:
+                reader._fill()
+        except (_RestartMarker, ValueError, IndexError):
+            pass  # near scan end: fall through to the per-bit path
+    if reader.nbits >= 8:
+        prefix = (reader.bitbuf >> (reader.nbits - 8)) & 0xFF
+        hit = table.lut[prefix]
+        if hit is not None:
+            sym, length = hit
+            reader.nbits -= length
+            return sym
     code, length = 0, 0
     for _ in range(16):
         code = (code << 1) | reader.read_bit()
