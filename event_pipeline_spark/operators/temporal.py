@@ -367,3 +367,93 @@ ORACLES["resample_ffill_15min"] = """
     FROM spine s LEFT JOIN bucketed USING (user_id, h)
     ORDER BY s.user_id, s.h
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval×interval overlap join: every (left, right) pair with
+    ``l_lo <= r_hi AND r_lo <= l_hi`` (closed intervals), optionally
+    also matching ``on`` equi-keys.
+
+    The naive predicate forces a nested-loop join; here BOTH sides
+    explode over the fixed-width bins their interval spans, hash-join
+    on (bin, *on), apply the exact overlap post-filter, and de-dupe
+    pairs that met in several shared bins. Shuffle volume is
+    interval-length/bin_width rows per interval — pick ``bin_width``
+    near the typical interval length, exactly as in ``range_join``.
+    Column names must be disjoint across the two inputs.
+    """
+    on = on or []
+    clash = set(left.columns) & set(right.columns) - set(on)
+    if clash:
+        raise ValueError(f"column names collide across sides: {sorted(clash)}")
+    w = float(bin_width)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            BIN_COL,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+
+    joined = (
+        binned(left, l_lo, l_hi)
+        .join(binned(right, r_lo, r_hi), on + [BIN_COL], "inner")
+        .where(
+            (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+        )
+        .drop(BIN_COL)
+    )
+    return joined.dropDuplicates(left.columns + [c for c in right.columns if c not in on])
+
+
+def q_interval_join_sessions(spark, sf_dir: str) -> DataFrame:
+    """Overlapping per-user value intervals derived from orders and
+    events keys — exactness of the binned rewrite against the plain
+    inequality join."""
+    from event_pipeline_spark.session import read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    a = nation.select(
+        F.col("n_nationkey").alias("a_id"),
+        (F.col("n_nationkey") * 3.0).alias("a_lo"),
+        (F.col("n_nationkey") * 3.0 + 10.0).alias("a_hi"),
+    )
+    b = nation.select(
+        F.col("n_nationkey").alias("b_id"),
+        (F.col("n_nationkey") * 4.0 + 2.0).alias("b_lo"),
+        (F.col("n_nationkey") * 4.0 + 9.0).alias("b_hi"),
+    )
+    out = interval_join(
+        a, b, l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+        bin_width=8.0,
+    )
+    return out.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
+QUERIES["interval_join"] = q_interval_join_sessions
+ORACLES["interval_join"] = """
+    SELECT a.n_nationkey AS a_id, b.n_nationkey AS b_id
+    FROM nation a JOIN nation b
+      ON a.n_nationkey * 3.0 <= b.n_nationkey * 4.0 + 9.0
+     AND b.n_nationkey * 4.0 + 2.0 <= a.n_nationkey * 3.0 + 10.0
+    ORDER BY a_id, b_id
+"""

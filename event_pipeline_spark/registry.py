@@ -64,7 +64,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod_name in (
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
-        "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix",
+        "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
     ):
         try:
             mod = __import__(

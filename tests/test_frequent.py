@@ -1,0 +1,86 @@
+"""Misra–Gries heavy hitters: the deterministic guarantee (recall of
+items above 2n/(cap+1), bounded undercount, never overcount) on skewed
+data across many partitions; interval-overlap join edges. The exact
+small-domain case and the binned-join rewrite are oracle-gated via the
+registered queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.frequent import frequent_items
+from event_pipeline_spark.operators.temporal import interval_join
+
+
+def test_misra_gries_guarantees_on_skewed_data(spark):
+    """Zipf-ish corpus over 32 partitions: heavy items must all
+    surface; estimates are lower bounds within n/(cap+1)."""
+    # item i appears 2000//(i+1) times: heavy head, long-ish tail
+    rows = []
+    for i in range(400):
+        rows.extend([(f"item_{i}",)] * (2000 // (i + 1)))
+    df = spark.createDataFrame(rows, "w string").repartition(32)
+    n = len(rows)
+    k, cap = 10, 200
+    out = frequent_items(df, "w", k=k, capacity=cap).collect()
+    est = {r["item"]: r["est_count"] for r in out}
+    err = n // (cap + 1)
+    assert all(r["err_bound"] == err for r in out)
+
+    true = {}
+    for i in range(400):
+        true[f"item_{i}"] = 2000 // (i + 1)
+    # recall: every item above 2*err must appear in a k=10 listing of
+    # this distribution (the top items dwarf 2*err)
+    heavy = sorted(true, key=true.get, reverse=True)[:k]
+    for item in heavy:
+        if true[item] > 2 * err:
+            assert item in est, item
+    # estimates are lower bounds within the bound
+    for item, e in est.items():
+        assert e <= true[item]
+        assert true[item] - e <= err
+
+
+def test_frequent_items_exact_when_capacity_exceeds_domain(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "w string"
+    ).repartition(4)
+    out = frequent_items(df, "w", k=3, capacity=64).collect()
+    assert [(r["item"], r["est_count"]) for r in out] == [
+        ("a", 5), ("b", 3), ("c", 1),
+    ]
+
+
+def test_interval_join_matches_naive_overlap(spark):
+    a = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 10.0, 20.0), (3, 4.0, 11.0)],
+        "a_id long, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(7, 4.5, 6.0), (8, 19.0, 30.0), (9, 100.0, 101.0)],
+        "b_id long, b_lo double, b_hi double",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_join(
+            a, b, l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+            bin_width=3.0,
+        ).collect()
+    }
+    naive = {
+        (ra["a_id"], rb["b_id"])
+        for ra in a.collect()
+        for rb in b.collect()
+        if ra["a_lo"] <= rb["b_hi"] and rb["b_lo"] <= ra["a_hi"]
+    }
+    assert got == naive == {(1, 7), (3, 7), (2, 8)}
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    df = spark.createDataFrame([(1, 0.0, 1.0)], "id long, lo double, hi double")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(
+            df, df, l_lo="lo", l_hi="hi", r_lo="lo", r_hi="hi", bin_width=1.0
+        )
