@@ -55,8 +55,10 @@ def frequent_items(
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n = 0
         for pdf in batches:
             for v in pdf[col]:
+                n += 1
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < cap:
@@ -67,24 +69,29 @@ def frequent_items(
                         counters[key] -= 1
                         if not counters[key]:
                             del counters[key]
-        if counters:
+        if n:
+            # one null-item row carries the partition's row count, so
+            # the error bound rides the SAME single pass (no df.count()
+            # second scan of a 100 TB input)
             yield pd.DataFrame(
                 {
-                    "item": list(counters.keys()),
-                    "cnt": list(counters.values()),
+                    "item": list(counters.keys()) + [None],
+                    "cnt": list(counters.values()) + [n],
                 }
             )
 
     item_type = df.schema[col].dataType.simpleString()
     parts = df.select(F.col(col).alias(col)).mapInPandas(
         partials, schema=f"item {item_type}, cnt long"
+    ).persist()
+    totals = parts.where(F.col("item").isNull()).agg(
+        (F.sum("cnt") / (cap + 1)).cast("long").alias("err_bound")
     )
-    n_total = df.count()
-    err = n_total // (cap + 1)
     return (
-        parts.groupBy("item")
+        parts.where(F.col("item").isNotNull())
+        .groupBy("item")
         .agg(F.sum("cnt").alias("est_count"))
-        .withColumn("err_bound", F.lit(err))
+        .crossJoin(F.broadcast(totals))
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(k)
     )
