@@ -423,14 +423,15 @@ def _segment_udtf_registered(spark: SparkSession) -> str:
 
     A Python UDTF is the one-row→many-rows member of the UDF surface
     (the reference's closest construct: events yielding ResultSets of
-    several records, /root/reference/nexus/base.py:553-608). Scale note:
-    UDTFs evaluate row-at-a-time in Python — correct but the slow path;
-    for bulk segmentation prefer the codegen split+explode used by
-    ``text_chunks``. This operator exists for API parity and for
+    several records, /root/reference/nexus/base.py:553-608). Registered
+    with ``useArrow=True`` (r4): rows cross to Python in Arrow batches
+    (ArrowEvalPythonUDTF) instead of pickled one at a time; for bulk
+    segmentation the codegen split+explode used by ``text_chunks`` is
+    still the fast path — this operator exists for API parity and for
     expansions that genuinely need imperative per-row logic."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="seg_idx int, segment string")
+    @udtf(returnType="seg_idx int, segment string", useArrow=True)
     class WordWindowSegment:
         def eval(self, text: str, width: int):
             if text is None:

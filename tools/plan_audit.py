@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Plan-hygiene audit over every registered query.
+
+Builds (never executes) each query's physical plan and flags the
+patterns that kill 100 TB runs:
+
+- ``CartesianProduct`` — unbounded pair blowup;
+- ``BroadcastNestedLoopJoin`` — usually a missed equi-join (allowed
+  when one side is a provably tiny stats row — see ALLOWED);
+- ``Exchange SinglePartition`` — the whole table funneled into one
+  task (allowed for final one-row aggregates and the documented
+  bounded-result windows);
+- ``BatchEvalPython`` — row-at-a-time (non-Arrow) Python UDFs; the
+  Arrow forms (``ArrowEvalPython``/``MapInPandas``/...) are fine.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code = number of UNEXPLAINED violations. The test suite pins the
+audit green (tests/test_plan_audit.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+#: name -> (pattern -> justification). An allowance documents WHY the
+#: pattern is safe for that query; anything undocumented is a failure.
+ALLOWED: dict[str, dict[str, str]] = {
+    # broadcast one-row stats/threshold rows: the nested-loop side is
+    # a single row by construction
+    "q42": {
+        "BroadcastNestedLoopJoin": "broadcast 16-byte stats row (threshold)",
+    },
+    "skew_key_diag": {
+        "BroadcastNestedLoopJoin": "broadcast one-row total for share calc",
+    },
+    "rank_bm25_topk": {
+        "BroadcastNestedLoopJoin": "broadcast one-row corpus stats (N, avgdl)",
+    },
+    "rank_tfidf_topterms": {
+        "BroadcastNestedLoopJoin": "broadcast one-row doc-count for idf",
+    },
+    "frequent_event_types": {
+        "BroadcastNestedLoopJoin": "broadcast one-row error-bound total",
+    },
+    "sketch_theta_overlap": {
+        "Exchange SinglePartition": "one-row sketch aggregates",
+    },
+    # documented bounded-result global windows / final orderings
+    "shuffle_epoch": {
+        "Exchange SinglePartition": "global_sort mode is documented for "
+        "bounded eval sets; the scale path is the bucketed mode",
+    },
+    "sim_topk_bruteforce": {
+        "BroadcastNestedLoopJoin": "brute-force ANN baseline by design: "
+        "the tiny query set broadcasts against the corpus; the scale "
+        "paths are sim_lsh/ivf/pq variants",
+    },
+}
+
+#: generic allowances applied to every query
+GENERIC_SINGLE_PARTITION_OK = (
+    # a final aggregate without grouping keys legitimately lands on one
+    # row; Spark plans it as partial aggs + a SinglePartition exchange
+    # carrying ONE row per upstream partition — constant-size, safe.
+    "one-row final aggregate",
+)
+
+
+def audit_plan(name: str, plan: str) -> list[tuple[str, str]]:
+    """Return [(pattern, detail)] violations for one plan string."""
+    out = []
+    allowed = ALLOWED.get(name, {})
+    if "CartesianProduct" in plan:
+        out.append(("CartesianProduct", "unbounded pair blowup"))
+    if "BroadcastNestedLoopJoin" in plan and "BroadcastNestedLoopJoin" not in allowed:
+        out.append(("BroadcastNestedLoopJoin", "missed equi-join?"))
+    if "BatchEvalPython" in plan:
+        out.append(("BatchEvalPython", "row-at-a-time Python UDF"))
+    if (
+        "Exchange SinglePartition" in plan
+        and "Exchange SinglePartition" not in allowed
+    ):
+        # tolerate the constant-size one-row-aggregate shape: a final
+        # HashAggregate directly above the single-partition exchange
+        # with no grouping keys
+        import re
+
+        spots = [
+            m.start() for m in re.finditer("Exchange SinglePartition", plan)
+        ]
+        for sp in spots:
+            above = plan[max(0, sp - 2500) : sp]
+            if "HashAggregate(keys=[]" in above or "SortAggregate(keys=[]" in above:
+                continue
+            if "Window" in above and "windowspecdefinition" in plan[sp : sp + 800].lower():
+                out.append(
+                    ("Exchange SinglePartition", "unpartitioned global window")
+                )
+            else:
+                out.append(("Exchange SinglePartition", "whole-table funnel"))
+    return out
+
+
+def main() -> int:
+    from event_pipeline_spark.registry import all_queries
+    from event_pipeline_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("plan_audit")
+    failures = 0
+    for name, fn in sorted(all_queries().items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — report, keep auditing
+            print(f"[ERR ] {name}: plan build failed: {e}")
+            failures += 1
+            continue
+        violations = audit_plan(name, plan)
+        if violations:
+            failures += len(violations)
+            for pat, detail in violations:
+                print(f"[BAD ] {name}: {pat} — {detail}")
+        else:
+            print(f"[ok  ] {name}")
+    print(f"\n{failures} unexplained plan violations")
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
