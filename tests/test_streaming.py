@@ -952,3 +952,67 @@ def test_idempotent_sink_end_to_end_with_restart(spark, tmp_path):
     run()  # restart from checkpoint: only the new file processed
     got = sorted(r["id"] for r in read_sink(spark, base).collect())
     assert got == list(range(8))
+
+
+def test_socket_source_streams_through_windows(spark, tmp_path):
+    """Spark's TCP socket source live: a local server emits events, the
+    stream aggregates them through the same window operators as the
+    file sources — continuous ingestion without any connector jar."""
+    import json as _json
+    import socket
+    import socketserver
+    import threading
+
+    lines = [
+        _json.dumps({"user_id": u, "v": i})
+        for i, u in enumerate(["a", "b", "a", "a", "b", "c"])
+    ]
+    started = threading.Event()
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            for line in lines:
+                self.request.sendall((line + "\n").encode())
+            # keep the connection open so the source doesn't restart
+            started.set()
+            threading.Event().wait(30)
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", "127.0.0.1").option("port", str(port))
+            .load()
+        )
+        parsed = raw.select(
+            F.get_json_object("value", "$.user_id").alias("user_id"),
+            F.get_json_object("value", "$.v").cast("long").alias("v"),
+        )
+        counts = parsed.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total")
+        )
+        q = (
+            counts.writeStream.format("memory").queryName("sock")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp_path}/sock_ckpt")
+            .trigger(processingTime="1 second").start()
+        )
+        try:
+            want = {"a": (3, 0 + 2 + 3), "b": (2, 1 + 4), "c": (1, 5)}
+            deadline = time.time() + 60
+            got = {}
+            while got != want and time.time() < deadline:
+                time.sleep(1)
+                got = {
+                    r["user_id"]: (r["n"], r["total"])
+                    for r in spark.table("sock").collect()
+                }
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        server.shutdown()
+        server.server_close()
