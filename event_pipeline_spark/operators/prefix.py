@@ -74,31 +74,44 @@ def running_total(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    offset_col = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for pid, off in offsets.items()
-                    for x in (F.lit(pid), F.lit(off))
-                ]
-            ),
-            F.col(_PID),
-        )
-        if offsets
-        else F.lit(0),
-        F.lit(0),
-    )
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.withColumn(_LOCAL, F.sum(value_col).over(w))
-        .withColumn(out_col, (F.col(_LOCAL) + offset_col).cast("bigint"))
-        .drop(_PID, _LOCAL)
-    )
+    local = ranged.withColumn(_LOCAL, F.sum(value_col).over(w))
+    if len(offsets) <= 128:
+        # small partition count: inline literal map, no extra operator
+        offset_col = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for pid, off in offsets.items()
+                        for x in (F.lit(pid), F.lit(off))
+                    ]
+                ),
+                F.col(_PID),
+            )
+            if offsets
+            else F.lit(0),
+            F.lit(0),
+        )
+        summed = local.withColumn(
+            out_col, (F.col(_LOCAL) + offset_col).cast("bigint")
+        )
+    else:
+        # thousands of partitions: a giant literal map bloats codegen;
+        # broadcast-join the (pid, offset) table instead
+        offsets_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            f"{_PID} int, __off long",
+        )
+        summed = local.join(F.broadcast(offsets_df), _PID, "left").withColumn(
+            out_col,
+            (F.col(_LOCAL) + F.coalesce("__off", F.lit(0))).cast("bigint"),
+        ).drop("__off")
+    return summed.drop(_PID, _LOCAL)
 
 
 def select_token_budget(

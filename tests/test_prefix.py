@@ -61,3 +61,26 @@ def test_select_token_budget_keeps_best_first_until_full(spark):
     assert {r["doc_id"] for r in kept} == {5, 1}
     assert max(r["running_tokens"] for r in kept) == 70
     spark.catalog.clearCache()
+
+
+def test_running_total_broadcast_offset_path(spark):
+    """num_partitions > 128 switches the offset delivery from a literal
+    map to a broadcast join — identical totals either way."""
+    df = spark.range(2000).select(
+        F.col("id").alias("uid"), (F.col("id") % 5 + 1).alias("v")
+    )
+    order = [F.col("uid").asc()]
+    small = {
+        r["uid"]: r["run"]
+        for r in running_total(
+            df, order, "v", out_col="run", num_partitions=8
+        ).collect()
+    }
+    big = {
+        r["uid"]: r["run"]
+        for r in running_total(
+            df, order, "v", out_col="run", num_partitions=200
+        ).collect()
+    }
+    assert small == big
+    spark.catalog.clearCache()

@@ -1016,3 +1016,31 @@ def test_socket_source_streams_through_windows(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_streaming_banding_matches_batch_index_math(spark):
+    """neardedup's inline banding (which carries the shingle payload)
+    must produce byte-identical (band, bh) keys to the batch index
+    builder — a drift here would silently partition streaming docs into
+    different buckets than a persisted batch-built index."""
+    from event_pipeline_spark.operators.dedup import _banded_signatures
+    from event_pipeline_spark.streaming.neardedup import (
+        _banded_with_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different document about spark plans")],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r["_id"], r["band"], r["bh"])
+        for r in _banded_signatures(docs).collect()
+    }
+    stream_style = {
+        (r["docid"], r["band"], r["bh"])
+        for r in _banded_with_shingles(
+            docs, "doc_id", "text", 3, 64, 16
+        ).collect()
+    }
+    assert batch == stream_style
