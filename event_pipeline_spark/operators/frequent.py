@@ -81,6 +81,9 @@ def frequent_items(
             )
 
     item_type = df.schema[col].dataType.simpleString()
+    # persist: partials feed both the error-bound aggregate and the
+    # item merge; plan holds the lineage (caller may clearCache after
+    # materializing, as with running_total)
     parts = df.select(F.col(col).alias(col)).mapInPandas(
         partials, schema=f"item {item_type}, cnt long"
     ).persist()

@@ -36,20 +36,17 @@ def idempotent_parquet_writer(
     """
 
     def write(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            out = df.withColumn(BATCH_COL, F.lit(int(batch_id)))
-            (
-                out.write.mode("overwrite")
-                .partitionBy(BATCH_COL, *(partition_by or []))
-                .parquet(base_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out = df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+        (
+            out.write.mode("overwrite")
+            # per-write option, NOT the session conf: concurrent queries
+            # sharing the session must not see each other's overwrite mode
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BATCH_COL, *(partition_by or []))
+            .parquet(base_path)
+        )
 
     return write
 
