@@ -49,7 +49,9 @@ def frequent_items(
 
     ``capacity`` defaults to ``8*k`` — the undercount bound is
     ``n/(capacity+1)``, so raise it for tighter estimates; the shuffle
-    stays ``partitions × capacity`` rows either way.
+    stays ``partitions × capacity`` rows either way. Nulls are ignored
+    (standard aggregate semantics) — and must be: the merge protocol
+    reserves the null item for per-partition row counts.
     """
     cap = capacity or 8 * k
 
@@ -84,9 +86,12 @@ def frequent_items(
     # persist: partials feed both the error-bound aggregate and the
     # item merge; plan holds the lineage (caller may clearCache after
     # materializing, as with running_total)
-    parts = df.select(F.col(col).alias(col)).mapInPandas(
-        partials, schema=f"item {item_type}, cnt long"
-    ).persist()
+    parts = (
+        df.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())  # null is the count sentinel
+        .mapInPandas(partials, schema=f"item {item_type}, cnt long")
+        .persist()
+    )
     totals = parts.where(F.col("item").isNull()).agg(
         (F.sum("cnt") / (cap + 1)).cast("long").alias("err_bound")
     )

@@ -201,7 +201,9 @@ def shuffle_epoch(
     orders — the property epoch shuffling needs without any RNG state.
 
     Order key = ``md5(key || '|' || seed || '|' || epoch)`` (engine-
-    portable like every operator in this module). Two materialization
+    portable like every operator in this module). ``key_col`` must be
+    unique per row — duplicate keys make the relative order of their
+    rows tie-broken arbitrarily. Two materialization
     modes:
 
     - ``global_sort=False`` (default, the 100 TB path): shuffle rows to

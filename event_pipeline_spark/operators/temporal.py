@@ -395,7 +395,9 @@ def interval_join(
     pairs that met in several shared bins. Shuffle volume is
     interval-length/bin_width rows per interval — pick ``bin_width``
     near the typical interval length, exactly as in ``range_join``.
-    Column names must be disjoint across the two inputs.
+    Column names must be disjoint across the two inputs, and exact
+    duplicate input ROWS collapse (the pair de-dupe keys on all output
+    columns) — carry a unique id per side if duplicates matter.
     """
     on = on or []
     clash = set(left.columns) & set(right.columns) - set(on)

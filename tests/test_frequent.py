@@ -84,3 +84,16 @@ def test_interval_join_rejects_column_collisions(spark):
         interval_join(
             df, df, l_lo="lo", l_hi="hi", r_lo="lo", r_hi="hi", bin_width=1.0
         )
+
+
+def test_frequent_items_ignores_nulls(spark):
+    """Nulls must not collide with the merge protocol's count-sentinel
+    null row (or surface as a 'most frequent item')."""
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [(None,)] * 10 + [("b",)] * 2,
+        "w string",
+    ).repartition(3)
+    out = frequent_items(df, "w", k=5, capacity=64).collect()
+    assert [(r["item"], r["est_count"]) for r in out] == [("a", 4), ("b", 2)]
+    # error bound excludes nulls too: n=6 non-null rows
+    assert all(r["err_bound"] == 6 // 65 for r in out)
