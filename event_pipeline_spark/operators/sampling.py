@@ -257,3 +257,91 @@ _register(
        FROM documents WHERE doc_id < 500
        ORDER BY pos""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform sample + temperature mixing (round 4)
+# ---------------------------------------------------------------------------
+
+
+def sample_k(
+    df: DataFrame, k: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Exactly-``k`` uniform sample via the bottom-k trick: the k
+    smallest ``md5(key||salt)`` values are a uniform k-subset (every
+    key's hash rank is exchangeable), deterministic per salt and
+    identical on any engine — the fixed-size sibling of
+    ``sample_fraction`` for unknown-n inputs.
+
+    Scale shape: a global smallest-k is ``TakeOrderedAndProject`` —
+    per-partition top-k heaps merged on the driver, never a full sort.
+    """
+    h = hash_hex(F.col(key_col), salt)
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", key_col)
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def q_sample_topk_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return sample_k(docs, 40, "doc_id", _SALT).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+_register(
+    "sample_topk_uniform",
+    q_sample_topk_uniform,
+    f"""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang
+          FROM documents
+          ORDER BY substr(md5(doc_id::VARCHAR || '{_SALT}'), 1, 8), doc_id
+          LIMIT 40)
+        ORDER BY doc_id""",
+)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted source mixing: sample sources in proportion
+    to ``count^alpha`` (alpha<1 upweights small sources — the standard
+    multilingual/multi-domain rebalancing knob), deterministically via
+    the md5 filter.
+
+    Two tiny actions compute per-source counts and thresholds driver-
+    side (|sources| rows); the data pass is one scan with a per-source
+    hash cutoff — no shuffle of the sampled rows themselves. Sources
+    whose quota exceeds their size keep every row (fraction capped at
+    1). Expected output size ≈ ``target_rows`` (hash-exact per source,
+    binomial at the margins).
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    total_w = sum(c**alpha for c in counts.values())
+    cutoffs = {}
+    for src, c in counts.items():
+        quota = target_rows * (c**alpha) / total_w
+        cutoffs[src] = _threshold_hex(min(quota / c, 1.0))
+    h = hash_hex(F.col(key_col), salt)
+    cutoff_col = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[x for s_, t in cutoffs.items() for x in (F.lit(s_), F.lit(t))]
+            ),
+            F.col(source_col),
+        ),
+        F.lit(_threshold_hex(0.0)),
+    )
+    return df.where(h < cutoff_col)

@@ -43,3 +43,41 @@ def test_shuffle_epoch_bucketed_mode_is_a_stable_permutation(spark):
     assert a == b
     assert sorted(a) == list(range(500))
     assert a != sorted(a)
+
+
+def test_sample_k_exact_size_uniform_and_deterministic(spark):
+    from event_pipeline_spark.operators.sampling import sample_k
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    a = sorted(r["k"] for r in sample_k(df, 100, "k", "s1").collect())
+    b = sorted(r["k"] for r in sample_k(df, 100, "k", "s1").collect())
+    c = sorted(r["k"] for r in sample_k(df, 100, "k", "s2").collect())
+    assert len(a) == 100 and a == b  # exact size, deterministic
+    assert a != c  # salt changes the draw
+    # uniformity smoke: mean of a uniform 100-draw from [0,5000) is
+    # within a few hundred of 2500
+    assert abs(sum(a) / 100 - 2500) < 500
+
+
+def test_temperature_mix_rebalances_toward_small_sources(spark):
+    from event_pipeline_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(9000)] + [
+        (i + 100_000, "small") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = temperature_mix(
+        df, "src", "k", alpha=0.5, target_rows=2000, salt="t"
+    )
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    assert abs(total - 2000) < 200  # hits the target within hash noise
+    # alpha=0.5: weights sqrt(9000):sqrt(1000) ~ 3:1 instead of 9:1
+    ratio = got["big"] / got["small"]
+    assert 2.0 < ratio < 4.5
+    # deterministic
+    again = temperature_mix(
+        df, "src", "k", alpha=0.5, target_rows=2000, salt="t"
+    ).count()
+    assert again == total
