@@ -260,3 +260,89 @@ def test_resample_ffill_non_hour_steps(spark):
     assert daily[2] == (0, 11.0)
     assert daily[3] == (1, 4.0)
     assert len(daily) == 3
+
+
+# -- asof_join vs pandas merge_asof (property differential) ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = ["k1", "k2"]
+    lts = draw(st.lists(st.integers(0, 50), min_size=n_left, max_size=n_left))
+    rts = draw(
+        st.lists(st.integers(0, 50), min_size=n_right, max_size=n_right)
+    )
+    lkeys = draw(
+        st.lists(st.sampled_from(keys), min_size=n_left, max_size=n_left)
+    )
+    rkeys = draw(
+        st.lists(st.sampled_from(keys), min_size=n_right, max_size=n_right)
+    )
+    tol = draw(st.one_of(st.none(), st.integers(1, 20)))
+    return lts, lkeys, rts, rkeys, tol
+
+
+@given(case=_asof_case())
+@settings(max_examples=25, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """Random keyed timelines: Spark's union+window as-of join must
+    agree with pandas merge_asof (backward, by-key, tolerance),
+    including no-match NULLs and same-instant ties."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from event_pipeline_spark.operators.temporal import asof_join
+
+    lts, lkeys, rts, rkeys, tol = case
+    base = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    left_pd = pd.DataFrame(
+        {
+            "sym": lkeys,
+            "ts": [base + t * sec for t in lts],
+            "lid": range(len(lts)),
+        }
+    )
+    # merge_asof picks an arbitrary right row among exact (key, ts)
+    # duplicates; de-dupe the right side so the expectation is defined
+    right_pd = pd.DataFrame(
+        {
+            "sym": pd.Series(rkeys, dtype="object"),
+            "ts": pd.Series(
+                [base + t * sec for t in rts], dtype="datetime64[ns]"
+            ),
+            "px": pd.Series([float(t) for t in rts], dtype="float64"),
+        }
+    ).drop_duplicates(["sym", "ts"], keep="last")
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(
+        right_pd, schema="sym string, ts timestamp, px double"
+    )
+    got = {
+        r["lid"]: r["px"]
+        for r in asof_join(
+            left, right, ["sym"], ts="ts",
+            tolerance_seconds=float(tol) if tol else None,
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        left_pd.sort_values(["ts", "lid"]),
+        right_pd.sort_values("ts"),
+        on="ts",
+        by="sym",
+        direction="backward",
+        tolerance=(pd.Timedelta(seconds=tol) if tol else None),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.px) else float(r.px))
+        for r in want_df.itertuples()
+    }
+    assert got == want
