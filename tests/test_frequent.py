@@ -97,3 +97,47 @@ def test_frequent_items_ignores_nulls(spark):
     assert [(r["item"], r["est_count"]) for r in out] == [("a", 4), ("b", 2)]
     # error bound excludes nulls too: n=6 non-null rows
     assert all(r["err_bound"] == 6 // 65 for r in out)
+
+
+# -- binned joins vs brute force (property differential) ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_iv = st.tuples(
+    st.floats(-20, 20, allow_nan=False), st.floats(0, 15, allow_nan=False)
+)
+
+
+@given(
+    a_ivs=st.lists(_iv, min_size=1, max_size=8),
+    b_ivs=st.lists(_iv, min_size=1, max_size=8),
+    width=st.sampled_from([0.7, 3.0, 11.0]),
+)
+@settings(max_examples=20, deadline=None)
+def test_interval_join_differential_vs_bruteforce(spark, a_ivs, b_ivs, width):
+    """Random interval sets and bin widths: the binned rewrite must be
+    exactly the inequality join — bin width affects cost, never the
+    result."""
+    a = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(a_ivs)],
+        "a_id long, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(b_ivs)],
+        "b_id long, b_lo double, b_hi double",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_join(
+            a, b, l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+            bin_width=width,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (alo, aln) in enumerate(a_ivs)
+        for j, (blo, bln) in enumerate(b_ivs)
+        if alo <= blo + bln and blo <= alo + aln
+    }
+    assert got == want
