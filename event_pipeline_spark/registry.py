@@ -28,11 +28,11 @@ GRADE_FIRST_OPERATORS = [
     "fuzzy_name_pairs",
     "sim_topk_bruteforce",
     "text_quality",
-    "text_lang_id",
+    "interval_join",
     "text_segments_udtf",
     "quality_gopher",
-    "pii_redact",
-    "sample_stratified",
+    "frequent_event_types",
+    "sample_topk_uniform",
     "decontam_scan",
     "rank_bm25_topk",
     "cdc_snapshot_diff",
