@@ -141,3 +141,45 @@ def test_interval_join_differential_vs_bruteforce(spark, a_ivs, b_ivs, width):
         if alo <= blo + bln and blo <= alo + aln
     }
     assert got == want
+
+
+@given(
+    pts=st.lists(st.floats(-25, 25, allow_nan=False), min_size=1, max_size=10),
+    ivs=st.lists(_iv, min_size=1, max_size=8),
+    width=st.sampled_from([0.9, 4.0, 13.0]),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_range_join_differential_vs_bruteforce(spark, pts, ivs, width, how):
+    """Random points/intervals/bin widths, inner and left: the binned
+    point-in-interval join equals the plain BETWEEN join, and the left
+    form keeps exactly the unmatched points with NULLs."""
+    from event_pipeline_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)], "p_id long, v double"
+    )
+    ivdf = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)],
+        "i_id long, lo double, hi double",
+    )
+    got = {
+        (r["p_id"], r["i_id"])
+        for r in range_join(
+            points, ivdf, "v", "lo", "hi", bin_width=width, how=how
+        ).collect()
+    }
+    inner = {
+        (i, j)
+        for i, v in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= v <= lo + ln
+    }
+    if how == "inner":
+        assert got == inner
+    else:
+        matched_pts = {i for i, _ in inner}
+        want = inner | {
+            (i, None) for i in range(len(pts)) if i not in matched_pts
+        }
+        assert got == want
