@@ -753,3 +753,64 @@ def test_progressive_jpeg_decodes_foreign_photo():
     assert abs(float(img.mean()) - 107.9) < 0.5
     assert img[0, 0].tolist() == [236, 240, 235]
     assert img[238, 360].tolist() == [80, 81, 79]
+
+
+# -- codec property round-trips ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    mode=st.sampled_from(["gray", "rgb", "rgba"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_property(seed, h, w, mode):
+    """Any shape, any content: PNG encode->decode is the identity."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    shape = {"gray": (h, w), "rgb": (h, w, 3), "rgba": (h, w, 4)}[mode]
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    back = codecs.decode_image(codecs.encode_png(img), "png")
+    assert np.array_equal(back, img)
+
+
+@given(seed=st.integers(0, 2**31), h=st.integers(1, 16), w=st.integers(1, 16))
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(seed, h, w):
+    """Any palette-sized image: GIF LZW encode->decode is the identity."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (rng.integers(2, 17), 3), dtype=np.uint8)
+    idx = rng.integers(0, len(palette), (h, w))
+    img = palette[idx]
+    back = codecs.decode_image(codecs.encode_gif(img), "gif")
+    assert np.array_equal(back, img)
+
+
+@given(seed=st.integers(0, 2**31), bh=st.integers(1, 3), bw=st.integers(1, 3))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_flat_block_property(seed, bh, bw):
+    """Flat 8x8-aligned blocks survive baseline AND progressive JPEG
+    exactly, at any block-grid size and gray level."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((bh * 8, bw * 8), np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.integers(0, 256)
+    for enc in (codecs.encode_jpeg, codecs.encode_jpeg_progressive):
+        back = codecs.decode_image(enc(img, quality=97), "jpeg")
+        assert np.array_equal(back, img)

@@ -84,3 +84,42 @@ def test_running_total_broadcast_offset_path(spark):
     }
     assert small == big
     spark.catalog.clearCache()
+
+
+# -- property differential vs pandas cumsum ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=60),
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=60),
+    parts=st.sampled_from([1, 3, 8]),
+)
+@settings(max_examples=20, deadline=None)
+def test_running_total_property_vs_pandas(spark, vals, keys, parts):
+    """Random values with heavily duplicated order keys (unique uid
+    tiebreak): the distributed prefix sum equals pandas' cumsum over
+    the same total order, at any partition count."""
+    import pandas as pd
+
+    n = min(len(vals), len(keys))
+    pdf = pd.DataFrame(
+        {"k": keys[:n], "uid": range(n), "v": vals[:n]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["uid"]: r["run"]
+        for r in running_total(
+            df,
+            [F.col("k").asc(), F.col("uid").asc()],
+            "v",
+            out_col="run",
+            num_partitions=parts,
+        ).collect()
+    }
+    ordered = pdf.sort_values(["k", "uid"])
+    want = dict(zip(ordered["uid"], ordered["v"].cumsum()))
+    assert got == want
+    spark.catalog.clearCache()
