@@ -81,3 +81,23 @@ def test_temperature_mix_rebalances_toward_small_sources(spark):
         df, "src", "k", alpha=0.5, target_rows=2000, salt="t"
     ).count()
     assert again == total
+
+
+def test_md5_sampling_is_partition_invariant(spark):
+    """The deterministic draws must select the SAME rows no matter how
+    the data is partitioned — the property that makes re-runs on a
+    re-bucketed 100 TB table reproducible."""
+    from event_pipeline_spark.operators.sampling import (
+        sample_fraction,
+        sample_k,
+    )
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    frac = lambda d: sorted(  # noqa: E731
+        r["k"] for r in sample_fraction(d, "k", 0.2, "pi").collect()
+    )
+    topk = lambda d: sorted(  # noqa: E731
+        r["k"] for r in sample_k(d, 50, "k", "pi").collect()
+    )
+    assert frac(df) == frac(df.repartition(17)) == frac(df.coalesce(1))
+    assert topk(df) == topk(df.repartition(17)) == topk(df.coalesce(1))

@@ -142,3 +142,41 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# -- hypothesis parity: salted ops == plain ops -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    salts=st.sampled_from([2, 5, 16]),
+)
+@settings(max_examples=15, deadline=None)
+def test_salted_agg_property_parity(spark, keys, vals, salts):
+    """Random skewed data at random salt factors: the two-phase salted
+    aggregation is invisible in results."""
+    from event_pipeline_spark.operators.skew import salted_agg
+
+    n = min(len(keys), len(vals))
+    df = spark.createDataFrame(
+        list(zip(keys[:n], vals[:n])), "k int, v int"
+    )
+    got = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["k"],
+            [("v", "count", "n"), ("v", "sum", "s")],
+            n_salts=salts,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
