@@ -558,17 +558,19 @@ def _decode_gif(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JPEG: baseline sequential DCT (ITU-T T.81), both directions, pure numpy
+# JPEG: baseline + progressive DCT (ITU-T T.81), both directions, numpy
 # ---------------------------------------------------------------------------
 #
-# Decoder: marker parse (DQT/SOF0/DHT/SOS/DRI), canonical Huffman decode
-# over the byte-stuffed entropy stream, DC prediction + EXTEND, zigzag
-# dequantization, vectorized 8x8 IDCT (DCT basis matmul), chroma
-# upsampling by replication, JFIF YCbCr->RGB. Baseline only — SOF2
-# (progressive) and arithmetic coding raise NotImplementedError.
+# Decoder: marker parse (DQT/SOF0/SOF2/DHT/SOS/DRI), canonical Huffman
+# decode (8-bit prefix LUT) over the byte-stuffed entropy stream,
+# coefficient-domain scan accumulation (baseline full-band and all four
+# progressive scan kinds), vectorized 8x8 IDCT (DCT basis matmul),
+# chroma upsampling by replication, JFIF YCbCr->RGB. Arithmetic coding
+# and hierarchical mode raise NotImplementedError.
 #
-# Encoder: 4:4:4 (or grayscale) baseline JFIF. The Huffman tables are
-# generated canonical tables (DC: twelve 4-bit codes; AC: all 162
+# Encoder: baseline JFIF (4:4:4/4:2:0/gray) plus the progressive scan
+# script (see encode_jpeg_progressive below). Huffman tables are
+# generated canonical tables (DC: twelve 4-bit codes; AC: EOBn + all
 # run/size symbols at 8 bits) — JPEG embeds tables in DHT, so any
 # Kraft-valid table is spec-correct; this avoids transcribing Annex K
 # while keeping files readable by every decoder.
