@@ -108,3 +108,35 @@ def test_pack_greedy_survives_empty_partitions(spark):
     ).repartition(16)
     out = pack_greedy(df, "doc_id", "tokens", budget=100).collect()
     assert {r["doc_id"] for r in out} == {1, 2, 3}
+
+
+# -- packing invariants (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    toks=st.lists(st.integers(1, 300), min_size=1, max_size=50),
+    budget=st.sampled_from([64, 200, 1000]),
+    parts=st.sampled_from([1, 4]),
+)
+@settings(max_examples=15, deadline=None)
+def test_pack_greedy_invariants(spark, toks, budget, parts):
+    """Every doc lands in exactly one pack; no pack exceeds the budget
+    unless it holds a single over-budget doc; reported pack_tokens
+    equal the member sum."""
+    from event_pipeline_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, tokens long"
+    ).repartition(parts)
+    rows = pack_greedy(df, "doc_id", "tokens", budget=budget).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(toks)))
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        total = sum(m["tokens"] for m in members)
+        assert all(m["pack_tokens"] == total for m in members)
+        assert total <= budget or len(members) == 1

@@ -1044,3 +1044,48 @@ def test_streaming_banding_matches_batch_index_math(spark):
         ).collect()
     }
     assert batch == stream_style
+
+
+# -- sessionize property differential ----------------------------------------
+
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@given(
+    offsets=st.lists(st.integers(0, 4000), min_size=1, max_size=40),
+    users=st.lists(st.integers(0, 2), min_size=1, max_size=40),
+    gap_s=st.sampled_from([60, 600]),
+)
+@hyp_settings(max_examples=15, deadline=None)
+def test_sessionize_property_vs_pure_python(spark, offsets, users, gap_s):
+    """Random per-user timelines: session ids must match the
+    straightforward sorted-scan gap rule."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    n = min(len(offsets), len(users))
+    rows = [
+        (f"u{users[i]}", base + dt.timedelta(seconds=offsets[i]), i)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, rid long")
+    got = {
+        r["rid"]: (r["user_id"], r["session_id"])
+        for r in sessionize(df, "ts", gap_s, "user_id").collect()
+    }
+    # pure-python: per user, sorted by (ts, rid); new session when the
+    # gap from the previous event is > gap_s
+    want = {}
+    by_user: dict = {}
+    for uid, ts, rid in rows:
+        by_user.setdefault(uid, []).append((ts, rid))
+    for uid, evs in by_user.items():
+        evs.sort()
+        sid, prev = 1, None
+        for ts, rid in evs:
+            if prev is not None and (ts - prev).total_seconds() > gap_s:
+                sid += 1
+            want[rid] = (uid, sid)
+            prev = ts
+    assert got == want
