@@ -140,3 +140,27 @@ def test_pack_greedy_invariants(spark, toks, budget, parts):
         total = sum(m["tokens"] for m in members)
         assert all(m["pack_tokens"] == total for m in members)
         assert total <= budget or len(members) == 1
+
+
+@given(
+    n=st.sampled_from([500, 2000]),
+    salt=st.sampled_from(["", "r1", "r2"]),
+)
+@settings(max_examples=6, deadline=None)
+def test_split_is_disjoint_exhaustive_and_proportional(spark, n, salt):
+    """Every key gets exactly one split; empirical shares track the
+    weights; re-salting re-rolls membership deterministically."""
+    from event_pipeline_spark.operators.packing import train_val_test_split
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = train_val_test_split(df, "doc_id", w, salt)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, one split per key
+    assert set(counts) <= set(w)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.06
+    b = train_val_test_split(df, "doc_id", w, salt)
+    assert (
+        a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+    )  # deterministic
