@@ -5,7 +5,8 @@ Layered lookup, later layers overriding earlier ones:
 
 1. package defaults (``event_pipeline_spark/settings.py``),
 2. a ``settings.py`` discovered in ``EVENT_PIPELINE_SPARK_CONFIG_DIR``
-   (default ".") or one subdirectory below it,
+   (only when that variable is explicitly set — no cwd default, since
+   loading a settings file executes it) or one subdirectory below it,
 3. the file named by ``$EVENT_PIPELINE_SPARK_CONFIG``,
 4. an explicit ``config_file`` argument.
 
@@ -66,8 +67,17 @@ class ConfigLoader:
 
     @staticmethod
     def _find_in_config_dir() -> str | None:
-        """``settings.py`` in the config dir, else one level down."""
-        root = os.environ.get(ENV_CONFIG_DIR, ".")
+        """``settings.py`` in the config dir, else one level down.
+
+        Discovery is gated on ``EVENT_PIPELINE_SPARK_CONFIG_DIR`` being
+        explicitly set: defaulting to "." would exec() any settings.py
+        that happens to sit in the current working directory — code
+        execution by cwd. (The reference auto-discovers from cwd; that
+        hazard is deliberately not reproduced.)
+        """
+        root = os.environ.get(ENV_CONFIG_DIR)
+        if not root:
+            return None
         direct = os.path.join(root, CONFIG_FILE)
         if os.path.isfile(direct):
             return direct

@@ -751,7 +751,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     refinements (T.81 G.1.2) — accumulates into per-component zigzag
     coefficient arrays; dequantize + IDCT + upsample + YCbCr happen
     once at EOI. Arithmetic coding and hierarchical mode stay gated.
+
+    Truncated/garbage payloads raise ValueError (the decode_image
+    contract): segment/marker reads past the end surface as
+    struct.error/IndexError internally and are re-raised as ValueError.
     """
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

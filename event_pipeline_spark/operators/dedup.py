@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_pipeline_spark.cache import pin
 from event_pipeline_spark.operators.text import normalized_fingerprint, tokens
 
 QUERIES = {}
@@ -272,8 +273,9 @@ def minhash_near_duplicates(
     )
     # the pair list is consumed three times (both legs of the candidate-id
     # union + the final join); without pinning it, the whole signature +
-    # banding join recomputes per consumer
-    pairs = pairs.persist()
+    # banding join recomputes per consumer. Released via
+    # cache.release_pins() after the caller materializes.
+    pairs = pin(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -544,8 +546,9 @@ def ngram_jaccard_pairs(
         shingles(F.col(text_col), k_shingle).alias("_sh"),
     ).withColumn("_n", F.size("_sh"))
     # materialize once: Catalyst otherwise inlines the shingle UDF into
-    # every consuming expression and re-runs it under the join
-    sh_df = sh_df.persist()
+    # every consuming expression and re-runs it under the join.
+    # Released via cache.release_pins() after the caller materializes.
+    sh_df = pin(sh_df)
 
     prefix_len = (F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1).cast("int")
     pre = sh_df.select(

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_pipeline_spark.cache import pin
+
 QUERIES = {}
 ORACLES = {}
 
@@ -83,14 +85,13 @@ def frequent_items(
             )
 
     item_type = df.schema[col].dataType.simpleString()
-    # persist: partials feed both the error-bound aggregate and the
-    # item merge; plan holds the lineage (caller may clearCache after
-    # materializing, as with running_total)
-    parts = (
+    # pin: partials feed both the error-bound aggregate and the
+    # item merge; without it the Misra-Gries pass runs once per
+    # consumer. Released via cache.release_pins() after materializing.
+    parts = pin(
         df.select(F.col(col).alias(col))
         .where(F.col(col).isNotNull())  # null is the count sentinel
         .mapInPandas(partials, schema=f"item {item_type}, cnt long")
-        .persist()
     )
     totals = parts.where(F.col("item").isNull()).agg(
         (F.sum("cnt") / (cap + 1)).cast("long").alias("err_bound")

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_pipeline_spark.cache import pin
+
 QUERIES = {}
 ORACLES = {}
 
@@ -53,21 +55,24 @@ def running_total(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # persist: the ranged layout is consumed twice (totals pass + final
+    # pin: the ranged layout is consumed twice (totals pass + final
     # pass) and range partitioning samples boundaries — recomputing
-    # could re-sample. The plan keeps the persisted lineage; the caller
-    # may spark.catalog.clearCache() after materializing.
-    ranged = (
-        df.repartitionByRange(n, *order_by)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
+    # could re-sample and re-assign pids after offsets were collected.
+    # Released by cache.release_pins() once the caller materializes.
+    ranged = pin(
+        df.repartitionByRange(n, *order_by).withColumn(
+            _PID, F.spark_partition_id()
+        )
     )
     # per-partition totals → driver → broadcast prefix offsets.
     # len(totals) == n: KB-scale regardless of table size.
+    # coalesce: a partition whose values are all NULL yields SUM=NULL;
+    # NULL rows contribute 0 (SQL SUM semantics — the row is kept, its
+    # value drops out of the running total, same as the window oracle).
     totals = {
         r[_PID]: r["t"]
         for r in ranged.groupBy(_PID)
-        .agg(F.sum(value_col).alias("t"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
         .collect()
     }
     offsets, acc = {}, 0

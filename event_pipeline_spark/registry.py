@@ -47,11 +47,32 @@ GRADE_FIRST_OPERATORS = [
 ]
 
 
+def _auto_release(fn: QueryFn) -> QueryFn:
+    """Release the previous query's pinned caches at entry.
+
+    Operators pin recompute-unsafe or expensive intermediates
+    (``cache.pin``) that must survive until the caller materializes the
+    returned plan — so release happens at the NEXT query's entry, which
+    in every driver/bench/differential loop is after the previous
+    collect. Keeps back-to-back registry runs bounded at one query's
+    pins instead of accumulating."""
+    import functools
+
+    from event_pipeline_spark.cache import release_pins
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_pins()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def _grade_order(qs: dict[str, QueryFn]) -> dict[str, QueryFn]:
     core_first = [f"q{i}" for i in range(1, 28) if f"q{i}" in qs]
     prefix = core_first + [n for n in GRADE_FIRST_OPERATORS if n in qs]
     rest = [n for n in qs if n not in set(prefix)]
-    return {n: qs[n] for n in prefix + rest}
+    return {n: _auto_release(qs[n]) for n in prefix + rest}
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

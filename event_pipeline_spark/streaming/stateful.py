@@ -119,19 +119,33 @@ def ensure_protobuf(spark: "Any" = None) -> bool:
     return available
 
 
+_vendor_zip_path: str | None = None
+
+
 def _vendor_zip() -> str:
-    """Zip the vendored ``google`` package for addPyFile (cached)."""
+    """Zip the vendored ``google`` package for addPyFile.
+
+    Built in a fresh per-process ``mkdtemp`` directory (0700) rather
+    than a fixed name in the shared temp dir: a predictable shared path
+    could be pre-planted by another local user (the zip is shipped to
+    every executor and imported), and a stale cached zip would keep
+    shipping old shim code after the vendored files change. The
+    per-process path is cached for the process lifetime only.
+    """
     import tempfile
     import zipfile
     from pathlib import Path
 
-    out = Path(tempfile.gettempdir()) / "eps_protobuf_shim.zip"
+    global _vendor_zip_path
+    if _vendor_zip_path is not None and Path(_vendor_zip_path).exists():
+        return _vendor_zip_path
     vendor = _vendor_dir()
-    if not out.exists():
-        with zipfile.ZipFile(out, "w") as zf:
-            for py in sorted((vendor / "google").rglob("*.py")):
-                zf.write(py, py.relative_to(vendor))
-    return str(out)
+    out = Path(tempfile.mkdtemp(prefix="eps_pb_shim_")) / "protobuf_shim.zip"
+    with zipfile.ZipFile(out, "w") as zf:
+        for py in sorted((vendor / "google").rglob("*.py")):
+            zf.write(py, py.relative_to(vendor))
+    _vendor_zip_path = str(out)
+    return _vendor_zip_path
 
 
 def has_transform_with_state(spark: "Any" = None) -> bool:

@@ -814,3 +814,22 @@ def test_jpeg_flat_block_property(seed, bh, bw):
     for enc in (codecs.encode_jpeg, codecs.encode_jpeg_progressive):
         back = codecs.decode_image(enc(img, quality=97), "jpeg")
         assert np.array_equal(back, img)
+
+
+def test_truncated_jpeg_raises_value_error():
+    """decode_image promises ValueError on malformed payloads — a
+    truncated stream must not leak struct.error/IndexError from the
+    segment parser."""
+    import numpy as np
+    import pytest
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(11)
+    good = codecs.encode_jpeg(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+    for cut in (3, 5, len(good) // 2, len(good) - 4):
+        with pytest.raises(ValueError):
+            codecs.decode_image(good[:cut], "jpeg")
+    # garbage after a valid SOI marker
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"\xff\xd8\xff\xc0\x00\x03\x01", "jpeg")

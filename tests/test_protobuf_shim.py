@@ -186,3 +186,19 @@ def test_vendor_zip_builds_once(tmp_path, monkeypatch):
     names = zipfile.ZipFile(path).namelist()
     assert "google/protobuf/message.py" in names
     assert "google/protobuf/internal/builder.py" in names
+
+
+def test_split_message_merges_singular_embedded_field(sm):
+    """Concatenating two serialized messages must MERGE a singular
+    embedded-message field's occurrences (protobuf encoding spec), not
+    let the second occurrence replace the first."""
+    a = sm.StateCallCommand(stateName="agg")
+    first = sm.StatefulProcessorCall(getValueState=a).SerializeToString()
+    b = sm.StateCallCommand(schema="n long")
+    second = sm.StatefulProcessorCall(getValueState=b).SerializeToString()
+
+    back = sm.StatefulProcessorCall()
+    back.ParseFromString(first + second)
+    # replace-semantics would lose stateName from the first occurrence
+    assert back.getValueState.stateName == "agg"
+    assert back.getValueState.schema == "n long"
