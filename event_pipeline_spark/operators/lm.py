@@ -1,0 +1,333 @@
+"""N-gram language-model perplexity scoring (CCNet-style quality signal).
+
+The standard third quality signal next to heuristic rules
+(``filtering.py``) and a trained classifier (``classify.py``): train a
+count-based n-gram LM on a reference corpus, score every document by
+perplexity, keep the fluent tail. CCNet (Wenzek et al. 2019) uses a
+KenLM 5-gram; the public-knowledge scoring scheme implemented here is
+**stupid backoff** (Brants et al. 2007, "Large Language Models in
+Machine Translation"):
+
+    S(w | ctx_k) = count(ctx_k · w) / count(ctx_k)     if seen,
+                 = alpha * S(w | ctx_{k-1})            otherwise,
+    S(w)         = count(w) / N   (OOV floors to 1/N).
+
+Spark-first architecture — **no UDF anywhere**:
+
+- counting is one JVM pass per order: ``transform(sequence(...))``
+  builds the gram strings inside the array, ``explode`` + ``groupBy``
+  counts them (map-side partial aggregation; the shuffle carries
+  (gram, partial-count) pairs, never documents);
+- scoring is a left-join of the position table against the pruned
+  count tables: with ``min_count`` pruning the numerator tables are
+  small and AQE broadcasts them, so scoring is a map stage. Backoff
+  resolution is a CASE over the join results — whole-stage codegen,
+  no Python in the hot path. (An Arrow UDF over a broadcast dict is
+  the alternative when the model must be one opaque artifact; the
+  join form is preferred because it stays JVM-side and lets pruning /
+  broadcast decisions ride Catalyst.)
+- denominator (context) tables are never pruned — pruning only drops
+  numerator entries, so backoff stays well-defined for any
+  ``min_count``.
+
+Registered queries:
+- ``lm_score_positions`` [oracle, exact integers] — train on even
+  doc_ids, score ALL docs; per position emit the resolved backoff
+  (num, den, level). Odd docs contain unseen n-grams and OOV words,
+  so every backoff branch is exercised; DuckDB recomputes the counts
+  and the resolution from scratch.
+- ``lm_doc_perplexity`` [oracle] — per-doc perplexity
+  ``exp(-mean(log S))``; per-term logs are rounded to 7 dp before the
+  per-doc fold (both engines), the result to 3 dp, so engine
+  summation-order ulps cannot surface.
+
+Monotonicity property (garbage scores worse than in-domain text) and a
+closed-form hand-computed oracle live in ``tests/test_lm.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+SEP = " "  # gram-join separator (whitespace tokens never contain it)
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization, identical to the DuckDB oracle's
+    ``regexp_split_to_array(trim(text), '\\s+')``."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def ngram_count_table(
+    docs: DataFrame, *, text_col: str, n: int, min_count: int = 1
+) -> DataFrame:
+    """(gram string, cnt) for all ``n``-grams — one JVM pass, the gram
+    strings are built inside the token array before the explode."""
+    a = whitespace_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(a) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - n + 1),
+            lambda i: F.array_join(F.slice(a, i, n), SEP),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= min_count)
+    return out
+
+
+def _position_table(
+    docs: DataFrame, *, id_col: str, text_col: str, order: int
+) -> DataFrame:
+    """One row per token position: (id, i [1-based], gram_k / ctx_k
+    strings for k=2..order). Built with ``inline`` so the token array
+    is never duplicated across exploded rows."""
+    a = whitespace_tokens(F.col(text_col))
+
+    def gram_ending_at(i, length):  # words [i-length+1 .. i] joined
+        return F.array_join(F.slice(a, i - length + 1, length), SEP)
+
+    fields = lambda i: [  # noqa: E731
+        i.alias("i"),
+        F.element_at(a, i).alias("w"),
+        *[
+            x
+            for k in range(2, order + 1)
+            for x in (
+                F.when(i >= k, gram_ending_at(i, k)).alias(f"g{k}"),
+                F.when(i >= k, gram_ending_at(i - 1, k - 1)).alias(
+                    f"ctx{k}"
+                ),
+            )
+        ],
+    ]
+    terms = F.transform(
+        F.sequence(F.lit(1), F.size(a)), lambda i: F.struct(*fields(i))
+    )
+    return docs.where(F.size(a) > 0).select(
+        F.col(id_col), F.inline(terms)
+    )
+
+
+def lm_score_positions(
+    docs: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Resolved stupid-backoff per position: (id, i, num, den, level).
+
+    ``num/den`` is the count ratio of the branch that fired; ``level``
+    is how many backoff steps were taken from the longest AVAILABLE
+    context (``alpha ** level`` multiplies the ratio). Integer-exact —
+    the float-free core of the model, and the graded oracle surface.
+    """
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    pos = _position_table(
+        docs, id_col=id_col, text_col=text_col, order=order
+    )
+    # count tables: numerator tables pruned, context tables complete
+    uni = ngram_count_table(train, text_col=text_col, n=1)
+    total = train.select(
+        F.sum(F.size(whitespace_tokens(F.col(text_col)))).alias("n")
+    )
+    n_total = total.collect()[0]["n"] or 0
+    scored = pos
+    uni_pruned = uni.where(F.col("cnt") >= min_count) if min_count > 1 else uni
+    scored = scored.join(
+        uni_pruned.select(F.col("gram").alias("w"), F.col("cnt").alias("c1")),
+        "w",
+        "left",
+    )
+    for k in range(2, order + 1):
+        ck = ngram_count_table(
+            train, text_col=text_col, n=k, min_count=min_count
+        )
+        ctx = (
+            uni
+            if k == 2
+            else ngram_count_table(train, text_col=text_col, n=k - 1)
+        )
+        scored = scored.join(
+            ck.select(F.col("gram").alias(f"g{k}"), F.col("cnt").alias(f"c{k}")),
+            f"g{k}",
+            "left",
+        ).join(
+            ctx.select(
+                F.col("gram").alias(f"ctx{k}"), F.col("cnt").alias(f"cc{k}")
+            ),
+            f"ctx{k}",
+            "left",
+        )
+    # available context length at position i (i is 1-based)
+    avail = F.least(F.col("i") - 1, F.lit(order - 1))
+    num, den, level = None, None, None
+    # build the CASE from unigram base up to the full order
+    num = F.coalesce(F.col("c1"), F.lit(1))
+    den = F.lit(n_total)
+    level = avail
+    for k in range(2, order + 1):
+        hit = (F.col("i") >= k) & F.col(f"c{k}").isNotNull()
+        num = F.when(hit, F.col(f"c{k}")).otherwise(num)
+        den = F.when(hit, F.col(f"cc{k}")).otherwise(den)
+        level = F.when(hit, avail - (k - 1)).otherwise(level)
+    return pos_select(scored, id_col, num, den, level)
+
+
+def pos_select(scored, id_col, num, den, level) -> DataFrame:
+    return scored.select(
+        F.col(id_col),
+        F.col("i"),
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+        level.cast("int").alias("level"),
+    )
+
+
+def lm_doc_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    min_count: int = 1,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-doc stupid-backoff perplexity: (id, n_tokens, ppl).
+
+    ``ppl = exp(-mean_i round(ln(num_i/den_i) + level_i*ln(alpha), 7))``
+    rounded to 3 dp. The per-term round + final round is the
+    double-rounding guard that makes the value engine-portable (see
+    module docstring). The per-doc mean folds a sorted per-doc array
+    (``sort_array`` + ``aggregate``) so it is also partition-order
+    deterministic on Spark itself.
+    """
+    pos = lm_score_positions(
+        docs,
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        order=order,
+        min_count=min_count,
+    )
+    lterm = F.round(
+        F.log(F.col("num").cast("double") / F.col("den"))
+        + F.col("level") * F.lit(math.log(alpha)),
+        7,
+    )
+    per_doc = (
+        pos.withColumn("_lt", lterm)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sort_array(F.collect_list(F.struct("i", "_lt"))).alias("_a"),
+        )
+        .withColumn(
+            "_sum",
+            F.aggregate(
+                "_a",
+                F.lit(0.0),
+                lambda acc, x: acc + x["_lt"],
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.exp(-F.col("_sum") / F.col("n_tokens")), 3).alias("ppl"),
+    )
+
+
+# -- registered queries ------------------------------------------------------
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs, docs.where(F.col("doc_id") % 2 == 0)
+
+
+def q_lm_score_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on even doc_ids, score all docs — integer-exact backoff
+    resolution per position (odd docs exercise unseen-gram and OOV
+    branches)."""
+    docs, train = _split(spark, sf_dir)
+    return lm_score_positions(docs, train).orderBy("doc_id", "i")
+
+
+_POS_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents),
+pos AS (
+  SELECT doc_id, i::INT AS i, a[i] AS w,
+         CASE WHEN i >= 2 THEN a[i-1] || ' ' || a[i] END AS g2,
+         CASE WHEN i >= 2 THEN a[i-1] END AS ctx2,
+         CASE WHEN i >= 3 THEN a[i-2] || ' ' || a[i-1] || ' ' || a[i] END AS g3,
+         CASE WHEN i >= 3 THEN a[i-2] || ' ' || a[i-1] END AS ctx3
+  FROM base, LATERAL unnest(generate_series(1, len(a))) AS t(i)),
+train AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+uni AS (SELECT w AS gram, count(*) AS c FROM train GROUP BY w),
+tot AS (SELECT count(*) AS n FROM train),
+bi AS (SELECT g2 AS gram, count(*) AS c FROM train WHERE g2 IS NOT NULL GROUP BY g2),
+tri AS (SELECT g3 AS gram, count(*) AS c FROM train WHERE g3 IS NOT NULL GROUP BY g3),
+resolved AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN p.i >= 3 AND t3.c IS NOT NULL THEN t3.c
+              WHEN p.i >= 2 AND b2.c IS NOT NULL THEN b2.c
+              ELSE coalesce(u1.c, 1) END AS num,
+         CASE WHEN p.i >= 3 AND t3.c IS NOT NULL THEN bctx.c
+              WHEN p.i >= 2 AND b2.c IS NOT NULL THEN uctx.c
+              ELSE (SELECT n FROM tot) END AS den,
+         CASE WHEN p.i >= 3 AND t3.c IS NOT NULL THEN 0
+              WHEN p.i >= 2 AND b2.c IS NOT NULL
+                   THEN least(p.i - 1, 2) - 1
+              ELSE least(p.i - 1, 2) END AS level
+  FROM pos p
+  LEFT JOIN uni u1 ON u1.gram = p.w
+  LEFT JOIN bi b2 ON b2.gram = p.g2
+  LEFT JOIN uni uctx ON uctx.gram = p.ctx2
+  LEFT JOIN tri t3 ON t3.gram = p.g3
+  LEFT JOIN bi bctx ON bctx.gram = p.ctx3)
+SELECT doc_id, i, num::BIGINT AS num, den::BIGINT AS den, level::INT AS level
+FROM resolved
+"""
+
+QUERIES["lm_score_positions"] = q_lm_score_positions
+ORACLES["lm_score_positions"] = _POS_SQL + " ORDER BY doc_id, i"
+
+
+def q_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the even-doc-trained trigram LM."""
+    docs, train = _split(spark, sf_dir)
+    return lm_doc_perplexity(docs, train).orderBy("doc_id")
+
+
+QUERIES["lm_doc_perplexity"] = q_lm_doc_perplexity
+ORACLES["lm_doc_perplexity"] = f"""
+WITH resolved AS ({_POS_SQL}),
+terms AS (
+  SELECT doc_id,
+         round(ln(num::DOUBLE / den) + level * ln(0.4), 7) AS lt
+  FROM resolved)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(exp(-sum(lt) / count(*)), 3) AS ppl
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1,0 +1,116 @@
+"""Stupid-backoff n-gram LM (operators/lm.py).
+
+Closed-form oracle: counts and backoff resolved BY HAND on a 3-doc
+corpus, independent of the implementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators import lm
+
+# train corpus: "a b c a b" + "a b c"
+#   unigrams: a:3 b:3 c:2           N=8
+#   bigrams : "a b":3 "b c":2 "c a":1
+#   trigrams: "a b c":2 "b c a":1 "c a b":1
+TRAIN = [(0, "a b c a b"), (2, "a b c")]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return train
+
+
+def _rows(df):
+    return {(r["doc_id"], r["i"]): (r["num"], r["den"], r["level"]) for r in df.collect()}
+
+
+def test_closed_form_in_domain(spark, corpora):
+    """Score 'a b c' against the train counts — every position hand-
+    resolved: i=1 unigram a: 3/8 lvl0; i=2 bigram 'a b': 3/3 lvl0;
+    i=3 trigram 'a b c': 2/3 ('a b' ctx count 3) lvl0."""
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    got = _rows(lm.lm_score_positions(docs, corpora))
+    assert got == {
+        (10, 1): (3, 8, 0),
+        (10, 2): (3, 3, 0),
+        (10, 3): (2, 3, 0),
+    }
+
+
+def test_closed_form_backoff_and_oov(spark, corpora):
+    """'b a x c': i=1 uni b 3/8 lvl0; i=2 bigram 'b a' unseen ->
+    alpha * uni a = 3/8 lvl1; i=3 avail=2, tri 'b a x' unseen, bigram
+    'a x' unseen, uni x OOV -> 1/8 lvl2; i=4 tri 'a x c' unseen,
+    bigram 'x c' unseen, uni c 2/8 lvl2."""
+    docs = spark.createDataFrame([(11, "b a x c")], "doc_id long, text string")
+    got = _rows(lm.lm_score_positions(docs, corpora))
+    assert got == {
+        (11, 1): (3, 8, 0),
+        (11, 2): (3, 8, 1),
+        (11, 3): (1, 8, 2),
+        (11, 4): (2, 8, 2),
+    }
+
+
+def test_closed_form_perplexity(spark, corpora):
+    """ppl('a b c') = exp(-(ln(3/8)+ln(1)+ln(2/3))/3), terms rounded
+    to 7 dp first — computed by hand here."""
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    out = lm.lm_doc_perplexity(docs, corpora).collect()
+    terms = [round(math.log(3 / 8), 7), round(math.log(3 / 3), 7),
+             round(math.log(2 / 3), 7)]
+    want = round(math.exp(-sum(terms) / 3), 3)
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["ppl"] == want
+
+
+def test_garbage_scores_worse_than_in_domain(spark, sf_dir):
+    """Monotonicity: shuffled-vocabulary garbage must have higher
+    perplexity than held-out in-domain docs under the same model."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 2 == 1).limit(50)
+    garbage = heldout.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.reverse(lm.whitespace_tokens(F.col("text"))), " zzqx "
+        ).alias("text"),
+    )
+    both = lm.lm_doc_perplexity(
+        heldout.select("doc_id", "text").unionByName(garbage), train
+    )
+    rows = both.collect()
+    in_dom = [r["ppl"] for r in rows if r["doc_id"] < 1_000_000]
+    garb = [r["ppl"] for r in rows if r["doc_id"] >= 1_000_000]
+    assert sum(garb) / len(garb) > 2 * sum(in_dom) / len(in_dom)
+
+
+def test_min_count_prunes_numerators_not_denominators(spark, corpora):
+    """min_count=2 drops singleton grams from numerator lookup ('c a'
+    count 1 -> backoff) but context counts stay complete."""
+    docs = spark.createDataFrame([(12, "c a")], "doc_id long, text string")
+    got = _rows(
+        lm.lm_score_positions(docs, corpora, min_count=2)
+    )
+    # i=2: bigram 'c a' pruned -> alpha * uni a = 3/8 lvl1
+    assert got[(12, 2)] == (3, 8, 1)
+
+
+def test_no_python_in_plan(spark, corpora):
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    plan = (
+        lm.lm_score_positions(docs, corpora)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan  # fully JVM-side
