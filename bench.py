@@ -161,6 +161,102 @@ def _scale_section(spark, sf_dir: str) -> dict:
         "x1": j1, "xN": jm, "ratio": round(jm / max(j1, 1e-9), 2)
     }
     spark.catalog.clearCache()  # drop the jaccard operator's persists
+
+    # r5: the salted/sub-blocked fuzzy form must not grow WORSE than the
+    # plain blocked form (VERDICT r4 task 3's acceptance bar).
+    s1 = _time_once(
+        fuzzy_pairs(
+            cust_at(1), "id", "name", max_dist=2, block_cols=["blk"],
+            block_salt=4,
+        )
+    )
+    sm = _time_once(
+        fuzzy_pairs(
+            cust_at(mult), "id", "name", max_dist=2, block_cols=["blk"],
+            block_salt=4,
+        )
+    )
+    out["fuzzy_name_pairs_salted"] = {
+        "x1": s1, "xN": sm, "ratio": round(sm / max(s1, 1e-9), 2)
+    }
+
+    # r5: next most expensive pair/explode shapes (VERDICT r4 task 8)
+    from event_pipeline_spark.operators.dedup import minhash_near_duplicates
+    from event_pipeline_spark.operators.ranking import bm25_topk
+    from event_pipeline_spark.operators.temporal import interval_join
+
+    n1 = _time_once(minhash_near_duplicates(docs_at(1)))
+    nm = _time_once(minhash_near_duplicates(docs_at(mult)))
+    out["dedup_minhash_pairs"] = {
+        "x1": n1, "xN": nm, "ratio": round(nm / max(n1, 1e-9), 2)
+    }
+    spark.catalog.clearCache()
+
+    def docs_same_vocab_at(m: int):
+        # BM25 growth mode: same vocabulary, m× documents — postings
+        # per query term grow with the corpus (the realistic shape)
+        parts = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "text",
+            )
+            for i in range(m)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    b1 = _time_once(
+        bm25_topk(docs_same_vocab_at(1), ["spark", "table", "shuffle", "join"])
+    )
+    bm = _time_once(
+        bm25_topk(docs_same_vocab_at(mult), ["spark", "table", "shuffle", "join"])
+    )
+    out["rank_bm25_topk"] = {
+        "x1": b1, "xN": bm, "ratio": round(bm / max(b1, 1e-9), 2)
+    }
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def intervals_at(m: int, side: str):
+        # replica-disjoint value ranges: overlap structure repeats per
+        # replica instead of multiplying across replicas
+        shift = 2.0 if side == "b" else 0.0
+        parts = [
+            orders.select(
+                (F.col("o_orderkey") + F.lit(i * 10_000_000)).alias(f"{side}_id"),
+                (F.col("o_totalprice") % 1000 + F.lit(i * 100_000) + shift)
+                .alias(f"{side}_lo"),
+                (F.col("o_totalprice") % 1000 + F.lit(i * 100_000) + shift + 5.0)
+                .alias(f"{side}_hi"),
+            )
+            for i in range(m)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    i1 = _time_once(
+        interval_join(
+            intervals_at(1, "a"), intervals_at(1, "b"),
+            l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+            bin_width=10.0,
+        )
+    )
+    im = _time_once(
+        interval_join(
+            intervals_at(mult, "a"), intervals_at(mult, "b"),
+            l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+            bin_width=10.0,
+        )
+    )
+    out["interval_join"] = {
+        "x1": i1, "xN": im, "ratio": round(im / max(i1, 1e-9), 2)
+    }
     return out
 
 

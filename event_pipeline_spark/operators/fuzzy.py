@@ -40,6 +40,8 @@ def fuzzy_pairs(
     *,
     max_dist: int,
     block_cols: list[str],
+    sub_block_cols: "dict[str, Column] | None" = None,
+    block_salt: int | None = None,
     broadcast_build: bool | None = None,
 ) -> DataFrame:
     """All within-block pairs with ``levenshtein(text_a, text_b) <=
@@ -48,6 +50,24 @@ def fuzzy_pairs(
     Blocking is part of the declared semantics (as with LSH bands): a
     pair in different blocks is never compared. Returns
     ``id_a, id_b, dist``.
+
+    **Bounding block growth** (the r4 verdict's 100×-scale concern —
+    fixed block cardinality means per-block pairs grow quadratically
+    with the corpus):
+
+    - ``sub_block_cols`` maps output-column names to DETERMINISTIC
+      expressions over ``df`` appended to the block key (e.g. a name
+      length bucket, a token prefix). Like ``block_cols`` it narrows
+      the declared semantics — pairs disagreeing on a sub-block value
+      are never compared — and should be chosen so its cardinality
+      GROWS with the corpus, keeping p99 block size constant.
+    - ``block_salt=S`` splits every block into S cells by a hash of
+      the id and joins all S*(S+1)/2 cell pairs (each row replicated
+      ~S/2 times per side, triangle scheme), so no single join task
+      ever holds a whole hot block. EXACT — every within-block pair
+      is still produced exactly once; total kernel work is unchanged,
+      only its distribution across tasks. The salted registered query
+      is oracle-checked against the UNSALTED naive join to pin that.
 
     ``broadcast_build`` is three-state, defaulting to the scale-safe
     choice — let Catalyst decide from statistics:
@@ -73,19 +93,41 @@ def fuzzy_pairs(
     # shuffle join the block-key exchange re-partitions anyway, so the
     # round-robin pass would be a pure extra scan of the probe side —
     # skipped.
+    sub = dict(sub_block_cols or {})
+    key_cols = list(block_cols) + list(sub)
     left = df.select(
         *[F.col(c) for c in block_cols],
+        *[e.alias(n) for n, e in sub.items()],
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
     )
-    if broadcast_build is not False:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-        left = left.repartition(parallelism)
     right = df.select(
         *[F.col(c) for c in block_cols],
+        *[e.alias(n) for n, e in sub.items()],
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
     )
+    if block_salt:
+        # triangle split: row with cell s probes cell-pairs (s, v>=s)
+        # on the left and (u<=s, s) on the right, so the unordered
+        # cell-pair {sa, sb} of any within-block row pair is covered
+        # exactly once (orientation fixed by which salt is smaller;
+        # same-cell pairs keep the id_a < id_b half below).
+        S = int(block_salt)
+        left = left.withColumn(
+            "_p", F.pmod(F.xxhash64("id_a"), F.lit(S)).cast("int")
+        ).withColumn(
+            "_q", F.explode(F.sequence(F.col("_p"), F.lit(S - 1)))
+        )
+        right = right.withColumn(
+            "_q", F.pmod(F.xxhash64("id_b"), F.lit(S)).cast("int")
+        ).withColumn(
+            "_p", F.explode(F.sequence(F.lit(0), F.col("_q")))
+        )
+        key_cols += ["_p", "_q"]
+    if broadcast_build is not False:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        left = left.repartition(parallelism)
     # Under a broadcast plan the kernel's parallelism is the probe
     # side's round-robin partitioning above; under a shuffled plan both
     # sides hash by block key and the repartition is re-shuffled away.
@@ -93,17 +135,27 @@ def fuzzy_pairs(
         right = F.broadcast(right)
     elif broadcast_build is False:
         right = right.hint("merge")
+    if block_salt:
+        pair_once = F.when(
+            F.col("_p") == F.col("_q"), F.col("id_a") < F.col("id_b")
+        ).otherwise(F.col("id_a") != F.col("id_b"))
+    else:
+        pair_once = F.col("id_a") < F.col("id_b")
     dist: Column = F.levenshtein("text_a", "text_b", max_dist)
-    return (
-        left.join(right, on=block_cols)
-        .where(F.col("id_a") < F.col("id_b"))
+    out = (
+        left.join(right, on=key_cols)
+        .where(pair_once)
         # length gap > d already implies distance > d — prunes before
         # the O(d·n) kernel runs
         .where(
             F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
         )
         .where(dist >= 0)  # threshold form returns -1 above max_dist
-        .select("id_a", "id_b", dist.alias("dist"))
+    )
+    return out.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        dist.alias("dist"),
     )
 
 
@@ -128,7 +180,38 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_fuzzy_name_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-block form: nation × digit-prefix sub-block (a key
+    whose cardinality grows with the corpus, so p99 block size stays
+    constant at 100×) + salt 4 (no task holds a whole hot block). The
+    oracle is the UNSALTED naive join on the same compound key — pinning
+    that salting loses no pair and duplicates none."""
+    cust = _customer(spark, sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return fuzzy_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        max_dist=2,
+        block_cols=["c_nationkey"],
+        sub_block_cols={"name_pfx": F.substring("c_name", 10, 4)},
+        block_salt=4,
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+QUERIES["fuzzy_name_pairs_bounded"] = q_fuzzy_name_pairs_bounded
+ORACLES["fuzzy_name_pairs_bounded"] = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 10, 4) = substr(b.c_name, 10, 4)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY id_a, id_b
+"""
 ORACLES["fuzzy_name_pairs"] = """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            levenshtein(a.c_name, b.c_name) AS dist

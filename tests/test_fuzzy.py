@@ -101,3 +101,67 @@ def test_default_lets_catalyst_choose_by_statistics(spark, sf_dir):
     )
     plan = auto._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan  # sf0.001 stats are under threshold
+
+
+def test_salted_form_is_exact_every_salt(spark):
+    """The triangle-salted join must produce exactly the unsalted pair
+    set — every within-block pair once, none duplicated — for salt
+    counts spanning 1..8 (covers same-cell and cross-cell pairings)."""
+    rows = [
+        (i, w, i % 3)
+        for i, w in enumerate(
+            ["kitten", "sitten", "sitting", "mitten", "bitten", "kitchen",
+             "smitten", "witten", "kittens", "zebra", "yakpack", "mutton"]
+            * 3
+        )
+    ]
+    df = _df(spark, rows)
+    base = sorted(
+        tuple(r) for r in fuzzy_pairs(
+            df, "id", "s", max_dist=2, block_cols=["blk"]
+        ).collect()
+    )
+    assert base  # sanity: the fixture produces pairs
+    for salt in (1, 2, 3, 8):
+        salted = sorted(
+            tuple(r) for r in fuzzy_pairs(
+                df, "id", "s", max_dist=2, block_cols=["blk"],
+                block_salt=salt,
+            ).collect()
+        )
+        assert salted == base, f"salt={salt}"
+
+
+def test_sub_block_cols_narrow_the_declared_semantics(spark):
+    """Pairs disagreeing on a sub-block value are never compared."""
+    df = _df(spark, [(1, "kitten", 0), (2, "sitten", 0), (3, "mitten", 0)])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df, "id", "s", max_dist=2, block_cols=["blk"],
+            sub_block_cols={"first": F.substring("s", 1, 1)},
+        ).collect()
+    }
+    assert got == set()  # k/s/m initials all differ
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(
+            df, "id", "s", max_dist=2, block_cols=["blk"],
+            sub_block_cols={"tail": F.substring("s", 2, 5)},
+        ).collect()
+    }
+    assert got2 == {(1, 2), (1, 3), (2, 3)}  # all share 'itten'
+
+
+def test_salted_plan_is_hash_join_on_compound_key(spark):
+    df = _df(spark, [(1, "kitten", 0), (2, "sitten", 0)])
+    plan = (
+        fuzzy_pairs(
+            df, "id", "s", max_dist=2, block_cols=["blk"], block_salt=4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
