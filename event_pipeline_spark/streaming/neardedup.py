@@ -15,9 +15,15 @@ index never touches the driver.
 
 Cost contract: each document's shingle set is stored once per band
 (``bands``× duplication) so verification is bucket-local. For corpora
-where that is too fat, store only ``(id, signature)`` in state and
-verify in ``foreachBatch`` against a document store — same topology,
-one extra join.
+where that is too fat, the SLIM variant below
+(``streaming_near_dedup_slim`` + ``make_slim_verifier``) keeps only
+bare resident ids in state — ``bands`` longs per document instead of
+``bands`` shingle sets — emits CANDIDATE pairs plus one registration
+row (id, shingles) per document from its band-0 bucket, and verifies
+exact Jaccard in ``foreachBatch`` against a persisted shingle store
+that the same ``foreachBatch`` maintains. Same topology, one extra
+join; at a 24/7 100 TB stream, state size is the binding constraint
+and shingles become a disk-resident table instead of state.
 
 Output rows are VERIFIED pairs ``(id_a, id_b, jaccard)`` with
 ``id_a < id_b``; a pair sharing several bands is emitted by each, so
@@ -185,3 +191,173 @@ def streaming_near_dedup(
         output_mode="Update",
         time_mode="ProcessingTime" if state_ttl_ms else "None",
     )
+
+
+# -- slim-state variant ------------------------------------------------------
+
+#: kind 0 = registration (id_b = doc id, sh = shingles; one per doc,
+#: emitted by its band-0 bucket); kind 1 = candidate (id_a < id_b)
+SLIM_SCHEMA = "kind int, id_a long, id_b long, sh array<string>"
+
+
+def _make_slim_processor(state_ttl_ms: int | None):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SlimBucketIndex(StatefulProcessor):
+        """Bucket state = bare resident ids; candidates out, no
+        verification here (that needs shingles, which live in the
+        corpus store, not in state)."""
+
+        #: asserted by tests: the whole per-resident state row is one long
+        STATE_SCHEMA = "id long"
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._residents = handle.getListState(
+                "resident_ids", self.STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            band = int(key_tuple[0])
+            existing = [int(r[0]) for r in self._residents.get()]
+            seen = set(existing)
+            kind, out_a, out_b, out_sh = [], [], [], []
+            fresh: list[int] = []
+            for pdf in rows:
+                for rid, sh in zip(pdf["docid"], pdf["sh"]):
+                    rid = int(rid)
+                    if rid in seen:
+                        continue  # replayed band row
+                    for oid in existing:
+                        kind.append(1)
+                        out_a.append(min(rid, oid))
+                        out_b.append(max(rid, oid))
+                        out_sh.append(None)
+                    if band == 0:
+                        # exactly one registration per doc: every doc
+                        # has exactly one band-0 bucket row
+                        kind.append(0)
+                        out_a.append(None)
+                        out_b.append(rid)
+                        out_sh.append(list(sh))
+                    existing.append(rid)
+                    seen.add(rid)
+                    fresh.append(rid)
+            for rid in fresh:
+                self._residents.appendValue((rid,))
+            if kind:
+                yield pd.DataFrame(
+                    {"kind": kind, "id_a": out_a, "id_b": out_b,
+                     "sh": out_sh}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SlimBucketIndex()
+
+
+def streaming_near_dedup_slim(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Candidate/registration stream of the slim-state near-dedup.
+
+    Pair it with ``make_slim_verifier(store_path, threshold)`` as the
+    ``foreachBatch`` body; that closure verifies candidates by exact
+    Jaccard against the persisted shingle store and keeps the store
+    up to date. Output rows follow ``SLIM_SCHEMA``.
+    """
+    rows = _banded_with_shingles(
+        stream.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ),
+        "__id",
+        "__text",
+        k_shingle,
+        num_hashes,
+        bands,
+    )
+    from event_pipeline_spark.streaming.stateful import transform_with_state
+
+    return transform_with_state(
+        rows,
+        ["band", "bh"],
+        _make_slim_processor(state_ttl_ms),
+        SLIM_SCHEMA,
+        output_mode="Update",
+        time_mode="ProcessingTime" if state_ttl_ms else "None",
+    )
+
+
+def slim_verify_batch(
+    batch_df: DataFrame, store_path: str, threshold: float
+) -> DataFrame:
+    """One micro-batch of the slim flow: verify candidate pairs by
+    exact Jaccard against the shingle store ∪ this batch's
+    registrations, then append the registrations to the store.
+
+    Returns the verified ``(id_a, id_b, jaccard)`` rows, materialized
+    executor-side (persist + count — the store read must happen before
+    the append, and pairs must never round-trip the driver).
+    Replay-safe: the store is read through ``dropDuplicates(id)``, so
+    a re-run batch re-appending its registrations cannot double-count;
+    route the returned pairs to an idempotent sink (e.g.
+    ``streaming/sinks.py``'s batch_id-partitioned exactly-once sink).
+    """
+    from event_pipeline_spark.operators.dedup import jaccard
+
+    spark = batch_df.sparkSession
+    regs = batch_df.where(F.col("kind") == 0).select(
+        F.col("id_b").alias("id"), "sh"
+    )
+    cands = (
+        batch_df.where(F.col("kind") == 1)
+        .select("id_a", "id_b")
+        .distinct()  # a pair sharing several bands is emitted per band
+    )
+    try:
+        store = spark.read.parquet(store_path).select("id", "sh")
+    except Exception:  # first batch: store not created yet
+        store = spark.createDataFrame([], "id long, sh array<string>")
+    lookup = store.unionByName(regs).dropDuplicates(["id"])
+    verified = (
+        cands.join(
+            lookup.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            lookup.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .persist()
+    )
+    verified.count()  # pin BEFORE the store append mutates the input
+    regs.write.mode("append").parquet(store_path)
+    return verified
+
+
+def make_slim_verifier(
+    store_path: str, threshold: float, sink
+) -> "callable":
+    """``foreachBatch`` closure: ``sink(verified_df, batch_id)``."""
+
+    def _verify(batch_df: DataFrame, batch_id: int) -> None:
+        out = slim_verify_batch(batch_df, store_path, threshold)
+        try:
+            sink(out, batch_id)
+        finally:
+            out.unpersist(blocking=False)
+
+    return _verify

@@ -1089,3 +1089,147 @@ def test_sessionize_property_vs_pure_python(spark, offsets, users, gap_s):
             want[rid] = (uid, sid)
             prev = ts
     assert got == want
+
+
+def test_streaming_near_dedup_slim_matches_fat_variant(spark, tmp_path):
+    """The slim-state flow (bare resident ids in state + foreachBatch
+    verification against the persisted shingle store) must produce
+    exactly the fat variant's verified pairs on the same two-batch
+    stream — and its per-resident state row is one long, not a
+    shingle set."""
+    from event_pipeline_spark.streaming import streaming_near_dedup
+    from event_pipeline_spark.streaming.neardedup import (
+        _make_bucket_processor,
+        _make_slim_processor,
+        make_slim_verifier,
+        streaming_near_dedup_slim,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the fence with great interest")
+    near = text.replace("great interest", "mild interest")
+    other = ("completely different words about spark shuffles catalyst "
+             "plans and adaptive query execution at petabyte scale")
+    batches = [
+        [(1, text), (2, other), (3, text)],
+        [(4, near), (5, "zebra quartz lantern nothing alike "
+                        "whatsoever in any shingle")],
+    ]
+
+    # state-shape contract: slim rows are a single long; fat rows carry
+    # the shingle set
+    assert _make_slim_processor(None).STATE_SCHEMA == "id long"
+    fat_src = __import__("inspect").getsource(_make_bucket_processor)
+    assert '"residents", "id long, sh array<string>"' in fat_src
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+
+        def run(flavor: str) -> set:
+            src = f"file://{tmp_path}/{flavor}_src"
+            for i, b in enumerate(batches):
+                mk(b).coalesce(1).write.mode("append").parquet(src)
+                if i == 0:
+                    time.sleep(1.1)  # distinct mtimes -> 2 micro-batches
+            stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
+            collected: list = []
+            if flavor == "fat":
+                writer = (
+                    streaming_near_dedup(stream, threshold=0.5)
+                    .writeStream.foreachBatch(
+                        lambda df, _id: collected.extend(df.collect())
+                    )
+                )
+            else:
+                writer = (
+                    streaming_near_dedup_slim(stream)
+                    .writeStream.foreachBatch(
+                        make_slim_verifier(
+                            f"{tmp_path}/{flavor}_store", 0.5,
+                            lambda df, _id: collected.extend(df.collect()),
+                        )
+                    )
+                )
+            q = (
+                writer.outputMode("update")
+                .option("checkpointLocation", f"{tmp_path}/{flavor}_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+            return {(r["id_a"], r["id_b"], r["jaccard"]) for r in collected}
+
+        fat, slim = run("fat"), run("slim")
+        assert fat == slim
+        assert (1, 3, 1.0) in fat  # within-batch exact duplicate
+        assert any(p[:2] == (1, 4) for p in fat)  # cross-batch near-dup
+        assert all(2 not in p[:2] and 5 not in p[:2] for p in fat)
+
+        # the slim store holds one shingle row per doc (registrations
+        # deduplicated, all 5 docs registered via their band-0 bucket)
+        store = spark.read.parquet(f"{tmp_path}/slim_store")
+        assert store.count() == 5
+        assert dict(store.dtypes)["sh"] == "array<string>"
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_near_dedup_slim_restart_uses_store_and_state(spark, tmp_path):
+    """Stop after batch 1, restart from the checkpoint: a batch-2
+    duplicate is verified against the batch-1 doc whose shingles now
+    live ONLY in the persisted store (slim state has just its id)."""
+    from event_pipeline_spark.streaming.neardedup import (
+        make_slim_verifier,
+        streaming_near_dedup_slim,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the fence with great interest")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/slimr_src"
+        ckpt = f"{tmp_path}/slimr_ckpt"
+        store = f"{tmp_path}/slimr_store"
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        collected: list = []
+
+        def run_query():
+            stream = read_parquet_stream(spark, src, max_files_per_trigger=4)
+            return (
+                streaming_near_dedup_slim(stream)
+                .writeStream.foreachBatch(
+                    make_slim_verifier(
+                        store, 0.5,
+                        lambda df, _id: collected.extend(df.collect()),
+                    )
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        mk([(1, text)]).coalesce(1).write.mode("append").parquet(src)
+        _await(run_query())
+        assert collected == []
+
+        mk([(2, text)]).coalesce(1).write.mode("append").parquet(src)
+        _await(run_query())  # fresh query, same checkpoint + store
+        assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in collected} == {
+            (1, 2, 1.0)
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
