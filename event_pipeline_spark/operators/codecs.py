@@ -252,15 +252,25 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# PNG: 8-bit gray / RGB / RGBA, non-interlaced — stdlib zlib + numpy.
-# A real compressed-format codec with no external dependency: DEFLATE is
-# the stdlib's, the scanline filter algebra (None/Sub/Up/Average/Paeth)
-# is implemented here per the PNG specification.
+# PNG: 8- and 16-bit gray / gray+alpha / RGB / RGBA, sequential AND
+# Adam7-interlaced — stdlib zlib + numpy. A real compressed-format
+# codec with no external dependency: DEFLATE is the stdlib's, the
+# scanline filter algebra (None/Sub/Up/Average/Paeth) is implemented
+# here per the PNG specification. Filtering operates on BYTES with a
+# left-offset of bpp = channels * bytes-per-sample (spec §9.2); each
+# Adam7 pass is an independently-filtered sub-image scattered into the
+# output grid by strided slicing.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: color type → channels
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+#: Adam7 pass origins/steps: (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -274,14 +284,19 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """uint8 array (H,W) gray, (H,W,3) RGB or (H,W,4) RGBA → PNG bytes
-    (bit depth 8, filter None per scanline, one zlib IDAT)."""
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
+    """uint8/uint16 array (H,W) gray, (H,W,3) RGB or (H,W,4) RGBA →
+    PNG bytes (bit depth 8 or 16, filter None per scanline, one zlib
+    IDAT; ``interlace=True`` writes the seven Adam7 passes)."""
     import zlib
 
     arr = np.ascontiguousarray(pixels)
-    if arr.dtype != np.uint8:
-        raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError(f"expected uint8/uint16 pixels, got {arr.dtype}")
     if arr.ndim == 2:
         color_type = 0
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -291,15 +306,29 @@ def encode_png(pixels: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported pixel shape {arr.shape}")
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 (None) prefixes every scanline
-    raw = np.concatenate(
-        [
-            np.zeros((h, 1), np.uint8),
-            arr.reshape(h, -1),
-        ],
-        axis=1,
-    ).tobytes()
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        # filter byte 0 (None) prefixes every scanline; 16-bit samples
+        # are big-endian per spec
+        hs = sub.shape[0]
+        body = (
+            sub.astype(">u2") if depth == 16 else sub
+        ).reshape(hs, -1).view(np.uint8).reshape(hs, -1)
+        return np.concatenate(
+            [np.zeros((hs, 1), np.uint8), body], axis=1
+        ).tobytes()
+
+    if interlace:
+        raw = b"".join(
+            scanlines(arr[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if arr[y0::dy, x0::dx].shape[0] and arr[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        raw = scanlines(arr)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -314,6 +343,44 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pa <= pb and pa <= pc:
         return a
     return b if pb <= pc else c
+
+
+def _unfilter(rows: np.ndarray, wp: int, bpp: int) -> np.ndarray:
+    """Reverse the scanline filters of one (sub-)image.
+
+    ``rows`` is (h, 1 + wp*bpp) uint8 (filter byte + filtered bytes);
+    returns (h, wp*bpp) uint8. The left-neighbor offset is ``bpp``
+    BYTES (channels × bytes-per-sample), per PNG spec §9.2 — the same
+    byte algebra covers 8- and 16-bit depths.
+    """
+    hs, stride = rows.shape[0], rows.shape[1] - 1
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((hs, stride), np.int32)
+    for y in range(hs):
+        f, line = int(filters[y]), data[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 2:  # Up — fully vectorized
+            out[y] = (line + prev) & 0xFF
+        elif f == 1:  # Sub — per-byte-lane prefix sum mod 256
+            out[y] = (np.cumsum(line.reshape(wp, bpp), axis=0) & 0xFF).reshape(
+                stride
+            )
+        elif f == 3:  # Average — sequential in x
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in x
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+    return out.astype(np.uint8)
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
@@ -336,46 +403,42 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if depth not in (8, 16) or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG bit depth {depth} / color type {color_type} unsupported "
-            "(8-bit gray/gray+alpha/RGB/RGBA only)"
+            "(8/16-bit gray/gray+alpha/RGB/RGBA only)"
         )
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    bps = depth // 8
+    bpp = ch * bps
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload has wrong length")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), np.int32)
-    for y in range(h):
-        f, line = int(filters[y]), data[y]
-        prev = out[y - 1] if y else np.zeros(stride, np.int32)
-        if f == 0:  # None
-            out[y] = line
-        elif f == 2:  # Up — fully vectorized
-            out[y] = (line + prev) & 0xFF
-        elif f == 1:  # Sub — per-channel prefix sum mod 256
-            cols = line.reshape(w, ch)
-            out[y] = (np.cumsum(cols, axis=0) & 0xFF).reshape(stride)
-        elif f == 3:  # Average — sequential in x
-            cur = out[y]
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth — sequential in x
-            cur = out[y]
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                c = prev[x - ch] if x >= ch else 0
-                cur[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+    img = np.zeros((h, w, ch), np.uint16 if depth == 16 else np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    offset = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass stores nothing (spec §8.2)
+        need = hp * (wp * bpp + 1)
+        if offset + need > len(raw):
+            raise ValueError("PNG scanline payload has wrong length")
+        rows = np.frombuffer(raw, np.uint8, need, offset).reshape(
+            hp, wp * bpp + 1
+        )
+        offset += need
+        sub = _unfilter(rows, wp, bpp)
+        if depth == 16:
+            vals = sub.reshape(hp, wp, ch, 2)
+            pix = (vals[..., 0].astype(np.uint16) << 8) | vals[..., 1]
         else:
-            raise ValueError(f"PNG filter type {f} invalid")
-    arr = out.astype(np.uint8).reshape(h, w, ch)
-    return arr[:, :, 0] if ch == 1 else arr
+            pix = sub.reshape(hp, wp, ch)
+        img[y0::dy, x0::dx] = pix
+    if offset != len(raw):
+        raise ValueError("PNG scanline payload has wrong length")
+    return img[:, :, 0] if ch == 1 else img
 
 
 # ---------------------------------------------------------------------------
@@ -475,9 +538,19 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
+def _gif_interlace_rows(h: int) -> list[int]:
+    """Row storage order of an interlaced GIF image (spec appendix E)."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
+def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """uint8 (H,W,3) RGB (≤256 distinct colors) or (H,W) palette-index
-    gray → single-frame GIF89a with a global color table and real LZW."""
+    gray → single-frame GIF89a with a global color table and real LZW;
+    ``interlace=True`` stores rows in the four-pass order with the
+    descriptor's interlace flag set."""
     arr = np.ascontiguousarray(pixels)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=2)
@@ -494,10 +567,15 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
     out += gct.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += b"\x2c" + struct.pack(  # image descriptor
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     min_code = max(2, depth)
     out.append(min_code)
-    payload = _lzw_encode(indices, min_code)
+    idx2d = indices.reshape(h, w)
+    if interlace:
+        idx2d = idx2d[_gif_interlace_rows(h)]
+    payload = _lzw_encode(idx2d.reshape(-1), min_code)
     for i in range(0, len(payload), 255):
         block = payload[i : i + 255]
         out.append(len(block))
@@ -533,8 +611,6 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 n = 2 << (iflags & 0x07)
                 pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF unsupported")
             if pal is None:
                 raise ValueError("GIF image has no color table")
             min_code = payload[pos]
@@ -549,6 +625,12 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             if len(indices) < iw * ih:
                 raise ValueError("GIF pixel data truncated")
             idx = np.array(indices[: iw * ih], np.int32).reshape(ih, iw)
+            if iflags & 0x40:
+                # GIF89a interlace: rows stored in four passes
+                # (0,8,16.. then 4,12.. then 2,6.. then odd rows)
+                deint = np.empty_like(idx)
+                deint[_gif_interlace_rows(ih)] = idx
+                idx = deint
             return pal[idx]
         elif block == 0x3B:  # trailer
             break

@@ -714,3 +714,112 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("sim_ivfpq_topk", q_sim_ivfpq_topk)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 5): semantic deduplication — the third dedup family
+# next to exact (dedup.py hash) and lexical (MinHash/SimHash/Jaccard).
+# Public recipe (Abbas et al. 2023, "SemDeDup"): k-means-cluster the
+# embedding space, compute pairwise cosine WITHIN each cluster only,
+# connect pairs above the threshold into duplicate groups, keep one
+# representative per group. Cross-cluster pairs are declared
+# non-duplicates — that is the approximation that removes the n² term:
+# total work is sum of cluster-size², bounded by choosing k so p99
+# cluster size is O(10^4) (k ~ n/target_size; the paper uses 11k
+# clusters for LAION-440M). Representative choice follows the r4
+# verdict's spec: the member nearest the cluster centroid (tie: lowest
+# id) — deterministic given the assignment.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k: int = 8,
+    seed: int = 42,
+    block: int = 1024,
+) -> DataFrame:
+    """Keep/drop list: (id, cluster, keep, kept_by).
+
+    ``keep`` marks the per-group representative (centroid-nearest,
+    then lowest id); dropped rows carry the representative's id in
+    ``kept_by`` (keepers carry their own). Singleton docs are always
+    kept. Per-cluster work runs as one ``applyInPandas`` group —
+    vectorized gram-matrix blocks (``block`` rows at a time, so memory
+    is block*n_c, not n_c²) + union-find over above-threshold pairs.
+    """
+    clustered = cluster_embeddings(df, vec_col, k=k, seed=seed).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cluster"
+    )
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        v = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        # union-find over above-threshold pairs
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for lo in range(0, n, block):
+            g = vn[lo : lo + block] @ vn.T  # (block, n) cosine block
+            bi, bj = np.nonzero(g >= threshold)
+            for i, j in zip(bi + lo, bj):
+                if i < j:
+                    ri, rj = find(int(i)), find(int(j))
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        centroid = vn.mean(axis=0)
+        cen_sim = vn @ centroid
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            groups.setdefault(find(i), []).append(i)
+        keep = np.zeros(n, dtype=bool)
+        kept_by = np.empty(n, dtype=np.int64)
+        for members in groups.values():
+            # centroid-nearest, tie-break lowest id (rows sorted by id)
+            rep = max(members, key=lambda i: (cen_sim[i], -i))
+            for i in members:
+                keep[i] = i == rep
+                kept_by[i] = pdf["id"].iloc[rep]
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "keep": keep,
+                "kept_by": kept_by,
+            }
+        )
+
+    return clustered.groupBy("cluster").applyInPandas(
+        dedup_group, schema="id long, cluster int, keep boolean, kept_by long"
+    )
+
+
+def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table plus 25 injected twins
+    (vec_id + 1_000_000, identical vectors): every twin pair must
+    collapse to one keeper. Rows-only by design (k-means assignment is
+    seed-dependent); the injected-twin and singleton contracts are
+    property-tested in test_similarity.py."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(twins), threshold=0.999, k=8
+    )
+    return out.select(
+        "id", "keep", "kept_by"
+    ).orderBy("id")
+
+
+_register("sim_semantic_dedup", q_sim_semantic_dedup)

@@ -335,7 +335,7 @@ def test_png_rejects_what_it_cannot_decode():
 
     with _pytest.raises(ValueError, match="signature"):
         codecs.decode_image(b"notapng", "png")
-    # 16-bit depth → honest NotImplementedError, not wrong pixels
+    # 16-bit is supported since r5: 2x2 RGB of zero samples decodes
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     deep = (
         _PNG_SIG
@@ -343,8 +343,19 @@ def test_png_rejects_what_it_cannot_decode():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + _png_chunk(b"IEND", b"")
     )
+    px16 = codecs.decode_image(deep, "png")
+    assert px16.shape == (2, 2, 3) and px16.dtype == np.uint16
+    assert (px16 == 0).all()
+    # sub-byte depths stay honestly gated
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    shallow = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr4)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + _png_chunk(b"IEND", b"")
+    )
     with _pytest.raises(NotImplementedError, match="bit depth"):
-        codecs.decode_image(deep, "png")
+        codecs.decode_image(shallow, "png")
 
 
 def test_png_flows_through_multimodal_features(spark):
@@ -833,3 +844,121 @@ def test_truncated_jpeg_raises_value_error():
     # garbage after a valid SOI marker
     with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xc0\x00\x03\x01", "jpeg")
+
+
+def test_png_16bit_round_trips():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(21)
+    for shape in ((5, 7), (6, 4, 3), (3, 3, 4)):
+        px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        back = codecs.decode_image(codecs.encode_png(px), "png")
+        assert back.dtype == np.uint16
+        assert (back == px).all(), shape
+
+
+def test_png_adam7_round_trips_all_geometries():
+    """Adam7 pass geometry is the hard part: odd dims, dims smaller
+    than the pass grid (empty passes), and exact 8x8 multiples."""
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(22)
+    for shape in ((1, 1), (1, 9, 3), (3, 3), (7, 5, 3), (8, 8, 4),
+                  (13, 11), (16, 24, 3), (2, 2)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = codecs.encode_png(px, interlace=True)
+        back = codecs.decode_image(data, "png")
+        assert (back == px).all(), shape
+        # interlaced and sequential encodings decode identically
+        seq = codecs.decode_image(codecs.encode_png(px), "png")
+        assert (back == seq).all(), shape
+
+
+def test_png_adam7_16bit_combined():
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 65536, size=(13, 11, 3), dtype=np.uint16)
+    back = codecs.decode_image(codecs.encode_png(px, interlace=True), "png")
+    assert back.dtype == np.uint16 and (back == px).all()
+
+
+def test_png_adam7_pass_layout_matches_spec_grid():
+    """Independent check of the deinterlacer against the spec's 8x8
+    pass grid: an image whose pixel value IS its spec pass number must
+    come back exactly, and the first stored scanline must be pass 1
+    (pixel (0,0))."""
+    import numpy as np
+    import zlib
+
+    from event_pipeline_spark.operators import codecs
+
+    grid = np.array(  # PNG spec §8.2 pass-number diagram
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ],
+        dtype=np.uint8,
+    ) * 30
+    data = codecs.encode_png(grid, interlace=True)
+    assert (codecs.decode_image(data, "png") == grid).all()
+    # raw stream ordering: first byte after the first filter byte is
+    # the single pass-1 pixel (value 30)
+    idat = b"".join(
+        d for t, d in _iter_png_chunks(data) if t == b"IDAT"
+    )
+    raw = zlib.decompress(idat)
+    assert raw[0] == 0 and raw[1] == 30
+
+
+def _iter_png_chunks(data: bytes):
+    import struct as _s
+
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = _s.unpack(">I", data[pos : pos + 4])
+        yield data[pos + 4 : pos + 8], data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+
+
+def test_gif_interlace_round_trips_and_foreign_flip():
+    """Interlaced GIF: encoder/decoder round-trip at odd heights, and
+    an INDEPENDENTLY constructed interlaced file — a sequential
+    encoding of the row-permuted image with the descriptor's interlace
+    bit flipped on — must decode to the original."""
+    import struct as _s
+
+    import numpy as np
+
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.codecs import _gif_interlace_rows
+
+    rng = np.random.default_rng(24)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    for h, w in ((1, 3), (4, 2), (9, 5), (16, 4), (23, 3)):
+        px = pal[rng.integers(0, 32, size=(h, w))]
+        back = codecs.decode_image(codecs.encode_gif(px, interlace=True), "gif")
+        assert (back == px).all(), (h, w)
+
+    # independent construction
+    px = pal[rng.integers(0, 32, size=(13, 6))]
+    permuted = px[_gif_interlace_rows(13)]  # rows in storage order
+    data = bytearray(codecs.encode_gif(permuted))
+    flags = data[10]
+    gct_len = 3 * (2 << (flags & 0x07)) if flags & 0x80 else 0
+    desc_at = 13 + gct_len
+    assert data[desc_at] == 0x2C
+    data[desc_at + 9] |= 0x40  # flip interlace bit in the descriptor
+    assert (codecs.decode_image(bytes(data), "gif") == px).all()

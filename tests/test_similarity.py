@@ -249,3 +249,72 @@ def test_ivfpq_recall_against_bruteforce(spark, emb):
         ).collect()
     }
     assert len(got & truth) >= 4  # probing 3/8 cells + 8-byte codes
+
+
+def test_semantic_dedup_twins_dropped_singletons_kept(spark):
+    """Duplicate-injected corpus: injected twins collapse to exactly
+    one keeper per pair; far-apart singletons all survive; kept_by of a
+    dropped row points at its keeper."""
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    # 40 well-separated singletons + 10 of them twinned (ids 100+i)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(100 + i, base[i].tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(
+        df, threshold=0.999, k=4, vec_col="embedding"
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 50
+    for i in range(10):  # twin pairs: exactly one kept, linked
+        a, b = by_id[i], by_id[100 + i]
+        assert a["keep"] != b["keep"]
+        assert a["kept_by"] == b["kept_by"]
+        assert by_id[a["kept_by"]]["keep"]
+    for i in range(10, 40):  # singletons: kept, self-representative
+        assert by_id[i]["keep"] and by_id[i]["kept_by"] == i
+    assert sum(r["keep"] for r in out) == 40
+
+
+def test_semantic_dedup_deterministic(spark):
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(60, 16))
+    df = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, semantic_dedup(df, k=4).collect()))
+    b = sorted(map(tuple, semantic_dedup(df, k=4).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_transitive_group_single_keeper(spark):
+    """A chain a~b, b~c (a!~c directly) must form ONE group with one
+    keeper — union-find closure, not pairwise pruning."""
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = np.zeros(16); base[0] = 1.0
+    def rot(theta):
+        v = np.zeros(16); v[0] = np.cos(theta); v[1] = np.sin(theta)
+        return v.tolist()
+    # cos(0.2 rad)=0.980 adjacent, cos(0.4)=0.921 for the endpoints
+    df = spark.createDataFrame(
+        [(0, rot(0.0)), (1, rot(0.2)), (2, rot(0.4)), (3, (np.eye(16)[5]).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r for r in semantic_dedup(df, threshold=0.95, k=2).collect()}
+    assert sum(out[i]["keep"] for i in (0, 1, 2)) == 1  # one keeper for the chain
+    assert len({out[i]["kept_by"] for i in (0, 1, 2)}) == 1
+    assert out[3]["keep"]
