@@ -180,6 +180,49 @@ def _scale_section(spark, sf_dir: str) -> dict:
         "x1": s1, "xN": sm, "ratio": round(sm / max(s1, 1e-9), 2)
     }
 
+    # what salting is FOR: a HOT-BLOCK corpus (2 blocks carry all the
+    # rows, so the plain shuffled join runs 2 giant kernel tasks while
+    # 30 cores idle; salt 8 splits each block into 36 cell-pair tasks).
+    # Same total kernel work — the speedup is parallelism reclaimed.
+    # Two measurement traps found building this (kept as doc):
+    # - limit() makes both sides SinglePartition, which SATISFIES the
+    #   join's clustering requirement — no hash exchange, 1 task, salt
+    #   invisible. Use a filter, not a limit.
+    # - at toy scale AQE coalesces the KB-sized salted shuffle back to
+    #   1 partition (it sees bytes, not the quadratic kernel behind
+    #   them); disabled for this entry to emulate production shuffle
+    #   sizes, where coalescing would never engage.
+    hot = cust.where(F.col("c_custkey") < 8000).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        (F.col("c_custkey") % 2).cast("int").alias("blk"),
+    )
+    # broadcast_build=False on both: at 100 TB the build side cannot
+    # broadcast, and it is exactly the shuffled block-key join whose
+    # parallelism collapses to |blocks| — the case salting exists for.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        hp = _time_once(
+            fuzzy_pairs(
+                hot, "id", "name", max_dist=1, block_cols=["blk"],
+                broadcast_build=False,
+            )
+        )
+        hs = _time_once(
+            fuzzy_pairs(
+                hot, "id", "name", max_dist=1, block_cols=["blk"],
+                block_salt=8, broadcast_build=False,
+            )
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    out["fuzzy_hot_block"] = {
+        "plain_sec": hp, "salted_sec": hs,
+        "speedup": round(hp / max(hs, 1e-9), 2),
+    }
+
     # r5: next most expensive pair/explode shapes (VERDICT r4 task 8)
     from event_pipeline_spark.operators.dedup import minhash_near_duplicates
     from event_pipeline_spark.operators.ranking import bm25_topk
@@ -222,15 +265,20 @@ def _scale_section(spark, sf_dir: str) -> dict:
     )
 
     def intervals_at(m: int, side: str):
-        # replica-disjoint value ranges: overlap structure repeats per
-        # replica instead of multiplying across replicas
-        shift = 2.0 if side == "b" else 0.0
+        # replica-disjoint value ranges; within a replica, intervals
+        # tile the line at stride 2 with length 3, so each left
+        # interval overlaps a CONSTANT ~4 right intervals — output and
+        # per-bin density stay linear in input (the realistic shape:
+        # more time, not denser time). A dense fixture (all intervals
+        # in one small range) is quadratic by construction and would
+        # measure the fixture, not the operator.
+        shift = 1.0 if side == "b" else 0.0
         parts = [
             orders.select(
                 (F.col("o_orderkey") + F.lit(i * 10_000_000)).alias(f"{side}_id"),
-                (F.col("o_totalprice") % 1000 + F.lit(i * 100_000) + shift)
+                (F.col("o_orderkey") * 2.0 + F.lit(i * 1e8) + shift)
                 .alias(f"{side}_lo"),
-                (F.col("o_totalprice") % 1000 + F.lit(i * 100_000) + shift + 5.0)
+                (F.col("o_orderkey") * 2.0 + F.lit(i * 1e8) + shift + 3.0)
                 .alias(f"{side}_hi"),
             )
             for i in range(m)

@@ -21,28 +21,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (the strict differential in tools/check_oracles.py covers all of
 #: them every round); they simply sort after this prefix.
 GRADE_FIRST_OPERATORS = [
+    # round-5 rotation: the new oracle-backed operators grade first;
+    # the rotated-out variants (plain fuzzy, incremental minhash,
+    # 15-min resample, gopher, uniform sample, running total) stay
+    # registered and are judged by the full differential every round.
+    "extract_html_text",
+    "extract_html_fixture",
+    "lm_score_positions",
+    "lm_doc_perplexity",
+    "fuzzy_name_pairs_bounded",
+    "sim_semantic_dedup",
     "dedup_exact_hash",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_incremental_minhash",
-    "fuzzy_name_pairs",
     "sim_topk_bruteforce",
     "text_quality",
     "interval_join",
     "text_segments_udtf",
-    "quality_gopher",
     "frequent_event_types",
-    "sample_topk_uniform",
     "decontam_scan",
     "rank_bm25_topk",
     "cdc_snapshot_diff",
     "skew_salted_agg",
     "asof_join",
     "resample_ffill_hourly",
-    "resample_ffill_15min",
     "validate_orders",
     "shuffle_epoch",
-    "running_total_by_day",
     "select_token_budget",
 ]
 

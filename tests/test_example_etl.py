@@ -97,3 +97,23 @@ def test_realtime_attribution_example_end_to_end(spark, sf_dir, tmp_path):
     exact = streamed.select("user_id").distinct().count()
     assert abs(first["approx_distinct_converters"] - exact) <= max(3, 0.05 * exact)
     assert rep.count() == exact
+
+
+def test_web_corpus_curation_composes(spark, sf_dir):
+    """The r5 stages compose end-to-end: extraction recovers text,
+    the perplexity filter and semantic dedup both bite (or pass
+    everything through deterministically), and the budget fill is
+    exact: every kept doc fits, adding the next-best would not."""
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    from examples.web_corpus_curation import curate
+
+    out = curate(spark, sf_dir, token_budget=5_000).collect()
+    assert out  # something survives at every sf
+    total = max(r["running_tokens"] for r in out)
+    assert total <= 5_000
+    # budget is FULL: the smallest excluded increment would overflow
+    # (every selected doc has n_tokens >= 1, so a loose fill would
+    # show total far under budget only if the corpus ran dry)
+    assert total > 5_000 - max(r["n_tokens"] for r in out)
