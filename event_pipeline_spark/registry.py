@@ -31,7 +31,7 @@ GRADE_FIRST_OPERATORS = [
     "lm_doc_perplexity",
     "fuzzy_name_pairs_bounded",
     "sim_semantic_dedup",
-    "dedup_exact_hash",
+    "dedup_lines_docs",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
@@ -90,7 +90,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
-        "extract", "lm",
+        "extract", "lm", "lines",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,59 @@
+"""Line-level C4 dedup + URL canonicalization (operators/lines.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_pipeline_spark.operators.lines import canonicalize_url, dedup_lines
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_occurrence_wins_and_reassembly_preserves_order(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha line\ncookie banner\nbeta line"),
+            (2, "cookie banner\ngamma line"),
+            (3, "cookie banner"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "alpha line\ncookie banner\nbeta line"
+    assert out[2]["text"] == "gamma line"  # banner removed, order kept
+    assert 3 not in out  # lost every line -> dropped
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+
+
+def test_short_lines_are_structure_not_content(spark):
+    df = _docs(spark, [(1, "x\nlong enough line"), (2, "x\nother line")])
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(
+        df, min_line_chars=5
+    ).collect()}
+    # the 1-char line survives in BOTH docs (below min_line_chars)
+    assert out[1].startswith("x\n") and out[2].startswith("x\n")
+
+
+def test_dedup_is_on_trimmed_content(spark):
+    df = _docs(spark, [(1, "  padded banner  \nkeep a"), (2, "padded banner\nkeep b")])
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert "banner" in out[1] and "banner" not in out[2]
+
+
+def test_url_canonicalization_cases(spark):
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?utm_campaign=x", "http://www.ex.com/A/b/?"),
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com/p?z=1&a=2&fbclid=f#top", "https://ex.com/p?a=2&z=1"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com/p?ref=nav", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    want = [w for _, w in cases]
+    # case 0: path keeps its trailing slash (only a BARE path is
+    # stripped); empty query drops entirely
+    want[0] = "http://www.ex.com/A/b/"
+    assert got == want
