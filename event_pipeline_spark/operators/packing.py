@@ -177,3 +177,111 @@ def _pack_docs(spark, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pack_documents"] = _pack_docs
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 5): GPT-style concat-then-chunk. Documents are
+# concatenated in a deterministic global order and the token stream is
+# cut into fixed-length training sequences; a document crossing a cut
+# contributes a segment to each sequence it spans. The output is the
+# (sequence, document-segment) mapping a loader needs to materialize
+# sequences and build attention-mask / doc-boundary metadata.
+#
+# Scale shape: the global offsets come from the distributed prefix sum
+# (operators/prefix.py — range partition + broadcast offsets, never a
+# single-partition window); the per-doc explode emits one row per
+# SPANNED sequence (≈ n_tokens/seq_len + 1 rows per doc), so output is
+# linear in corpus tokens. Everything is JVM expressions — exact
+# integers end to end.
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_len: int,
+) -> DataFrame:
+    """(seq_id, id, doc_off, seq_off, n) segments of the concat-then-
+    chunk layout: concatenate docs in ``id_col`` order, cut every
+    ``seq_len`` tokens.
+
+    ``doc_off`` = segment start within its document, ``seq_off`` =
+    segment start within its sequence, ``n`` = tokens contributed.
+    Zero-token docs contribute nothing. The final partial sequence is
+    emitted (loaders usually pad or drop it — that policy stays with
+    the caller).
+    """
+    from event_pipeline_spark.operators.prefix import running_total
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    with_end = running_total(
+        df.select(F.col(id_col), F.col(tokens_col).cast("long").alias("_n"))
+        .where(F.col("_n") > 0),
+        [F.col(id_col).asc()],
+        "_n",
+        out_col="_end",  # inclusive cumsum = global end offset
+    )
+    start = (F.col("_end") - F.col("_n")).alias("_start")
+    spans = with_end.select(
+        F.col(id_col), "_n", F.col("_end"), start
+    ).select(
+        F.col(id_col), "_n", "_start",
+        F.explode(
+            F.sequence(
+                (F.col("_start") / seq_len).cast("long"),
+                ((F.col("_end") - 1) / seq_len).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    seg_end = F.least(
+        F.col("_start") + F.col("_n"), (F.col("seq_id") + 1) * seq_len
+    )
+    return spans.select(
+        F.col("seq_id"),
+        F.col(id_col),
+        (seg_start - F.col("_start")).cast("long").alias("doc_off"),
+        (seg_start - F.col("seq_id") * seq_len).cast("long").alias("seq_off"),
+        (seg_end - seg_start).cast("long").alias("n"),
+    )
+
+
+def _pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, 512-token sequences — the full exact
+    segment mapping vs DuckDB's window-cumsum + generate_series."""
+    from event_pipeline_spark.operators.text import token_count
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=512).orderBy("seq_id", "doc_id")
+
+
+QUERIES["pack_sequences_512"] = _pack_sequences_q
+ORACLES["pack_sequences_512"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents),
+offs AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+  FROM toks WHERE n > 0),
+spans AS (
+  SELECT doc_id, n, s, t.seq_id
+  FROM offs, LATERAL unnest(generate_series(s // 512, (s + n - 1) // 512))
+       AS t(seq_id)),
+segs AS (
+  SELECT seq_id, doc_id,
+         greatest(s, seq_id * 512) - s AS doc_off,
+         greatest(s, seq_id * 512) - seq_id * 512 AS seq_off,
+         least(s + n, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n
+  FROM spans)
+SELECT seq_id::BIGINT AS seq_id, doc_id, doc_off::BIGINT AS doc_off,
+       seq_off::BIGINT AS seq_off, n::BIGINT AS n
+FROM segs ORDER BY seq_id, doc_id
+"""

@@ -164,3 +164,63 @@ def test_split_is_disjoint_exhaustive_and_proportional(spark, n, salt):
     assert (
         a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
     )  # deterministic
+
+
+def test_pack_sequences_exact_partition_of_token_stream(spark):
+    """Closed-form: docs of 5, 3, 9 tokens at seq_len=8 concat to a
+    17-token stream -> sequences [0..7], [8..15], [16]. Hand-resolved
+    segment map, plus the invariants: segments tile each sequence with
+    no gaps/overlap, per-doc segments tile the doc."""
+    from event_pipeline_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 9)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        tuple(r) for r in pack_sequences(docs, seq_len=8).collect()
+    )
+    assert rows == sorted([
+        (0, 1, 0, 0, 5),   # doc1 fills [0,5)
+        (0, 2, 0, 5, 3),   # doc2 fills [5,8)
+        (1, 3, 0, 0, 8),   # doc3 first 8 tokens fill seq 1
+        (2, 3, 8, 0, 1),   # doc3 last token starts seq 2
+    ])
+
+
+def test_pack_sequences_invariants_on_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.packing import pack_sequences
+    from event_pipeline_spark.operators.text import token_count
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    L = 128
+    segs = pack_sequences(docs, seq_len=L).cache()
+    total = docs.agg(F.sum("n_tokens")).first()[0]
+    # segments sum to the token stream, and every sequence except the
+    # last is exactly full
+    per_seq = segs.groupBy("seq_id").agg(F.sum("n").alias("n")).collect()
+    assert sum(r["n"] for r in per_seq) == total
+    last = max(r["seq_id"] for r in per_seq)
+    assert all(r["n"] == L for r in per_seq if r["seq_id"] != last)
+    # per-doc segments tile the doc: offsets are a prefix-exact chain
+    bad = (
+        segs.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("tot"),
+            F.min("doc_off").alias("first"),
+            F.max(F.col("doc_off") + F.col("n")).alias("end"),
+        )
+        .join(docs, "doc_id")
+        .where(
+            (F.col("first") != 0)
+            | (F.col("tot") != F.col("n_tokens"))
+            | (F.col("end") != F.col("n_tokens"))
+        )
+        .count()
+    )
+    assert bad == 0
+    segs.unpersist()
