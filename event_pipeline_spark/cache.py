@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pin", "release_pins", "pinned_count"]
+__all__ = ["pin", "track", "release_pins", "pinned_count"]
 
 _pins: list[DataFrame] = []
 
@@ -32,6 +32,17 @@ def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK default) and register it for a
     later ``release_pins()``. Returns the same DataFrame."""
     df.persist()
+    _pins.append(df)
+    return df
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted (or localCheckpointed) frame for
+    ``release_pins()`` without re-persisting it — for operators whose
+    iteration loop manages storage itself but whose final result
+    carries a persist out of the function (duplicate_clusters'
+    labels). Only safe to release after the caller materializes: a
+    released localCheckpoint cannot be recomputed."""
     _pins.append(df)
     return df
 

@@ -719,6 +719,11 @@ def duplicate_clusters(
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     edges.unpersist()
+    from event_pipeline_spark.cache import track
+
+    # labels leaves the loop persisted (or localCheckpointed); register
+    # it so release_pins() reclaims it once the caller materializes
+    track(labels)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

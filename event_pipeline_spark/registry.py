@@ -90,7 +90,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
-        "extract", "lm", "lines",
+        "extract", "lm", "lines", "dsir",
     ):
         try:
             mod = __import__(
