@@ -44,9 +44,9 @@ GRADE_FIRST_OPERATORS = [
     "cdc_snapshot_diff",
     "skew_salted_agg",
     "asof_join",
-    "resample_ffill_hourly",
+    "dsir_log_weights",
     "validate_orders",
-    "shuffle_epoch",
+    "pack_sequences_512",
     "select_token_budget",
 ]
 
