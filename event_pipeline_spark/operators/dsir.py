@@ -198,3 +198,94 @@ terms AS (
 SELECT doc_id, count(*)::BIGINT AS n_grams, round(sum(lt), 3) AS logw
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    salt: str = "dsir-gumbel",
+) -> DataFrame:
+    """Importance RESAMPLING (the paper's selection step): top-k by
+    ``logw + Gumbel(0,1)`` — equivalent to sampling k docs without
+    replacement with probability ∝ exp(logw) (the Gumbel-top-k trick,
+    public: Kool et al. 2019).
+
+    The noise is DETERMINISTIC and engine-portable: u = md5-low-53-bits
+    of (id||salt) scaled to (0,1), g = -ln(-ln(u)) — so the draw is
+    reproducible across runs, partitionings, and engines (the same
+    md5 contract every sampling operator here uses). One
+    TakeOrderedAndProject, no full sort.
+    """
+    u = (
+        (_md5_low64(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+         % F.lit(1 << 53)).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 53))
+    g = -F.log(-F.log(u))
+    return (
+        weights.select(
+            F.col(id_col),
+            F.col(logw_col),
+            F.round(F.col(logw_col) + g, 6).alias("gumbel_score"),
+        )
+        .orderBy(F.col("gumbel_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 docs Gumbel-resampled toward the src1-3 target domain."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src1", "src2", "src3"))
+    w = dsir_log_weights(docs, target)
+    return dsir_gumbel_topk(w, k=100).orderBy(
+        F.col("gumbel_score").desc(), F.col("doc_id")
+    )
+
+
+QUERIES["dsir_sample"] = q_dsir_sample
+ORACLES["dsir_sample"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents),
+grams AS (
+  SELECT doc_id, source, i::INT AS i, a[i] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(a))) AS t(i)
+  UNION ALL
+  SELECT doc_id, source, (len(a) + i)::INT AS i, a[i] || ' ' || a[i+1] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(a) - 1)) AS t(i)
+  WHERE len(a) >= 2),
+pos AS (
+  SELECT doc_id, source, i,
+         CAST(md5_number_lower(g)::HUGEINT % {NUM_BUCKETS} AS INT) AS bucket
+  FROM grams),
+tc AS (SELECT bucket, count(*)::BIGINT AS c FROM pos
+       WHERE source IN ('src1','src2','src3') GROUP BY bucket),
+rc AS (SELECT bucket, count(*)::BIGINT AS c FROM pos GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(c),0) FROM tc) AS tn,
+               (SELECT coalesce(sum(c),0) FROM rc) AS rn),
+terms AS (
+  SELECT p.doc_id,
+         round(ln((coalesce(t.c, 0) + 1)::DOUBLE / (tot.tn + {NUM_BUCKETS}))
+             - ln((coalesce(r.c, 0) + 1)::DOUBLE / (tot.rn + {NUM_BUCKETS})),
+             7) AS lt
+  FROM pos p
+  LEFT JOIN tc t USING (bucket)
+  LEFT JOIN rc r USING (bucket)
+  CROSS JOIN tot),
+w AS (SELECT doc_id, round(sum(lt), 3) AS logw FROM terms GROUP BY doc_id),
+noised AS (
+  SELECT doc_id, logw,
+         round(logw - ln(-ln(
+           ((md5_number_lower(CAST(doc_id AS VARCHAR) || 'dsir-gumbel')::HUGEINT
+             % {1 << 53})::DOUBLE + 0.5) / {float(1 << 53)})), 6)
+             AS gumbel_score
+  FROM w)
+SELECT doc_id, logw, gumbel_score
+FROM noised ORDER BY gumbel_score DESC, doc_id LIMIT 100
+"""

@@ -53,3 +53,27 @@ def test_no_python_in_plan(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_gumbel_topk_is_deterministic_and_weight_biased(spark):
+    """Same salt -> identical draw; the draw favors high-logw docs
+    (the in-domain half dominates the selection)."""
+    from event_pipeline_spark.operators.dsir import dsir_gumbel_topk
+
+    target_rows = [(100 + i, "alpha beta gamma delta epsilon zeta")
+                   for i in range(20)]
+    raw = spark.createDataFrame(
+        target_rows
+        + [(200 + i, "uno dos tres cuatro cinco seis") for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        target_rows, "doc_id long, text string"
+    )
+    w = dsir_log_weights(raw, target)
+    a = [r["doc_id"] for r in dsir_gumbel_topk(w, k=10).collect()]
+    b = [r["doc_id"] for r in dsir_gumbel_topk(w, k=10).collect()]
+    assert a == b  # reproducible draw
+    assert sum(1 for d in a if d < 200) >= 8  # in-domain dominates
+    c = [r["doc_id"] for r in dsir_gumbel_topk(w, k=10, salt="s2").collect()]
+    assert set(c) != set(a) or c != a  # a different salt is a new draw
