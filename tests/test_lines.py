@@ -57,3 +57,47 @@ def test_url_canonicalization_cases(spark):
     # stripped); empty query drops entirely
     want[0] = "http://www.ex.com/A/b/"
     assert got == want
+
+
+def test_dedup_lines_matches_naive_model(spark):
+    """Hypothesis differential vs a sequential first-occurrence model
+    over small random corpora with forced collisions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line_pool = ["cookie banner here", "alpha content line", "beta line",
+                 "x", "  padded banner  ", "gamma content text", ""]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(line_pool), min_size=1, max_size=5),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(docs):
+        df = spark.createDataFrame(
+            [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+            for r in dedup_lines(df, min_line_chars=2).collect()
+        }
+        seen: set[str] = set()
+        want = {}
+        for i, lines in enumerate(docs):
+            kept = []
+            for ln in lines:
+                t = ln.strip()
+                if len(t) < 2:
+                    kept.append(ln)  # structure: always kept
+                elif t not in seen:
+                    seen.add(t)
+                    kept.append(ln)
+            if kept:
+                want[i] = ("\n".join(kept), len(lines), len(kept))
+        assert got == want
+
+    run()

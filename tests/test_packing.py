@@ -224,3 +224,42 @@ def test_pack_sequences_invariants_on_corpus(spark, sf_dir):
     )
     assert bad == 0
     segs.unpersist()
+
+
+def test_pack_sequences_matches_naive_model(spark):
+    """Hypothesis differential: the distributed segment map equals a
+    20-line sequential Python model for arbitrary token counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_pipeline_spark.operators.packing import pack_sequences
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.integers(0, 40), min_size=1, max_size=25),
+        st.integers(1, 16),
+    )
+    def run(sizes, L):
+        docs = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(sizes)],
+            "doc_id long, n_tokens long",
+        )
+        got = sorted(
+            tuple(r) for r in pack_sequences(docs, seq_len=L).collect()
+        )
+        # naive: walk the concatenated stream
+        want, off = [], 0
+        for i, n in enumerate(sizes):
+            if n <= 0:
+                continue
+            start, end = off, off + n
+            s = start
+            while s < end:
+                seq = s // L
+                e = min(end, (seq + 1) * L)
+                want.append((seq, i, s - start, s - seq * L, e - s))
+                s = e
+            off = end
+        assert got == sorted(want)
+
+    run()
