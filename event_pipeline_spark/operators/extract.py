@@ -97,8 +97,12 @@ class _BlockParser(HTMLParser):
         super().__init__()
         self.blocks: list[_Block] = []
         self._cur = _Block()
-        self._drop_depth = 0
+        self._drop_stack: list[str] = []
         self._link_depth = 0
+
+    @property
+    def _drop_depth(self) -> int:
+        return len(self._drop_stack)
 
     # -- block lifecycle -----------------------------------------------
 
@@ -108,8 +112,13 @@ class _BlockParser(HTMLParser):
         self._cur = _Block(is_heading=next_is_heading)
 
     def handle_starttag(self, tag, attrs):
+        if tag == "body" and "head" in self._drop_stack:
+            # real-world malformed page: <body> opened while <head> was
+            # never closed — html.parser does not auto-close, and
+            # without this the whole document would be dropped
+            self._drop_stack = [t for t in self._drop_stack if t != "head"]
         if tag in _DROP_CONTENT:
-            self._drop_depth += 1
+            self._drop_stack.append(tag)
             return
         if self._drop_depth:
             return
@@ -122,7 +131,11 @@ class _BlockParser(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag in _DROP_CONTENT:
-            self._drop_depth = max(0, self._drop_depth - 1)
+            if tag in self._drop_stack:
+                # pop up to and including the matching open (tolerates
+                # misnested drops)
+                while self._drop_stack and self._drop_stack.pop() != tag:
+                    pass
             return
         if self._drop_depth:
             return

@@ -231,8 +231,10 @@ def pack_sequences(
         F.col(id_col), "_n", "_start",
         F.explode(
             F.sequence(
-                (F.col("_start") / seq_len).cast("long"),
-                ((F.col("_end") - 1) / seq_len).cast("long"),
+                # integer `div`, not double division: offsets are exact
+                # longs and must stay exact past 2^53 corpus tokens
+                F.expr(f"_start div {int(seq_len)}"),
+                F.expr(f"(_end - 1) div {int(seq_len)}"),
             )
         ).alias("seq_id"),
     )

@@ -106,3 +106,11 @@ def test_spark_plan_is_arrow_batched(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_unclosed_head_does_not_swallow_body():
+    body = "real content that should absolutely survive extraction here"
+    html = f"<html><head><title>t</title><body><p>{body}</p></html>"
+    assert _one(html) == body
+    # misnested drop tags also recover
+    assert _one(f"<noscript><style>x</style></noscript><p>{body}</p>") == body
