@@ -331,3 +331,72 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(exp(-sum(lt) / count(*)), 3) AS ppl
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def lm_bucket_select(
+    docs: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = 0.4,
+    exact_thresholds: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: label every doc head / middle
+    / tail by the corpus's perplexity terciles (CCNet trains on the
+    head+middle, drops the tail).
+
+    Thresholds are two scalar aggregates broadcast back over the
+    corpus — never a global sort/ntile window (which would collapse to
+    one partition at scale). ``exact_thresholds=True`` uses exact
+    ``percentile`` (buffers values per aggregate — fine at oracle
+    scale); production corpora should pass ``False`` for
+    ``approx_percentile`` (t-digest, bounded memory at any scale) and
+    accept label noise only for docs within the sketch's rank error
+    of a boundary. Labels are oracle-safe: thresholds are either an
+    exact data value (both engines equal) or strictly between two
+    values (comparisons agree regardless of last-ulp differences).
+    """
+    w = lm_doc_perplexity(
+        docs, train, id_col=id_col, text_col=text_col, order=order,
+        alpha=alpha,
+    )
+    pct = F.percentile if exact_thresholds else F.approx_percentile
+    th = w.agg(
+        pct(F.col("ppl"), F.lit(1.0 / 3)).alias("_t1"),
+        pct(F.col("ppl"), F.lit(2.0 / 3)).alias("_t2"),
+    )
+    return (
+        w.crossJoin(F.broadcast(th))
+        .select(
+            F.col(id_col),
+            F.col("ppl"),
+            F.when(F.col("ppl") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def q_lm_bucket_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tercile labels under the even-doc-trained trigram LM."""
+    docs, train = _split(spark, sf_dir)
+    return lm_bucket_select(docs, train).orderBy("doc_id")
+
+
+_PPL_SQL = ORACLES["lm_doc_perplexity"].rsplit("ORDER BY doc_id", 1)[0]
+
+QUERIES["lm_bucket_select"] = q_lm_bucket_select
+ORACLES["lm_bucket_select"] = f"""
+WITH w AS ({_PPL_SQL}),
+th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+              quantile_cont(ppl, 2.0/3) AS t2 FROM w)
+SELECT doc_id, ppl,
+       CASE WHEN ppl <= t1 THEN 'head'
+            WHEN ppl <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM w CROSS JOIN th
+ORDER BY doc_id
+"""

