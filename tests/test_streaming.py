@@ -1233,3 +1233,59 @@ def test_streaming_near_dedup_slim_restart_uses_store_and_state(spark, tmp_path)
         }
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_line_dedup_across_batches(spark, tmp_path):
+    """A recurring boilerplate line survives only its first batch: the
+    seen-set lives in state, so batch-2 docs lose it without
+    re-reading batch 1. Structural (short) lines always pass."""
+    from event_pipeline_spark.streaming.linededup import (
+        reassemble_batch,
+        streaming_dedup_lines,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    banner = "subscribe to our newsletter today"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/ld_src"
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        mk([(1, f"unique first content line\n{banner}\n-")]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        mk(
+            [
+                (2, f"{banner}\nsecond doc real content line\n-"),
+                (3, banner),  # nothing else: fully deduped away
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        collected: list = []
+        q = (
+            streaming_dedup_lines(
+                read_parquet_stream(spark, src, max_files_per_trigger=1),
+                min_line_chars=2,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(
+                    reassemble_batch(df).collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ld_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        docs = {r["doc_id"]: r["text"] for r in collected}
+        assert docs[1] == f"unique first content line\n{banner}\n-"
+        assert docs[2] == "second doc real content line\n-"  # banner gone
+        assert 3 not in docs  # everything it had was already seen
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
