@@ -363,20 +363,22 @@ def lm_bucket_select(
         alpha=alpha,
     )
     pct = F.percentile if exact_thresholds else F.approx_percentile
-    th = w.agg(
+    # two scalars to the driver, inlined as literals: the labeling pass
+    # is then a pure codegen projection (a one-row broadcast cross join
+    # would plan as BroadcastNestedLoopJoin — flagged by the plan
+    # audit, and an extra operator for no gain)
+    row = w.agg(
         pct(F.col("ppl"), F.lit(1.0 / 3)).alias("_t1"),
         pct(F.col("ppl"), F.lit(2.0 / 3)).alias("_t2"),
-    )
-    return (
-        w.crossJoin(F.broadcast(th))
-        .select(
-            F.col(id_col),
-            F.col("ppl"),
-            F.when(F.col("ppl") <= F.col("_t1"), F.lit("head"))
-            .when(F.col("ppl") <= F.col("_t2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
+    ).collect()[0]
+    t1, t2 = row["_t1"], row["_t2"]
+    return w.select(
+        F.col(id_col),
+        F.col("ppl"),
+        F.when(F.col("ppl") <= F.lit(t1), F.lit("head"))
+        .when(F.col("ppl") <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
