@@ -101,3 +101,28 @@ def test_dedup_lines_matches_naive_model(spark):
         assert got == want
 
     run()
+
+
+def test_url_canonicalization_is_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over the FULL
+    grid of schemes × hosts × ports × paths × param combos × fragments
+    (1728 URLs), checked in two vectorized passes."""
+    import itertools
+
+    urls = []
+    for sch, h, po, pa, ps, fr in itertools.product(
+        ["http", "HTTPS", "ftp"],
+        ["Ex.COM", "www.ex.com", "A.b.C.de"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/a/B", "/a/b/"],
+        ["", "a=1", "utm_source=x&b=2", "z=9&gclid=g&a=1"],
+        ["", "#x", "#frag"],
+    ):
+        u = f"{sch}://{h}{po}{pa}" + (f"?{ps}" if ps else "") + fr
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    both = once.select(
+        "c", canonicalize_url(F.col("c")).alias("c2")
+    ).where(F.col("c") != F.col("c2"))
+    assert both.count() == 0, both.limit(5).collect()
