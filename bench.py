@@ -200,6 +200,9 @@ def _scale_section(spark, sf_dir: str) -> dict:
     # broadcast_build=False on both: at 100 TB the build side cannot
     # broadcast, and it is exactly the shuffled block-key join whose
     # parallelism collapses to |blocks| — the case salting exists for.
+    _coalesce_prior = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         hp = _time_once(
@@ -216,7 +219,7 @@ def _scale_section(spark, sf_dir: str) -> dict:
         )
     finally:
         spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            "spark.sql.adaptive.coalescePartitions.enabled", _coalesce_prior
         )
     out["fuzzy_hot_block"] = {
         "plain_sec": hp, "salted_sec": hs,

@@ -39,6 +39,7 @@ from __future__ import annotations
 import html as _html
 import re
 from html.parser import HTMLParser
+from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -48,7 +49,10 @@ from pyspark.sql.functions import pandas_udf
 QUERIES = {}
 ORACLES = {}
 
-FIXTURE_PATH = "/root/repo/tests/fixtures/html_pages.parquet"
+#: pinned fixture parquet, located relative to the repo checkout
+FIXTURE_PATH = str(
+    Path(__file__).resolve().parents[2] / "tests/fixtures/html_pages.parquet"
+)
 
 #: content of these elements is dropped wholesale (not rendered text)
 _DROP_CONTENT = {"script", "style", "noscript", "template", "svg", "head",

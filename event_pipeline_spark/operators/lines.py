@@ -111,9 +111,17 @@ def canonicalize_url(col) -> "F.Column":
     # lowercase scheme://host[:port] (the part before the first /)
     head = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = F.substring(c, F.length(head) + 1, F.lit(1 << 30))
-    c = F.concat(F.lower(head), rest)
-    c = F.regexp_replace(c, r":80(/|\?|$)", "$1")  # default http port
-    c = F.regexp_replace(c, r":443(/|\?|$)", "$1")  # default https port
+    head = F.lower(head)
+    # Default-port stripping applies to the AUTHORITY only, and only
+    # when the port is the default for that scheme — ":80"/":443" text
+    # inside a path or query value is untouched, and http://h:443 stays
+    # a distinct non-default-port URL.
+    head = (
+        F.when(head.rlike("^http://"), F.regexp_replace(head, ":80$", ""))
+        .when(head.rlike("^https://"), F.regexp_replace(head, ":443$", ""))
+        .otherwise(head)
+    )
+    c = F.concat(head, rest)
     # split query off, filter + sort params, rejoin
     base = F.regexp_extract(c, r"^([^?]*)", 1)
     query = F.regexp_extract(c, r"\?(.*)$", 1)

@@ -324,9 +324,17 @@ def slim_verify_batch(
         .select("id_a", "id_b")
         .distinct()  # a pair sharing several bands is emitted per band
     )
+    from pyspark.errors import AnalysisException
+
     try:
         store = spark.read.parquet(store_path).select("id", "sh")
-    except Exception:  # first batch: store not created yet
+    except AnalysisException as exc:
+        # Only the missing-path case means "first batch, empty store";
+        # corrupt files / IO / permission errors must propagate, or
+        # candidate pairs whose partner lives only in the store would
+        # be silently dropped by the join below.
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         store = spark.createDataFrame([], "id long, sh array<string>")
     lookup = store.unionByName(regs).dropDuplicates(["id"])
     verified = (

@@ -49,6 +49,13 @@ def test_url_canonicalization_cases(spark):
         ("https://ex.com/p?z=1&a=2&fbclid=f#top", "https://ex.com/p?a=2&z=1"),
         ("https://ex.com:443/p", "https://ex.com/p"),
         ("https://ex.com/p?ref=nav", "https://ex.com/p"),
+        # port stripping is authority-only + scheme-conditioned:
+        ("https://ex.com/a:80/b", "https://ex.com/a:80/b"),
+        ("https://ex.com/p?a=x:443", "https://ex.com/p?a=x:443"),
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        ("ftp://ex.com:80/p", "ftp://ex.com:80/p"),
+        ("http://ex.com:80", "http://ex.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
