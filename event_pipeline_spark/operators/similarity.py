@@ -732,13 +732,70 @@ _register("sim_ivfpq_topk", q_sim_ivfpq_topk)
 # ---------------------------------------------------------------------------
 
 
+#: fixed ±1 hyperplane-style centroids for the deterministic-assignment
+#: mode (4 × 64, rng seed 20260814). Every component is exactly
+#: representable and |c| = sqrt(64) = 8 exactly, so a DuckDB oracle can
+#: recompute the assignment bit-compatibly (cosine rounded to 7
+#: decimals on both engines before the argmax).
+SEM_CENTROIDS: list[list[float]] = [list(map(float, row)) for row in [
+    [-1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1,
+     1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1,
+     1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1,
+     1, 1, 1, -1, 1, 1, 1],
+    [1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1,
+     1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1,
+     -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1,
+     1, 1, -1, -1, 1, 1, 1],
+    [-1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1,
+     1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1,
+     1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1,
+     1, -1, -1, -1, 1, -1, 1],
+    [-1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1,
+     -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1,
+     -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1,
+     -1, -1, 1, 1, -1, 1, 1, 1],
+]]
+
+
+def assign_fixed_centroids(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """Deterministic cluster assignment against literal centroids —
+    pure JVM expression (zip_with/aggregate HOFs, no Python crossing).
+
+    cluster = argmax over centroids of round(cosine(v, c), 7), ties to
+    the lowest centroid index. The rounding makes the argmax
+    reproducible across engines (a DuckDB oracle recomputes the same
+    quantized cosine), and the tie rule makes it total.
+    """
+    import math as _math
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    ranked = []
+    for i, c in enumerate(centroids):
+        cn = _math.sqrt(sum(x * x for x in c))
+        dotp = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sim = F.round(dotp / (nrm * F.lit(cn)), 7)
+        # lexicographic struct min == (sim desc, index asc) argmax
+        ranked.append(F.struct((-sim).alias("ns"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*ranked))["i"].cast("int")
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    k: int = 8,
+    k: int | None = None,
+    target_cluster_size: int | None = None,
+    centroids: list[list[float]] | None = None,
     seed: int = 42,
     block: int = 1024,
 ) -> DataFrame:
@@ -750,10 +807,31 @@ def semantic_dedup(
     kept. Per-cluster work runs as one ``applyInPandas`` group —
     vectorized gram-matrix blocks (``block`` rows at a time, so memory
     is block*n_c, not n_c²) + union-find over above-threshold pairs.
+
+    Clustering: by default k-means with k derived from
+    ``target_cluster_size`` (k = max(2, ceil(n / target)), the paper's
+    k ~ n/target rule — cluster size, and hence the quadratic
+    per-cluster term, stays bounded as the corpus grows). Pass ``k``
+    to pin the cluster count explicitly, or ``centroids`` (literal
+    vectors) for the deterministic-assignment mode whose full
+    keep/kept_by output an external oracle can recompute (cosines are
+    rounded to 7 decimals before every comparison in that mode's
+    assignment; the in-kernel rounding below applies in all modes).
     """
-    clustered = cluster_embeddings(df, vec_col, k=k, seed=seed).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cluster"
-    )
+    if centroids is not None:
+        clustered = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            assign_fixed_centroids(vec_col, centroids).alias("cluster"),
+        )
+    else:
+        if k is None:
+            n = df.count()  # scalar, one job — the k ~ n/target rule
+            tcs = target_cluster_size or 10_000
+            k = max(2, -(-n // tcs))
+        clustered = cluster_embeddings(df, vec_col, k=k, seed=seed).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cluster"
+        )
 
     def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -771,14 +849,17 @@ def semantic_dedup(
 
         for lo in range(0, n, block):
             g = vn[lo : lo + block] @ vn.T  # (block, n) cosine block
-            bi, bj = np.nonzero(g >= threshold)
+            # quantize before comparing: the duplicate relation is then
+            # independent of summation order (numpy pairwise vs an
+            # oracle's sequential fold differ at ~1e-15)
+            bi, bj = np.nonzero(np.round(g, 7) >= threshold)
             for i, j in zip(bi + lo, bj):
                 if i < j:
                     ri, rj = find(int(i)), find(int(j))
                     if ri != rj:
                         parent[max(ri, rj)] = min(ri, rj)
         centroid = vn.mean(axis=0)
-        cen_sim = vn @ centroid
+        cen_sim = np.round(vn @ centroid, 7)  # quantized (see above)
         groups: dict[int, list[int]] = {}
         for i in range(n):
             groups.setdefault(find(i), []).append(i)
@@ -823,3 +904,104 @@ def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("sim_semantic_dedup", q_sim_semantic_dedup)
+
+
+def q_sim_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in deterministic-assignment mode: literal ±1 centroids
+    (``SEM_CENTROIDS``) replace seeded k-means, so the ENTIRE
+    keep/kept_by contract — assignment, within-cluster duplicate
+    graph, connected components, centroid-nearest representative — is
+    recomputed by the DuckDB oracle (cosines quantized to 7 decimals
+    on both engines before every comparison). Same injected-twin
+    corpus as ``sim_semantic_dedup``."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(twins), threshold=0.999, centroids=SEM_CENTROIDS
+    )
+    return out.select("id", "cluster", "keep", "kept_by").orderBy("id")
+
+
+def _sem_cents_values() -> str:
+    rows = []
+    for i, c in enumerate(SEM_CENTROIDS):
+        lits = ", ".join(str(float(x)) for x in c)
+        rows.append(f"({i}, [{lits}]::DOUBLE[])")
+    return ",\n       ".join(rows)
+
+
+_register(
+    "sim_semantic_dedup_exact",
+    q_sim_semantic_dedup_exact,
+    f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id < 25
+),
+cents(cid, cv) AS (
+  VALUES {_sem_cents_values()}
+),
+-- assignment: argmax over centroids of round(cos, 7), tie lowest cid;
+-- |centroid| = sqrt(64) = 8 exactly for the ±1 literals
+assign AS (
+  SELECT id, vn, cl FROM (
+    SELECT n.id, n.vn, c.cid AS cl,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.id
+             ORDER BY round(list_inner_product(n.v, c.cv)
+                            / (sqrt(list_inner_product(n.v, n.v)) * 8.0),
+                            7) DESC,
+                      c.cid ASC) AS rk
+    FROM (SELECT id, v,
+                 list_transform(
+                   v, x -> x / sqrt(list_inner_product(v, v))) AS vn
+          FROM base) n
+    CROSS JOIN cents c)
+  WHERE rk = 1
+),
+-- duplicate graph: within-cluster pairs with quantized cosine >= thr
+edges AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM assign a JOIN assign b ON a.cl = b.cl AND a.id < b.id
+  WHERE round(list_inner_product(a.vn, b.vn), 7) >= 0.999
+),
+sym AS (SELECT ia, ib FROM edges UNION ALL SELECT ib, ia FROM edges),
+-- connected components by min-label propagation
+comp(id, r) AS (
+  SELECT id, id FROM assign
+  UNION
+  SELECT s.ib, c.r FROM comp c JOIN sym s ON s.ia = c.id
+),
+root AS (SELECT id, min(r) AS root FROM comp GROUP BY id),
+-- per-cluster centroid of the NORMALIZED members, then quantized
+-- member-to-centroid similarity (the representative score)
+cen AS (
+  SELECT a.cl, t.i, avg(a.vn[t.i]) AS m
+  FROM assign a, LATERAL unnest(generate_series(1, len(a.vn))) AS t(i)
+  GROUP BY a.cl, t.i
+),
+cs AS (
+  SELECT a.id, round(sum(a.vn[t.i] * c.m), 7) AS censim
+  FROM assign a,
+       LATERAL unnest(generate_series(1, len(a.vn))) AS t(i),
+       cen c
+  WHERE c.cl = a.cl AND c.i = t.i
+  GROUP BY a.id
+),
+rep AS (
+  SELECT r.id, a.cl,
+         FIRST_VALUE(r.id) OVER (
+           PARTITION BY r.root
+           ORDER BY cs.censim DESC, r.id ASC) AS kept_by
+  FROM root r
+  JOIN cs ON cs.id = r.id
+  JOIN assign a ON a.id = r.id
+)
+SELECT id, cl AS cluster, (id = kept_by) AS keep, kept_by
+FROM rep ORDER BY id
+""",
+)

@@ -21,16 +21,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (the strict differential in tools/check_oracles.py covers all of
 #: them every round); they simply sort after this prefix.
 GRADE_FIRST_OPERATORS = [
-    # round-5 rotation: the new oracle-backed operators grade first;
-    # the rotated-out variants (plain fuzzy, incremental minhash,
-    # 15-min resample, gopher, uniform sample, running total) stay
+    # round-6 rotation: every name below MUST be oracle-backed (the
+    # assertion in _collect enforces it), so the driver's graded 50 is
+    # 50/50 differential-checkable — r5's oracle-less sim_semantic_dedup
+    # is replaced by the deterministic-centroid sim_semantic_dedup_exact,
+    # and dsir_sample (the Gumbel draw itself hash-matches DuckDB)
+    # rotates in for frequent_event_types. Rotated-out entries stay
     # registered and are judged by the full differential every round.
     "extract_html_text",
     "extract_html_fixture",
     "lm_score_positions",
     "lm_doc_perplexity",
     "fuzzy_name_pairs_bounded",
-    "sim_semantic_dedup",
+    "sim_semantic_dedup_exact",
     "dedup_lines_docs",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
@@ -38,7 +41,7 @@ GRADE_FIRST_OPERATORS = [
     "text_quality",
     "interval_join",
     "text_segments_udtf",
-    "frequent_event_types",
+    "dsir_sample",
     "decontam_scan",
     "rank_bm25_topk",
     "cdc_snapshot_diff",
@@ -101,6 +104,11 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
+    missing = [n for n in GRADE_FIRST_OPERATORS if n not in os_]
+    assert not missing, (
+        "graded-prefix entries must be oracle-backed (the driver "
+        f"differential-grades the registry prefix): {missing}"
+    )
     return _grade_order(qs), os_
 
 

@@ -318,3 +318,73 @@ def test_semantic_dedup_transitive_group_single_keeper(spark):
     assert sum(out[i]["keep"] for i in (0, 1, 2)) == 1  # one keeper for the chain
     assert len({out[i]["kept_by"] for i in (0, 1, 2)}) == 1
     assert out[3]["keep"]
+
+
+def test_semantic_dedup_exact_mode_same_contracts(spark):
+    """Deterministic-assignment mode (literal centroids) honors the
+    same twin-collapse / singleton / linkage contracts as the k-means
+    mode, and is reproducible run-to-run."""
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(100 + i, base[i].tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = rng.choice([-1.0, 1.0], size=(4, 16)).tolist()
+
+    out = semantic_dedup(
+        df, threshold=0.999, centroids=cents, vec_col="embedding"
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 50
+    for i in range(10):
+        a, b = by_id[i], by_id[100 + i]
+        # identical vectors always share a cluster whatever the
+        # centroids -> the pair collapses to one keeper
+        assert a["cluster"] == b["cluster"]
+        assert a["keep"] != b["keep"]
+        assert a["kept_by"] == b["kept_by"]
+        assert by_id[a["kept_by"]]["keep"]
+    for i in range(10, 40):
+        assert by_id[i]["keep"] and by_id[i]["kept_by"] == i
+    assert sum(r["keep"] for r in out) == 40
+
+    again = semantic_dedup(
+        df, threshold=0.999, centroids=cents, vec_col="embedding"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semantic_dedup_target_cluster_size_bounds_clusters(spark):
+    """k ~ n/target rule: under a 10x-replicated corpus the derived k
+    grows with n, keeping the p99 cluster size (the quadratic
+    per-cluster cost driver) bounded near the target."""
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(100, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [
+        (rep * 1000 + i, base[i].tolist())
+        for rep in range(10)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(
+        df, threshold=0.999, target_cluster_size=50, vec_col="embedding"
+    ).collect()
+    assert len(out) == 1000
+    sizes = {}
+    for r in out:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    # derived k = ceil(1000/50) = 20 clusters available
+    assert len(sizes) <= 20
+    p99 = sorted(sizes.values())[max(0, int(len(sizes) * 0.99) - 1)]
+    assert p99 <= 4 * 50, sizes
