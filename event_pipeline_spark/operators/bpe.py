@@ -207,3 +207,276 @@ ORACLES["bpe_word_vocab"] = """
     ) ORDER BY count DESC, word LIMIT 100
 """
 QUERIES["bpe_merges"] = q_bpe_merges
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-aware packing / budget selection (round 6): compose REAL
+# BPE token counts — not whitespace counts — into pack_sequences and
+# select_token_budget, the way a production loader does (tokenizers
+# are frozen pretrained artifacts; FROZEN_MERGES below was trained
+# once on the synthetic corpus with train_bpe and pinned).
+#
+# Oracle story: greedy lowest-rank-first segmentation (segment_word)
+# is equivalent to applying a TRAINED merge table in rank order with
+# left-to-right non-overlapping replacement — a merge's pair can only
+# reappear via symbols formed by EARLIER merges, never later ones. In
+# SQL that is a chain of plain replace() calls over a boundary-safe
+# encoding: tokens joined by double commas, each merge rewriting
+# ',x,,y,' -> ',xy,' (one comma of each boundary pair survives, so
+# consecutive occurrences all match in one pass). Verified equivalent
+# to segment_word over every corpus word at three SFs plus 500 random
+# words (tests/test_bpe.py).
+# ---------------------------------------------------------------------------
+
+#: 40 merges trained on the sf0.01 documents corpus (train_bpe, tie
+#: rule: most frequent pair, then lexically smallest), frozen so every
+#: scale factor tokenizes with the same artifact.
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+]
+
+
+def _bpe_count_sql(word_expr: str = "w") -> str:
+    """DuckDB expression: BPE token count of one word under
+    FROZEN_MERGES (the replace-chain segmentation described above)."""
+    expr = (
+        f"',,' || array_to_string(list_append(string_split({word_expr}, ''),"
+        " '</w>'), ',,') || ',,'"
+    )
+    for x, y in FROZEN_MERGES:
+        expr = f"replace({expr}, ',{x},,{y},', ',{x}{y},')"
+    return f"(len(string_split({expr}, ',,')) - 2)"
+
+
+#: shared oracle CTE: per-document BPE token counts (segment each
+#: DISTINCT word once, then join back — same shape as the Spark side's
+#: per-word memo cache)
+_BPE_DOC_TOKENS_CTE = f"""
+words AS (
+  SELECT doc_id, a[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+        FROM documents),
+       LATERAL unnest(generate_series(1, len(a))) AS t(i)
+  WHERE a[i] != ''),
+wordtok AS (
+  SELECT w, {_bpe_count_sql("w")} AS nt
+  FROM (SELECT DISTINCT w FROM words)),
+doctok AS (
+  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n
+  FROM words JOIN wordtok USING (w)
+  GROUP BY doc_id)
+"""
+
+
+def _bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return apply_bpe(docs, "text", FROZEN_MERGES).select(
+        F.col("id").alias("doc_id"), F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-token training sequences packed from BPE token counts: the
+    frozen-merge tokenizer feeds the distributed prefix-sum packer —
+    exact segment mapping (seq_id, doc_id, doc_off, seq_off, n)."""
+    from event_pipeline_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _bpe_doc_tokens(spark, sf_dir), seq_len=256
+    ).orderBy("seq_id", "doc_id")
+
+
+QUERIES["pack_sequences_bpe"] = q_pack_sequences_bpe
+ORACLES["pack_sequences_bpe"] = f"""
+WITH {_BPE_DOC_TOKENS_CTE},
+offs AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+  FROM doctok WHERE n > 0),
+spans AS (
+  SELECT doc_id, n, s, t.seq_id
+  FROM offs, LATERAL unnest(generate_series(s // 256, (s + n - 1) // 256))
+       AS t(seq_id)),
+segs AS (
+  SELECT seq_id, doc_id,
+         greatest(s, seq_id * 256) - s AS doc_off,
+         greatest(s, seq_id * 256) - seq_id * 256 AS seq_off,
+         least(s + n, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS n
+  FROM spans)
+SELECT seq_id::BIGINT AS seq_id, doc_id, doc_off::BIGINT AS doc_off,
+       seq_off::BIGINT AS seq_off, n::BIGINT AS n
+FROM segs ORDER BY seq_id, doc_id
+"""
+
+
+def token_vocab(
+    toks: DataFrame, *, tokens_col: str = "tokens"
+) -> list[str]:
+    """Sorted distinct BPE tokens of a tokenized corpus — the id table.
+
+    Bounded by the TOKENIZER, not the corpus: every merge creates
+    exactly one new symbol, so |vocab| <= |base chars| + |merges| + 1
+    (EOW) no matter how many documents flow through — the same reason a
+    production vocab is a driver-sized frozen artifact. Collected and
+    sorted on the driver (codepoint order, matching ORDER BY in any
+    external engine)."""
+    rows = (
+        toks.select(F.explode(tokens_col).alias("tok")).distinct().collect()
+    )
+    return sorted(r["tok"] for r in rows)
+
+
+def materialize_sequences(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int,
+) -> DataFrame:
+    """The loader's actual output: fixed-length training sequences of
+    BPE token IDS (concat-then-chunk over docs in ``id_col`` order).
+
+    Returns ``(seq_id, n, ids)`` — ``ids`` the space-joined token-id
+    string of the sequence (exact integers; the last sequence may be
+    partial). Pipeline: tokenize once (Arrow UDF, pinned — three
+    consumers), derive the bounded vocab, map tokens→ids as a literal
+    map expression (production: broadcast-join a frozen vocab table),
+    reuse the distributed prefix-sum packer for the segment layout,
+    then slice each doc's id array per segment and flatten per
+    sequence — everything after the tokenizer is JVM expressions, and
+    no shuffle ever carries more than (seq_id, segment) rows.
+    """
+    from event_pipeline_spark.cache import pin
+    from event_pipeline_spark.operators.packing import pack_sequences
+
+    toks = pin(apply_bpe(df, text_col, merges, id_col=id_col))
+    vocab = token_vocab(toks)
+    mapping = F.create_map(
+        *[F.lit(x) for tok_id, tok in enumerate(vocab) for x in (tok, tok_id)]
+    )
+    with_ids = toks.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens"),
+        F.transform("tokens", lambda t: F.element_at(mapping, t)).alias("_ids"),
+    )
+    segs = pack_sequences(
+        with_ids.select(id_col, "n_tokens"), id_col=id_col, seq_len=seq_len
+    )
+    seg_ids = segs.join(with_ids.select(id_col, "_ids"), id_col).select(
+        "seq_id",
+        "seq_off",
+        "n",
+        F.slice(
+            "_ids", F.col("doc_off").cast("int") + 1, F.col("n").cast("int")
+        ).alias("_seg"),
+    )
+    return seg_ids.groupBy("seq_id").agg(
+        F.sum("n").cast("int").alias("n"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq_off", "_seg"))),
+                    lambda s: s["_seg"],
+                )
+            ),
+            " ",
+        ).alias("ids"),
+    )
+
+
+def q_materialize_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-token training sequences MATERIALIZED as token-id strings —
+    the end-to-end loader path (tokenize → vocab → pack → slice →
+    flatten), exact against an external re-derivation."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return materialize_sequences(docs, FROZEN_MERGES, seq_len=256).orderBy(
+        "seq_id"
+    )
+
+
+def _bpe_seg_sql(word_expr: str = "w") -> str:
+    """DuckDB expression: the raw replace-chain segmentation string of
+    one word (tokens double-comma-joined, leading/trailing ',,')."""
+    expr = (
+        f"',,' || array_to_string(list_append(string_split({word_expr}, ''),"
+        " '</w>'), ',,') || ',,'"
+    )
+    for x, y in FROZEN_MERGES:
+        expr = f"replace({expr}, ',{x},,{y},', ',{x}{y},')"
+    return expr
+
+
+QUERIES["materialize_sequences_bpe"] = q_materialize_sequences_bpe
+ORACLES["materialize_sequences_bpe"] = f"""
+WITH words AS (
+  SELECT doc_id, i AS wi, a[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+        FROM documents),
+       LATERAL unnest(generate_series(1, len(a))) AS t(i)
+  WHERE a[i] != ''),
+wordseg AS (
+  SELECT w, string_split({_bpe_seg_sql("w")}, ',,') AS seg
+  FROM (SELECT DISTINCT w FROM words)),
+postok AS (
+  SELECT doc_id, wi, t.si, seg[t.si] AS tok
+  FROM words JOIN wordseg USING (w),
+       LATERAL unnest(generate_series(2, len(seg) - 1)) AS t(si)),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+  FROM (SELECT DISTINCT tok FROM postok)),
+ordered AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS pos
+  FROM postok),
+doctok AS (
+  SELECT doc_id, count(*) AS n FROM ordered GROUP BY doc_id),
+offs AS (
+  SELECT doc_id,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+  FROM doctok),
+gpos AS (
+  SELECT o.doc_id, v.tok_id, f.s + o.pos AS g
+  FROM ordered o JOIN offs f USING (doc_id) JOIN vocab v USING (tok))
+SELECT CAST(g // 256 AS BIGINT) AS seq_id, count(*)::INT AS n,
+       string_agg(tok_id::VARCHAR, ' ' ORDER BY g) AS ids
+FROM gpos GROUP BY g // 256 ORDER BY seq_id
+"""
+
+
+def q_select_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 40k-BPE-token budget with the longest documents — the
+    budget selector driven by real tokenizer counts."""
+    from event_pipeline_spark.operators.prefix import select_token_budget
+
+    out = select_token_budget(
+        _bpe_doc_tokens(spark, sf_dir),
+        score_col="n_tokens",
+        tokens_col="n_tokens",
+        budget=40_000,
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "n_tokens", "running_tokens").orderBy("doc_id")
+
+
+QUERIES["select_token_budget_bpe"] = q_select_token_budget_bpe
+ORACLES["select_token_budget_bpe"] = f"""
+WITH {_BPE_DOC_TOKENS_CTE},
+ranked AS (
+  SELECT doc_id, n AS n_tokens,
+         CAST(SUM(n) OVER (ORDER BY n DESC, doc_id) AS BIGINT)
+             AS running_tokens
+  FROM doctok)
+SELECT doc_id, n_tokens, running_tokens
+FROM ranked WHERE running_tokens <= 40000
+ORDER BY doc_id
+"""

@@ -68,3 +68,115 @@ def test_apply_bpe_over_corpus(spark):
     assert out[1]["n_tokens"] == len(out[1]["tokens"])
     # 'low' appears 3 times in the tiny corpus -> merged to one symbol
     assert "low" + EOW in out[1]["tokens"]
+
+
+def test_frozen_merge_replace_chain_equals_greedy_segmentation():
+    """The oracle's in-rank-order replace-chain model (boundary-safe
+    double-comma encoding) must equal greedy lowest-rank-first
+    segment_word for the frozen TRAINED merge table — the equivalence
+    q_pack_sequences_bpe's DuckDB oracle relies on."""
+    import random
+
+    from event_pipeline_spark.operators.bpe import (
+        FROZEN_MERGES,
+        segment_word,
+    )
+
+    ranks = {p: i for i, p in enumerate(FROZEN_MERGES)}
+
+    def inorder(word: str) -> list[str]:
+        s = ",," + ",,".join(list(word) + ["</w>"]) + ",,"
+        for x, y in FROZEN_MERGES:
+            s = s.replace(f",{x},,{y},", f",{x}{y},")
+        toks = s.split(",,")
+        assert toks[0] == "" and toks[-1] == ""
+        return toks[1:-1]
+
+    rng = random.Random(0)
+    words = {"filter", "customer", "column", "join", "hash", "aaa", "spark"}
+    for _ in range(500):
+        words.add(
+            "".join(
+                rng.choices("abcdefghijklmnopqrstuvwxyz", k=rng.randint(1, 10))
+            )
+        )
+    for w in sorted(words):
+        assert inorder(w) == segment_word(w, ranks), w
+
+
+def test_bpe_counts_feed_packing_conservation(spark):
+    """Composed path: sum of packed segment lengths == total BPE token
+    count, and every sequence except the last is exactly full."""
+    from event_pipeline_spark.operators.bpe import FROZEN_MERGES, apply_bpe
+    from event_pipeline_spark.operators.packing import pack_sequences
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "customer filter join hash scan column " * (i + 1))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    toks = apply_bpe(df, "text", FROZEN_MERGES).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    total = toks.agg(F.sum("n_tokens")).first()[0]
+    segs = pack_sequences(toks, seq_len=32).collect()
+    assert sum(r["n"] for r in segs) == total
+    per_seq = {}
+    for r in segs:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n"]
+    last = max(per_seq)
+    assert all(v == 32 for s, v in per_seq.items() if s != last)
+    assert 0 < per_seq[last] <= 32
+
+
+def test_materialize_sequences_round_trips_tokens(spark):
+    """Materialized id sequences decode back (via the derived vocab) to
+    exactly the concatenated token stream in doc order, cut at seq_len."""
+    from event_pipeline_spark.operators.bpe import (
+        FROZEN_MERGES,
+        apply_bpe,
+        materialize_sequences,
+        token_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "customer filter join"),
+            (2, "hash scan column customer"),
+            (3, "join join filter"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = apply_bpe(df, "text", FROZEN_MERGES)
+    vocab = token_vocab(toks)
+    stream: list[str] = []
+    for r in sorted(toks.collect(), key=lambda r: r["id"]):
+        stream.extend(r["tokens"])
+
+    out = sorted(
+        materialize_sequences(df, FROZEN_MERGES, seq_len=7).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    decoded: list[str] = []
+    for i, r in enumerate(out):
+        ids = [int(x) for x in r["ids"].split(" ")]
+        assert r["n"] == len(ids)
+        if i < len(out) - 1:
+            assert len(ids) == 7  # every sequence but the last is full
+        decoded.extend(vocab[j] for j in ids)
+    assert decoded == stream
+
+
+def test_materialize_sequences_empty_docs_skipped(spark):
+    from event_pipeline_spark.operators.bpe import (
+        FROZEN_MERGES,
+        materialize_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "join filter"), (2, "   "), (3, "scan")],
+        "doc_id long, text string",
+    )
+    out = materialize_sequences(df, FROZEN_MERGES, seq_len=1000).collect()
+    assert len(out) == 1  # one partial sequence; doc 2 contributes nothing
