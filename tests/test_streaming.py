@@ -1289,3 +1289,59 @@ def test_streaming_line_dedup_across_batches(spark, tmp_path):
         assert 3 not in docs  # everything it had was already seen
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_exact_doc_dedup_across_batches(spark, tmp_path):
+    """Exact-doc streaming dedup: a byte-identical document re-ingested
+    in a later batch is suppressed by the digest seen-set in state;
+    within one batch exactly one copy of a duplicated text survives."""
+    from event_pipeline_spark.streaming.exactdedup import (
+        streaming_dedup_exact,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    body = "the exact same document body, byte for byte"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/ed_src"
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        mk([(1, body), (2, "unique first-batch doc")]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+        mk(
+            [
+                (3, body),  # exact replay of doc 1 -> suppressed
+                (4, "unique second-batch doc"),
+                (5, "unique second-batch doc"),  # within-batch duplicate
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        collected: list = []
+        q = (
+            streaming_dedup_exact(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ed_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        by_id = {r["docid"]: r["text"] for r in collected}
+        assert by_id[1] == body
+        assert 3 not in by_id  # cross-batch exact replay suppressed
+        assert by_id[2] == "unique first-batch doc"
+        # within-batch duplicate pair: exactly one survivor
+        assert len({4, 5} & set(by_id)) == 1
+        assert len(collected) == len(by_id)  # one row per survivor
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
