@@ -24,10 +24,13 @@ GRADE_FIRST_OPERATORS = [
     # round-6 rotation: every name below MUST be oracle-backed (the
     # assertion in _collect enforces it), so the driver's graded 50 is
     # 50/50 differential-checkable — r5's oracle-less sim_semantic_dedup
-    # is replaced by the deterministic-centroid sim_semantic_dedup_exact,
-    # and dsir_sample (the Gumbel draw itself hash-matches DuckDB)
-    # rotates in for frequent_event_types. Rotated-out entries stay
-    # registered and are judged by the full differential every round.
+    # is replaced by the deterministic-centroid sim_semantic_dedup_exact;
+    # dsir_sample (the Gumbel draw itself hash-matches DuckDB),
+    # dedup_substring_spans, and pack_sequences_bpe rotate in for
+    # frequent_event_types, validate_orders, and the whitespace
+    # pack_sequences_512 (superseded in the prefix by the BPE-count
+    # variant). Rotated-out entries stay registered and are judged by
+    # the full differential every round.
     "extract_html_text",
     "extract_html_fixture",
     "lm_score_positions",
@@ -35,6 +38,7 @@ GRADE_FIRST_OPERATORS = [
     "fuzzy_name_pairs_bounded",
     "sim_semantic_dedup_exact",
     "dedup_lines_docs",
+    "dedup_substring_spans",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
@@ -48,8 +52,7 @@ GRADE_FIRST_OPERATORS = [
     "skew_salted_agg",
     "asof_join",
     "dsir_log_weights",
-    "validate_orders",
-    "pack_sequences_512",
+    "pack_sequences_bpe",
     "select_token_budget",
 ]
 
@@ -93,7 +96,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
-        "extract", "lm", "lines", "dsir",
+        "extract", "lm", "lines", "dsir", "substrings",
     ):
         try:
             mod = __import__(
