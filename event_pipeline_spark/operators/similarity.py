@@ -1005,3 +1005,339 @@ SELECT id, cl AS cluster, (id = kept_by) AS keep, kept_by
 FROM rep ORDER BY id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-parameter ANN (round 6): the SemDeDup-exact pattern
+# applied to the two bucketed retrieval paths. The production variants
+# above use seeded random hyperplanes / trained k-means codebooks —
+# correct but only rows-only checkable (an external engine cannot
+# reproduce numpy draws or Lloyd iterations). These variants fix the
+# parameters as LITERAL +-1 matrices (generated once from the frozen
+# legacy RandomState stream, NEP 19-stable), so bucket assignment,
+# probing, candidate generation, and the exact-cosine re-rank are all
+# recomputable by the DuckDB oracle end to end. Semantics and plan
+# shape are identical to the production variants; only the parameter
+# source differs. The +-1 entries also make |plane| = |centroid| =
+# sqrt(64) = 8 exactly, so cosine needs no cross-engine norm rounding.
+# ---------------------------------------------------------------------------
+
+
+def _pm1_matrix(rows: int, seed: int, dim: int = DIM) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return [
+        [float(x) for x in row]
+        for row in (rng.randint(0, 2, size=(rows, dim)) * 2 - 1)
+    ]
+
+
+#: 8 tables x 4 planes of +-1 entries (row t*4+p = table t, plane p)
+LSH_EXACT_PLANES: list[list[float]] = _pm1_matrix(32, seed=20260814)
+#: 8 +-1 coarse centroids for the exact IVF quantizer
+IVF_EXACT_CENTROIDS: list[list[float]] = _pm1_matrix(8, seed=20260815)
+
+
+def lsh_buckets_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(_id, table, bucket) rows from literal hyperplanes — pure JVM
+    expression (zip_with/aggregate fold per plane, sign quantized at 7
+    decimals). Same narrow output contract as ``lsh_buckets``; the
+    Arrow kernel there is the constant-factor-faster production path,
+    this one is the externally recomputable form (equivalence on the
+    same planes pinned in tests/test_similarity.py)."""
+    planes = LSH_EXACT_PLANES if planes is None else planes
+    n_tables = len(planes) // n_planes
+    v = as_double(F.col(vec_col))
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("long")
+        for p in range(n_planes):
+            pl = planes[t * n_planes + p]
+            dotp = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in pl]),
+                    lambda a, c: a * c,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bit = (F.round(dotp, 7) >= 0).cast("long")
+            b = b + bit * F.lit(1 << p).cast("long")
+        buckets.append(b)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*buckets)).alias("table", "bucket"),
+    )
+
+
+def lsh_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """``lsh_topk`` with literal hyperplanes: candidates = any shared
+    (table, bucket), re-ranked by exact cosine (round 6), ties to the
+    lower corpus id."""
+    cb = lsh_buckets_exact(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes,
+        n_planes=n_planes,
+    )
+    qb = lsh_buckets_exact(
+        queries, id_col=query_id_col, vec_col=vec_col, planes=planes,
+        n_planes=n_planes,
+    )
+    cand = (
+        cb.alias("c")
+        .join(
+            F.broadcast(qb.alias("q")),
+            (F.col("c.table") == F.col("q.table"))
+            & (F.col("c.bucket") == F.col("q.bucket")),
+        )
+        .select(
+            F.col("q._id").alias(query_id_col),
+            F.col("c._id").alias("corpus_id"),
+        )
+        .where(F.col(query_id_col) != F.col("corpus_id"))
+        .dropDuplicates([query_id_col, "corpus_id"])
+    )
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+            ),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("qv"))
+            ),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            "corpus_id",
+            F.round(cosine_batch(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def probe_fixed_centroids(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """Array of the ``n_probe`` nearest centroid indices (by round-7
+    cosine, ties to the lower index) — the deterministic multi-probe
+    companion of ``assign_fixed_centroids``."""
+    import math as _math
+
+    v = as_double(F.col(vec_col))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    ranked = []
+    for i, c in enumerate(centroids):
+        cn = _math.sqrt(sum(x * x for x in c))
+        dotp = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sim = F.round(dotp / (nrm * F.lit(cn)), 7)
+        ranked.append(F.struct((-sim).alias("ns"), F.lit(i).alias("i")))
+    return F.slice(
+        F.transform(F.array_sort(F.array(*ranked)), lambda s: s["i"]),
+        1,
+        n_probe,
+    )
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """``ivf_topk`` with literal centroids: corpus rows live in their
+    argmax-cosine cell, queries probe their ``n_probe`` nearest cells,
+    candidates join on the int cell id, re-rank is exact cosine."""
+    centroids = IVF_EXACT_CENTROIDS if centroids is None else centroids
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        assign_fixed_centroids(vec_col, centroids).alias("cell"),
+    )
+    query_cells = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            probe_fixed_centroids(vec_col, centroids, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .where(F.col(query_id_col) != F.col("corpus_id"))
+        .select(
+            query_id_col,
+            "corpus_id",
+            F.round(cosine_batch(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        )
+        .dropDuplicates([query_id_col, "corpus_id"])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def q_sim_lsh_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k with literal +-1 hyperplanes (8 tables x 4 planes —
+    the same calibration as ``sim_lsh_topk``), oracle-recomputable end
+    to end."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk_exact(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def _planes_values(planes: list[list[float]], n_planes: int) -> str:
+    rows = []
+    for idx, pl in enumerate(planes):
+        t, p = divmod(idx, n_planes)
+        lits = ", ".join(str(float(x)) for x in pl)
+        rows.append(f"({t}, {1 << p}, [{lits}]::DOUBLE[])")
+    return ",\n       ".join(rows)
+
+
+def _cents_values(cents: list[list[float]]) -> str:
+    rows = []
+    for i, c in enumerate(cents):
+        lits = ", ".join(str(float(x)) for x in c)
+        rows.append(f"({i}, [{lits}]::DOUBLE[])")
+    return ",\n       ".join(rows)
+
+
+_register(
+    "sim_lsh_topk_exact",
+    q_sim_lsh_topk_exact,
+    f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT id AS query_id, v FROM corpus WHERE id < 5),
+planes(t, w, pv) AS (
+  VALUES {_planes_values(LSH_EXACT_PLANES, 4)}
+),
+cb AS (
+  SELECT c.id, pl.t,
+         CAST(sum(CASE WHEN round(list_inner_product(c.v, pl.pv), 7) >= 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes pl GROUP BY c.id, pl.t),
+qb AS (
+  SELECT qq.query_id, pl.t,
+         CAST(sum(CASE WHEN round(list_inner_product(qq.v, pl.pv), 7) >= 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+  FROM q qq CROSS JOIN planes pl GROUP BY qq.query_id, pl.t),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.id AS corpus_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.query_id != cb.id),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         ROUND(list_cosine_similarity(c.v, q2.v), 6) AS cosine
+  FROM cand
+  JOIN corpus c ON c.id = cand.corpus_id
+  JOIN corpus q2 ON q2.id = cand.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+
+
+def q_sim_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with literal +-1 coarse centroids (8 cells, 3 probed
+    — the same shape as ``sim_ivf_topk``), oracle-recomputable end to
+    end."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_exact(emb, queries, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+_register(
+    "sim_ivf_topk_exact",
+    q_sim_ivf_topk_exact,
+    f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT id AS query_id, v FROM corpus WHERE id < 5),
+cents(cid, cv) AS (
+  VALUES {_cents_values(IVF_EXACT_CENTROIDS)}
+),
+-- |centroid| = sqrt(64) = 8 exactly for the +-1 literals
+csim AS (
+  SELECT c.id, ct.cid,
+         round(list_inner_product(c.v, ct.cv)
+               / (sqrt(list_inner_product(c.v, c.v)) * 8.0), 7) AS sim
+  FROM corpus c CROSS JOIN cents ct),
+cc AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim) WHERE rk = 1),
+qc AS (
+  SELECT id AS query_id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim WHERE id < 5) WHERE rk <= 3),
+cand AS (
+  SELECT DISTINCT qc.query_id, cc.id AS corpus_id
+  FROM qc JOIN cc USING (cell)
+  WHERE qc.query_id != cc.id),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         ROUND(list_cosine_similarity(c.v, q2.v), 6) AS cosine
+  FROM cand
+  JOIN corpus c ON c.id = cand.corpus_id
+  JOIN corpus q2 ON q2.id = cand.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)

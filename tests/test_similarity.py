@@ -388,3 +388,97 @@ def test_semantic_dedup_target_cluster_size_bounds_clusters(spark):
     assert len(sizes) <= 20
     p99 = sorted(sizes.values())[max(0, int(len(sizes) * 0.99) - 1)]
     assert p99 <= 4 * 50, sizes
+
+
+def test_lsh_exact_buckets_match_numpy(emb):
+    """The pure-JVM literal-plane bucket expression must agree with a
+    driver-side numpy recomputation (same +-1 planes, same sign rule)."""
+    from event_pipeline_spark.operators.similarity import (
+        LSH_EXACT_PLANES,
+        lsh_buckets_exact,
+    )
+
+    sample = emb.where(F.col("vec_id") < 50)
+    got = {
+        (r["_id"], r["table"]): r["bucket"]
+        for r in lsh_buckets_exact(sample).collect()
+    }
+    planes = np.array(LSH_EXACT_PLANES, dtype=np.float64)  # (32, 64)
+    for r in sample.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        dots = np.round(planes @ v, 7)
+        bits = (dots >= 0).astype(np.int64).reshape(8, 4)
+        for t in range(8):
+            b = int(sum(bits[t, p] << p for p in range(4)))
+            assert got[(r["vec_id"], t)] == b
+
+
+def test_lsh_exact_candidates_share_a_bucket(emb, queries):
+    """Every returned neighbor must share at least one (table, bucket)
+    with its query, ranks must be contiguous from 1, cosines
+    non-increasing — the LSH candidate contract."""
+    from event_pipeline_spark.operators.similarity import (
+        lsh_buckets_exact,
+        lsh_topk_exact,
+    )
+
+    buckets = {}
+    for r in lsh_buckets_exact(emb).collect():
+        buckets.setdefault(r["_id"], set()).add((r["table"], r["bucket"]))
+    out = sorted(
+        lsh_topk_exact(emb, queries, k=5).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    by_q = {}
+    for r in out:
+        assert buckets[r["query_id"]] & buckets[r["corpus_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_exact_respects_probed_cells(emb, queries):
+    """Every returned neighbor's cell must be among the query's 3
+    probed cells (the IVF candidate contract), and the result within
+    the probed set is exact: it equals the brute-force ranking
+    restricted to those cells."""
+    from event_pipeline_spark.operators.similarity import (
+        IVF_EXACT_CENTROIDS,
+        ivf_topk_exact,
+    )
+
+    cents = np.array(IVF_EXACT_CENTROIDS, dtype=np.float64)
+    cn = np.linalg.norm(cents, axis=1)
+    rows = emb.collect()
+    cell, probes, vecs = {}, {}, {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        sims = np.round(cents @ v / (np.linalg.norm(v) * cn), 7)
+        order = sorted(range(8), key=lambda i: (-sims[i], i))
+        cell[r["vec_id"]] = order[0]
+        probes[r["vec_id"]] = set(order[:3])
+        vecs[r["vec_id"]] = v
+
+    out = sorted(
+        ivf_topk_exact(emb, queries, k=5, n_probe=3).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    by_q = {}
+    for r in out:
+        assert cell[r["corpus_id"]] in probes[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    for qid, got_ids in by_q.items():
+        qv = vecs[qid] / np.linalg.norm(vecs[qid])
+        cands = [
+            i for i in vecs
+            if i != qid and cell[i] in probes[qid]
+        ]
+        scored = sorted(
+            (
+                (-round(float(np.dot(vecs[i] / np.linalg.norm(vecs[i]), qv)), 6), i)
+                for i in cands
+            ),
+        )
+        assert got_ids == [i for _, i in scored[:5]]
