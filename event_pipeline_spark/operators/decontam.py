@@ -173,3 +173,123 @@ _register(
         FROM corpus_grams JOIN bench_grams USING (gram_hash)
         GROUP BY doc_id ORDER BY doc_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-filter (round 6): the 100 TB form of the broadcast gate.
+#
+# ``ngram_decontaminate`` broadcasts the benchmark's md5 gram strings —
+# fine for eval suites (MBs), but a *blocklist-scale* clean set (say
+# 10^8 grams) is multi-GB as strings. The standard fix is a Bloom
+# filter: ~10-16 bits per element (~200 MB for 10^8) broadcast as a
+# long[] bitmap, probed corpus-side with k salted hashes; only probable
+# hits proceed to the exact broadcast join, which removes the false
+# positives — so the RESULT is exactly ``ngram_decontaminate``'s (same
+# oracle), while the expensive join sees a tiny fraction of corpus
+# grams. Probing is pure JVM codegen: ``xxhash64(salt, gram) pmod m``
+# → ``getbit(word, pos)`` — no UDF, no Python crossing.
+#
+# The bitmap is built with one bounded Spark job over the benchmark
+# grams (collects distinct BIT POSITIONS, <= k·|bench| ints, not the
+# grams), then inlined as an array<long> literal. Spark's own
+# ``df.stat.bloomFilter`` returns a JVM-side sketch that can only be
+# probed from Python via py4j per row — the literal-bitmap form keeps
+# the probe inside whole-stage codegen instead.
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    grams: DataFrame,
+    *,
+    gram_col: str = "gram_hash",
+    n_bits: int,
+    n_hashes: int = 4,
+) -> list[int]:
+    """Signed-64 words of a Bloom bitmap over ``grams[gram_col]``.
+
+    One Spark job: k salted ``xxhash64`` positions per gram, distinct,
+    collected (bounded by k·|grams| ints — the benchmark side, never
+    the corpus). ``n_bits`` must be a multiple of 64."""
+    assert n_bits % 64 == 0, "n_bits must fill whole 64-bit words"
+    pos_cols = F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(s), F.col(gram_col)), F.lit(n_bits)
+            ).cast("int")
+            for s in range(n_hashes)
+        ]
+    )
+    rows = grams.select(F.explode(pos_cols).alias("b")).distinct().collect()
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[r["b"] // 64] |= 1 << (r["b"] % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(
+    gram: Column, words: list[int], *, n_bits: int, n_hashes: int = 4
+) -> Column:
+    """True iff every salted hash's bit is set — the JVM probe
+    (false positives possible, false negatives impossible)."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for s in range(n_hashes):
+        bitpos = F.pmod(F.xxhash64(F.lit(s), gram), F.lit(n_bits))
+        word = F.element_at(arr, (bitpos / 64).cast("int") + 1)
+        cond = cond & (F.getbit(word, F.pmod(bitpos, F.lit(64))) == 1)
+    return cond
+
+
+def ngram_decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = DEFAULT_N,
+    bits_per_gram: int = 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """``ngram_decontaminate`` behind a Bloom pre-filter — identical
+    output (the exact join removes Bloom false positives), corpus gram
+    rows that fail the probe never reach the join."""
+    bench_grams = (
+        _gram_hashes(
+            benchmark.select(
+                F.lit(0).alias("__bid"),
+                F.col(bench_text_col or text_col).alias("__btext"),
+            ),
+            "__btext",
+            "__bid",
+            n,
+        )
+        .select("gram_hash")
+        .distinct()
+    )
+    n_bench = bench_grams.count()  # scalar job; bench side is bounded
+    n_bits = max(64, -(-(n_bench * bits_per_gram) // 64) * 64)
+    words = bloom_build(bench_grams, n_bits=n_bits, n_hashes=n_hashes)
+    corpus_grams = _gram_hashes(corpus, text_col, id_col, n)
+    pre = corpus_grams.where(
+        bloom_might_contain(
+            F.col("gram_hash"), words, n_bits=n_bits, n_hashes=n_hashes
+        )
+    )
+    return (
+        pre.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram_hash").alias("n_contaminated"))
+    )
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-gated scan — same report as ``decontam_scan`` by
+    construction, so it shares that oracle verbatim."""
+    report = ngram_decontaminate_bloom(
+        _docs(spark, sf_dir), benchmark_fixture(spark, sf_dir)
+    )
+    return report.orderBy("doc_id")
+
+
+_register("decontam_bloom", q_decontam_bloom, ORACLES["decontam_scan"])

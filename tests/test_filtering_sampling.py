@@ -226,3 +226,87 @@ def test_clean_text_semantics(spark):
         clean_text(F.col("text")).alias("c")
     ).first()
     assert row["c"] == "a b c\nd\ne"
+
+
+# ---------------------------------------------------------------------------
+# bloom-gated decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_exact_report(spark):
+    """With a DELIBERATELY undersized bitmap (64 bits for ~40 grams →
+    false positives all over), the gated report must still equal the
+    plain broadcast-join report — the exact join removes every Bloom
+    false positive, and a false negative (which would LOSE a
+    contamination) is impossible by construction."""
+    from event_pipeline_spark.operators.decontam import (
+        _gram_hashes,
+        bloom_build,
+        bloom_might_contain,
+        ngram_decontaminate,
+        ngram_decontaminate_bloom,
+    )
+
+    words_pool = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = [
+        (i, " ".join(words_pool[(i + j) % 8] for j in range(12)))
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(rows[:3], "doc_id long, text string")
+
+    plain = {
+        (r["doc_id"], r["n_contaminated"])
+        for r in ngram_decontaminate(corpus, bench, n=4).collect()
+    }
+    gated = {
+        (r["doc_id"], r["n_contaminated"])
+        for r in ngram_decontaminate_bloom(
+            corpus, bench, n=4, bits_per_gram=2, n_hashes=4
+        ).collect()
+    }
+    assert gated == plain and plain  # identical, and non-trivial
+
+    # every benchmark gram must probe positive (no false negatives)
+    bg = _gram_hashes(
+        bench.select(F.lit(0).alias("i"), "text"), "text", "i", 4
+    ).select("gram_hash").distinct()
+    bits = bloom_build(bg, n_bits=64, n_hashes=4)
+    assert (
+        bg.where(
+            bloom_might_contain(
+                F.col("gram_hash"), bits, n_bits=64, n_hashes=4
+            )
+        ).count()
+        == bg.count()
+    )
+
+
+def test_bloom_prefilter_is_selective_and_jvm_only(spark):
+    """At the default sizing the probe rejects the vast majority of
+    clean corpus grams before the join, and the probing plan contains
+    no Python eval node."""
+    from event_pipeline_spark.operators.decontam import (
+        _gram_hashes,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9")], "doc_id long, text string"
+    )
+    bg = _gram_hashes(bench, "text", "doc_id", 8).select("gram_hash").distinct()
+    bits = bloom_build(bg, n_bits=1024, n_hashes=4)
+    cg = _gram_hashes(clean, "text", "doc_id", 8)
+    pre = cg.where(
+        bloom_might_contain(F.col("gram_hash"), bits, n_bits=1024, n_hashes=4)
+    )
+    total, passed = cg.count(), pre.count()
+    assert total >= 600
+    assert passed <= total * 0.05  # ~ (k*n/m)^k << 5% here
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
