@@ -145,12 +145,21 @@ def apply_bpe(
     )
 
     def run(batches):
+        import re
+
         ranks = ranks_bc.value
         cache: dict[str, list[str]] = {}
+        # ASCII-whitespace split, matching word_vocab's Java-regex
+        # F.split(r'\s+') and the oracles' RE2 '\s+' (both ASCII-only);
+        # Python str.split() would also split on U+00A0 etc. and
+        # silently diverge from the trained vocab + the oracles
+        ws = re.compile(r"\s+", re.ASCII)
 
         def tok(text: str) -> list[str]:
             out: list[str] = []
-            for w in (text or "").split():
+            for w in ws.split(text or ""):
+                if not w:
+                    continue
                 if w not in cache:
                     cache[w] = segment_word(w, ranks)
                 out.extend(cache[w])
@@ -253,6 +262,10 @@ def _bpe_count_sql(word_expr: str = "w") -> str:
         " '</w>'), ',,') || ',,'"
     )
     for x, y in FROZEN_MERGES:
+        # the ',x,,y,' patterns are ambiguous if a symbol ever contains
+        # the ',' delimiter — impossible for FROZEN_MERGES, but guard
+        # against a retrained table over comma-bearing text
+        assert "," not in x + y, f"merge symbol contains delimiter: {(x, y)}"
         expr = f"replace({expr}, ',{x},,{y},', ',{x}{y},')"
     return f"(len(string_split({expr}, ',,')) - 2)"
 
@@ -412,6 +425,7 @@ def _bpe_seg_sql(word_expr: str = "w") -> str:
         " '</w>'), ',,') || ',,'"
     )
     for x, y in FROZEN_MERGES:
+        assert "," not in x + y, f"merge symbol contains delimiter: {(x, y)}"
         expr = f"replace({expr}, ',{x},,{y},', ',{x}{y},')"
     return expr
 

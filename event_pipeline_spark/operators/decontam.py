@@ -230,8 +230,17 @@ def bloom_might_contain(
     gram: Column, words: list[int], *, n_bits: int, n_hashes: int = 4
 ) -> Column:
     """True iff every salted hash's bit is set — the JVM probe
-    (false positives possible, false negatives impossible)."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    (false positives possible, false negatives impossible).
+
+    The bitmap ships as ONE array literal (``F.lit(words)``), not one
+    expression node per word — a 10^6-word (8 MB) bitmap is a single
+    py4j transfer. Practical ceiling: tens of MB of literal (~10^7
+    grams at 16 bits/gram); past that the plan-embedded-literal form
+    stops being the right tool — use ``bloom_filter_agg`` +
+    ``might_contain`` (Spark's JVM-side sketch pair) so the bitmap
+    never crosses the driver, at the cost of the probe being an opaque
+    expression instead of codegen-visible bit math."""
+    arr = F.lit(words).cast("array<long>")
     cond = F.lit(True)
     for s in range(n_hashes):
         bitpos = F.pmod(F.xxhash64(F.lit(s), gram), F.lit(n_bits))

@@ -817,6 +817,14 @@ def semantic_dedup(
     keep/kept_by output an external oracle can recompute (cosines are
     rounded to 7 decimals before every comparison in that mode's
     assignment; the in-kernel rounding below applies in all modes).
+
+    .. versionchanged:: round 6
+       ``k`` defaulted to 8; it now defaults to ``None``, which derives
+       k from ``target_cluster_size`` via an EAGER ``df.count()`` at
+       composition time (one scalar job — DataFrame construction is no
+       longer lazy on this path). Callers composing pipelines that must
+       stay lazy, or relying on the old fixed fan-out, should pass
+       ``k`` explicitly (the in-repo query passes ``k=8``).
     """
     if centroids is not None:
         clustered = df.select(

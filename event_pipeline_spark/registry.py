@@ -31,8 +31,14 @@ GRADE_FIRST_OPERATORS = [
     # pack_sequences_512 (superseded in the prefix by the BPE-count
     # variant). Rotated-out entries stay registered and are judged by
     # the full differential every round.
+    #
+    # round-7 rotation: select_token_budget -> select_token_budget_bpe
+    # (the tokenizer-aware variant a real loader runs; the whitespace
+    # form stays registered), and extract_html_fixture -> langid_score
+    # (extraction keeps its sf-scaling entry extract_html_text; langid
+    # is the round-7 headline family and earns the graded slot).
     "extract_html_text",
-    "extract_html_fixture",
+    "langid_score",
     "lm_score_positions",
     "lm_doc_perplexity",
     "fuzzy_name_pairs_bounded",
@@ -53,7 +59,7 @@ GRADE_FIRST_OPERATORS = [
     "asof_join",
     "dsir_log_weights",
     "pack_sequences_bpe",
-    "select_token_budget",
+    "select_token_budget_bpe",
 ]
 
 
@@ -96,7 +102,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "dedup", "similarity", "text", "multimodal", "skew", "temporal",
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
-        "extract", "lm", "lines", "dsir", "substrings",
+        "extract", "lm", "lines", "dsir", "substrings", "langid",
     ):
         try:
             mod = __import__(
