@@ -1349,3 +1349,332 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-parameter PQ / IVF-PQ (round 7): the exact-mode family
+# extended to the memory-side quantizer. The production variants above
+# (``sim_pq_topk`` / ``sim_ivfpq_topk``) train codebooks with Lloyd
+# iterations on a driver sample — rows-only checkable. Here the
+# codebooks are LITERAL ±1 sub-vector matrices (m=8 subvectors × 4
+# codes × 8 dims), so code assignment, the per-query ADC lookup table,
+# and the final ranking are all recomputable by DuckDB end to end.
+#
+# With equal-norm ±1 codes, L2 code assignment reduces exactly to a
+# dot-product argmax: ‖s − c‖² = ‖s‖² − 2·s·c + 8, and ‖s‖²/+8 are
+# constant across codes — so argmin_j ‖s−c_j‖² == argmax_j s·c_j. The
+# oracle ranks round-7 dot products (ties to the lower code index),
+# identical semantics, no norm rounding needed (|c| = sqrt(8) exactly).
+#
+# ADC distance keeps the production L2 form: per subvector the query
+# contributes term(mi, j) = ‖q_mi‖² − 2·q_mi·c_j + 8, quantized to an
+# INTEGER count of 1e-7 units; the per-query LUT (m × 4 terms) is
+# computed ONCE per query row and rides the broadcast — scoring a
+# candidate is 8 array gathers + a sum, the PQ promise. Integer terms
+# make the 8-way sum exact and order-independent (a round-7 DOUBLE per
+# term was observed to flip the last displayed digit between Spark's
+# left-to-right chain and DuckDB's unordered SUM), so the ranking is
+# engine-portable by construction; adc_dist renders as units/1e7.
+# ---------------------------------------------------------------------------
+
+#: 8 subvectors × 4 codes of ±1 entries over 8 dims (row mi*4+j =
+#: subvector mi, code j; frozen legacy RandomState stream)
+PQ_EXACT_BOOKS: list[list[float]] = _pm1_matrix(32, seed=20260816, dim=8)
+
+_PQ_M = 8  # subvectors
+_PQ_K = 4  # codes per subvector
+_PQ_SUB = DIM // _PQ_M
+
+
+def _normalized(vec_col: str) -> Column:
+    v = as_double(F.col(vec_col))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / nrm)
+
+
+def pq_codes_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    books: list[list[float]] | None = None,
+    out_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, c0..c7): per-subvector nearest-code indices against the
+    literal ±1 codebooks — pure JVM expressions (argmax of round-7 dot,
+    ties to the lower code index; == L2 argmin, see section comment)."""
+    books = PQ_EXACT_BOOKS if books is None else books
+    vn = _normalized(vec_col)
+    cols = [F.col(id_col).alias(out_id)]
+    for mi in range(_PQ_M):
+        s = F.slice(vn, mi * _PQ_SUB + 1, _PQ_SUB)
+        ranked = []
+        for j in range(_PQ_K):
+            code = books[mi * _PQ_K + j]
+            dotp = F.aggregate(
+                F.zip_with(
+                    s,
+                    F.array(*[F.lit(float(x)) for x in code]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            ranked.append(
+                F.struct((-F.round(dotp, 7)).alias("ns"), F.lit(j).alias("j"))
+            )
+        cols.append(F.array_min(F.array(*ranked))["j"].alias(f"c{mi}"))
+    return df.select(*cols)
+
+
+def pq_lut_exact(
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    books: list[list[float]] | None = None,
+    keep: list[Column] | None = None,
+) -> DataFrame:
+    """Per-query ADC lookup tables: columns lut0..lut7, each an
+    array of 4 INTEGER L2 terms round((‖q_mi‖² − 2·q_mi·c_j + 8)·1e7)
+    — exact 1e-7 units, so candidate sums are order-independent."""
+    books = PQ_EXACT_BOOKS if books is None else books
+    qn = _normalized(vec_col)
+    cols = [F.col(query_id_col)] + list(keep or [])
+    for mi in range(_PQ_M):
+        s = F.slice(qn, mi * _PQ_SUB + 1, _PQ_SUB)
+        qss = F.aggregate(s, F.lit(0.0), lambda a, x: a + x * x)
+        terms = []
+        for j in range(_PQ_K):
+            code = books[mi * _PQ_K + j]
+            dotp = F.aggregate(
+                F.zip_with(
+                    s,
+                    F.array(*[F.lit(float(x)) for x in code]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            terms.append(
+                F.round(
+                    (qss - 2.0 * dotp + F.lit(float(_PQ_SUB))) * 1e7
+                ).cast("long")
+            )
+        cols.append(F.array(*terms).alias(f"lut{mi}"))
+    return queries.select(*cols)
+
+
+def _adc_rank(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    adc = F.element_at("lut0", F.col("c0") + 1)
+    for mi in range(1, _PQ_M):
+        adc = adc + F.element_at(f"lut{mi}", F.col(f"c{mi}") + 1)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("corpus_id")
+    )
+    return (
+        scored.select(
+            query_id_col,
+            "corpus_id",
+            F.round(adc.cast("double") / 1e7, 6).alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    books: list[list[float]] | None = None,
+) -> DataFrame:
+    """``pq_topk`` with literal codebooks: every corpus row is scored
+    by ADC against each broadcast query's LUT (the full-scan PQ form by
+    design — the probed variant is ``ivfpq_topk_exact``)."""
+    codes = pq_codes_exact(
+        corpus, id_col=id_col, vec_col=vec_col, books=books
+    )
+    lut = pq_lut_exact(
+        queries, query_id_col=query_id_col, vec_col=vec_col, books=books
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).where(
+        F.col(query_id_col) != F.col("corpus_id")
+    )
+    return _adc_rank(scored, k, query_id_col)
+
+
+def ivfpq_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+    books: list[list[float]] | None = None,
+) -> DataFrame:
+    """``ivfpq_topk`` with literal coarse centroids AND codebooks:
+    corpus rows live in their argmax-cosine cell holding only the int
+    cell id + 8 code ints; queries probe ``n_probe`` cells; candidates
+    join on the cell id and rank by ADC — the composition that serves
+    billion-vector corpora from RAM, with every step DuckDB-checkable."""
+    centroids = IVF_EXACT_CENTROIDS if centroids is None else centroids
+    codes = pq_codes_exact(
+        corpus, id_col=id_col, vec_col=vec_col, books=books
+    )
+    cells = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        assign_fixed_centroids(vec_col, centroids).alias("cell"),
+    )
+    index = codes.join(cells, "corpus_id")
+    q = pq_lut_exact(
+        queries,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        books=books,
+        keep=[
+            F.explode(
+                probe_fixed_centroids(vec_col, centroids, n_probe)
+            ).alias("cell")
+        ],
+    )
+    scored = index.join(F.broadcast(q), "cell").where(
+        F.col(query_id_col) != F.col("corpus_id")
+    )
+    return _adc_rank(scored, k, query_id_col)
+
+
+def q_sim_pq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with literal ±1 codebooks — code assignment, LUT,
+    and ranking all recomputed by the oracle."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_exact(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def _books_values(books: list[list[float]]) -> str:
+    rows = []
+    for idx, c in enumerate(books):
+        mi, j = divmod(idx, _PQ_K)
+        lits = ", ".join(str(float(x)) for x in c)
+        rows.append(f"({mi}, {j}, [{lits}]::DOUBLE[])")
+    return ",\n       ".join(rows)
+
+
+#: shared oracle CTE chain: normalized vectors, subvector slices, code
+#: assignment, and per-query LUT terms under PQ_EXACT_BOOKS
+def _pq_exact_ctes() -> str:
+    return f"""
+corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+books(mi, j, bv) AS (
+  VALUES {_books_values(PQ_EXACT_BOOKS)}
+),
+vn AS (
+  SELECT id,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn
+  FROM corpus),
+mis AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS mi),
+sub AS (
+  SELECT id, mi, vn[mi*{_PQ_SUB}+1 : mi*{_PQ_SUB}+{_PQ_SUB}] AS s
+  FROM vn CROSS JOIN mis),
+codes AS (
+  SELECT id, mi, j AS code FROM (
+    SELECT sub.id, sub.mi, b.j,
+           row_number() OVER (
+             PARTITION BY sub.id, sub.mi
+             ORDER BY round(list_inner_product(sub.s, b.bv), 7) DESC,
+                      b.j ASC) AS rk
+    FROM sub JOIN books b ON b.mi = sub.mi)
+  WHERE rk = 1),
+lut AS (
+  SELECT sub.id AS query_id, sub.mi, b.j,
+         CAST(round((list_inner_product(sub.s, sub.s)
+                     - 2 * list_inner_product(sub.s, b.bv)
+                     + {_PQ_SUB}.0) * 10000000) AS BIGINT) AS term
+  FROM sub JOIN books b ON b.mi = sub.mi
+  WHERE sub.id < 5)"""
+
+
+_PQ_ADC_RANK_SQL = """
+adc AS (
+  SELECT l.query_id, c.id AS corpus_id,
+         round(CAST(sum(l.term) AS DOUBLE) / 10000000, 6) AS adc_dist
+  FROM cand c
+  JOIN codes cd ON cd.id = c.id
+  JOIN lut l ON l.mi = cd.mi AND l.j = cd.code AND l.query_id = c.query_id
+  GROUP BY l.query_id, c.id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, corpus_id ASC) AS rank
+  FROM adc)
+SELECT query_id, corpus_id, adc_dist, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+_register(
+    "sim_pq_topk_exact",
+    q_sim_pq_topk_exact,
+    f"""
+WITH {_pq_exact_ctes()},
+cand AS (
+  SELECT l.query_id, c.id
+  FROM (SELECT DISTINCT query_id FROM lut) l
+  CROSS JOIN corpus c
+  WHERE l.query_id != c.id),
+{_PQ_ADC_RANK_SQL}
+""",
+)
+
+
+def q_sim_ivfpq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe + PQ ADC top-k, fully deterministic parameters —
+    cells, probes, codes, LUT, and ranking all oracle-recomputed."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_exact(emb, queries, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+_register(
+    "sim_ivfpq_topk_exact",
+    q_sim_ivfpq_topk_exact,
+    f"""
+WITH {_pq_exact_ctes()},
+cents(cid, cv) AS (
+  VALUES {_cents_values(IVF_EXACT_CENTROIDS)}
+),
+csim AS (
+  SELECT c.id, ct.cid,
+         round(list_inner_product(c.v, ct.cv)
+               / (sqrt(list_inner_product(c.v, c.v)) * 8.0), 7) AS sim
+  FROM corpus c CROSS JOIN cents ct),
+cc AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim) WHERE rk = 1),
+qc AS (
+  SELECT id AS query_id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim WHERE id < 5) WHERE rk <= 3),
+cand AS (
+  SELECT DISTINCT qc.query_id, cc.id
+  FROM qc JOIN cc USING (cell)
+  WHERE qc.query_id != cc.id),
+{_PQ_ADC_RANK_SQL}
+""",
+)

@@ -482,3 +482,160 @@ def test_ivf_exact_respects_probed_cells(emb, queries):
             ),
         )
         assert got_ids == [i for _, i in scored[:5]]
+
+
+def _np_pq_codes(v: np.ndarray) -> list[int]:
+    """Driver-side recomputation of pq_codes_exact for one vector."""
+    from event_pipeline_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        PQ_EXACT_BOOKS,
+    )
+
+    vn = v / np.linalg.norm(v)
+    out = []
+    for mi in range(_PQ_M):
+        s = vn[mi * _PQ_SUB : (mi + 1) * _PQ_SUB]
+        dots = [
+            round(float(np.dot(s, np.array(PQ_EXACT_BOOKS[mi * _PQ_K + j]))), 7)
+            for j in range(_PQ_K)
+        ]
+        out.append(min(range(_PQ_K), key=lambda j: (-dots[j], j)))
+    return out
+
+
+def test_pq_codes_exact_match_numpy_and_l2_argmin(emb):
+    """The JVM code-assignment expression must agree with numpy, and
+    the dot-argmax must equal the L2 argmin (the ±1 equal-norm
+    equivalence the module relies on)."""
+    from event_pipeline_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        PQ_EXACT_BOOKS,
+        pq_codes_exact,
+    )
+
+    sample = emb.where(F.col("vec_id") < 50)
+    got = {
+        r["corpus_id"]: [r[f"c{mi}"] for mi in range(_PQ_M)]
+        for r in pq_codes_exact(sample).collect()
+    }
+    for r in sample.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert got[r["vec_id"]] == _np_pq_codes(v)
+        # L2-argmin equivalence (unrounded — ties resolved identically)
+        vn = v / np.linalg.norm(v)
+        for mi in range(_PQ_M):
+            s = vn[mi * _PQ_SUB : (mi + 1) * _PQ_SUB]
+            d2 = [
+                float(((s - np.array(PQ_EXACT_BOOKS[mi * _PQ_K + j])) ** 2).sum())
+                for j in range(_PQ_K)
+            ]
+            assert got[r["vec_id"]][mi] == min(
+                range(_PQ_K), key=lambda j: (round(d2[j], 7), j)
+            )
+
+
+def test_pq_exact_adc_matches_numpy(emb, queries):
+    """pq_topk_exact's ranking must equal a driver-side recomputation:
+    integer 1e-7 LUT terms, summed per candidate, ascending."""
+    from event_pipeline_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        PQ_EXACT_BOOKS,
+        pq_topk_exact,
+    )
+
+    rows = emb.collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows
+    }
+    codes = {i: _np_pq_codes(v) for i, v in vecs.items()}
+
+    def lut(qid):
+        qn = vecs[qid] / np.linalg.norm(vecs[qid])
+        t = {}
+        for mi in range(_PQ_M):
+            s = qn[mi * _PQ_SUB : (mi + 1) * _PQ_SUB]
+            for j in range(_PQ_K):
+                c = np.array(PQ_EXACT_BOOKS[mi * _PQ_K + j])
+                t[(mi, j)] = int(
+                    round(
+                        (float(np.dot(s, s))
+                         - 2 * float(np.dot(s, c)) + _PQ_SUB) * 1e7
+                    )
+                )
+        return t
+
+    out = sorted(
+        pq_topk_exact(emb, queries, k=5).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        t = lut(qid)
+        scored = sorted(
+            (
+                (
+                    round(
+                        sum(t[(mi, codes[i][mi])] for mi in range(_PQ_M))
+                        / 1e7,
+                        6,
+                    ),
+                    i,
+                )
+                for i in vecs
+                if i != qid
+            ),
+        )
+        assert [(r["corpus_id"], r["adc_dist"]) for r in rs] == [
+            (i, d) for d, i in scored[:5]
+        ]
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_ivfpq_exact_is_pq_restricted_to_probed_cells(emb, queries):
+    """ivfpq_topk_exact == pq_topk_exact restricted to members of the
+    query's probed cells (the IVF⊕PQ composition contract)."""
+    from event_pipeline_spark.operators.similarity import (
+        IVF_EXACT_CENTROIDS,
+        ivfpq_topk_exact,
+        pq_topk_exact,
+    )
+
+    cents = np.array(IVF_EXACT_CENTROIDS, dtype=np.float64)
+    cn = np.linalg.norm(cents, axis=1)
+    cell, probes = {}, {}
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        sims = np.round(cents @ v / (np.linalg.norm(v) * cn), 7)
+        order = sorted(range(8), key=lambda i: (-sims[i], i))
+        cell[r["vec_id"]] = order[0]
+        probes[r["vec_id"]] = set(order[:3])
+
+    full = sorted(
+        pq_topk_exact(emb, queries, k=10_000).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    got = sorted(
+        ivfpq_topk_exact(emb, queries, k=5, n_probe=3).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    by_q = {}
+    for r in got:
+        assert cell[r["corpus_id"]] in probes[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(
+            (r["corpus_id"], r["adc_dist"])
+        )
+    for qid, rs in by_q.items():
+        expected = [
+            (r["corpus_id"], r["adc_dist"])
+            for r in full
+            if r["query_id"] == qid and cell[r["corpus_id"]] in probes[qid]
+        ][: len(rs)]
+        assert rs == expected

@@ -57,6 +57,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "the tiny query set broadcasts against the corpus; the scale "
         "paths are sim_lsh/ivf/pq variants",
     },
+    "sim_pq_topk_exact": {
+        "BroadcastNestedLoopJoin": "PQ is a full code-scan by design: "
+        "the tiny broadcast LUT set scores every 8-byte code row; the "
+        "probed scale path is sim_ivfpq_topk_exact (equi-join on cell)",
+    },
 }
 
 #: generic allowances applied to every query
