@@ -83,6 +83,21 @@ def dedup_substring_spans(
         .where(F.col("_rk") > 1)
         .select("_id", "_s")
     )
+    return excise_duplicate_spans(docs, dup, window=window, id_col=id_col)
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    dup: DataFrame,
+    *,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every token of ``docs`` (``_id``, ``_toks``) covered by a
+    duplicate ``window``-token span starting at ``dup`` (``_id``,
+    ``_s``); rebuild text from survivors. Shared by the batch operator
+    above and the streaming foreachBatch reassembly
+    (``streaming/substringdedup.py``)."""
     # merge covered intervals: equal-length spans sorted by start — a
     # new group starts when the gap to the previous start exceeds the
     # window (touching spans merge too; the dropped-token union is

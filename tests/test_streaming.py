@@ -1345,3 +1345,64 @@ def test_streaming_exact_doc_dedup_across_batches(spark, tmp_path):
         assert len(collected) == len(by_id)  # one row per survivor
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_substring_dedup_across_batches(spark, tmp_path):
+    """A span first seen in batch 1 is excised from batch-2 documents:
+    the window-digest seen-set lives in state, so batch 2 loses every
+    token covered by the replayed span without re-reading batch 1.
+    Sub-window docs bypass state and pass whole; a doc that was
+    entirely one seen span vanishes."""
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+    from event_pipeline_spark.streaming.substringdedup import (
+        excise_batch,
+        streaming_dedup_substrings,
+    )
+
+    span = "alpha bravo charlie delta"  # window-sized repeated span
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/sd_src"
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        mk([(1, f"{span} unique one tail")]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+        mk(
+            [
+                (2, f"{span} second doc content"),
+                (3, span),  # nothing else: fully excised away
+                (4, "short doc"),  # < window tokens: bypasses state
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        collected: list = []
+        q = (
+            streaming_dedup_substrings(
+                read_parquet_stream(spark, src, max_files_per_trigger=1),
+                window=4,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(
+                    excise_batch(df, window=4).collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/sd_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        docs = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"]) for r in collected}
+        assert docs[1] == (f"{span} unique one tail", 7, 7)  # first batch whole
+        assert docs[2] == ("second doc content", 7, 3)  # span excised
+        assert 3 not in docs  # everything it had was already seen
+        assert docs[4] == ("short doc", 2, 2)  # sub-window bypass
+        assert len(collected) == 3
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
