@@ -353,15 +353,25 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs within Hamming distance d via block rotation: split the
-    64-bit signature into d+1 blocks; any pair within distance d agrees
-    exactly on >= 1 block (pigeonhole), so the join key is (block_idx,
-    block_value) — narrow rows, one shuffle, no n²."""
-    blocks = max_hamming + 1
-    width = 64 // blocks
+    """SimHash pairs within Hamming distance d — see
+    ``hamming_block_pairs`` for the candidate-generation mechanics."""
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
     )
+    return hamming_block_pairs(sigs, max_hamming=max_hamming)
+
+
+def hamming_block_pairs(sigs: DataFrame, *, max_hamming: int) -> DataFrame:
+    """Pairs of ``sigs`` (``_id``, ``_sig`` int64) within Hamming
+    distance d via block rotation: split the 64-bit signature into d+1
+    blocks; any pair within distance d agrees exactly on >= 1 block
+    (pigeonhole — diffs landing in the <= 64 mod (d+1) uncovered top
+    bits only strengthen the bound), so the join key is (block_idx,
+    block_value) — narrow rows, one shuffle, no n². Shared by the
+    SimHash text path above and the dHash image path
+    (``operators/imagededup.py``)."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
     exploded = sigs.select(
         "_id",
         "_sig",

@@ -1,0 +1,164 @@
+"""Perceptual image near-duplicate detection (dHash family).
+
+Standard multimodal-corpus curation drops images that are *visually*
+identical even when their bytes differ (re-encoded, brightness-shifted,
+format-converted copies) — byte-level exact dedup misses all of them.
+The public recipe (difference hash, as popularized by the pHash/
+imagehash projects) is deterministic integer math end to end:
+
+1. decode the payload (pure-numpy codecs, ``operators/codecs.py``);
+2. integer luma (299·R + 587·G + 114·B — scale factor irrelevant,
+   only comparisons matter);
+3. nearest-neighbor resize to 9×8 (``codecs.resize_nearest``, the
+   half-pixel-center gather already used by ``resize_images``);
+4. one bit per adjacent-column pair: bit(y, x) = luma[y, x+1] >
+   luma[y, x], packed row-major MSB-first into a signed int64.
+
+Uniform brightness/contrast changes preserve every comparison, and
+small lossy-codec perturbations flip only a few bits, so visually-same
+images land within a small Hamming distance; candidate generation
+reuses the pigeonhole Hamming-block join built for SimHash
+(``operators/dedup.py::hamming_block_pairs``) — narrow (id, sig)
+rows, one shuffle, no n².
+
+Scale shape: decode+hash is one Arrow-batched ``pandas_udf`` pass per
+payload (bytes cross the Python boundary once, in columnar batches —
+keep ``arrow.maxRecordsPerBatch`` modest for MB-scale payloads); after
+it, only 8-byte signatures move. The block join shuffles d+1 narrow
+rows per image; the exact Hamming verify runs on the joined pairs.
+
+The registered queries run over a pinned fixture parquet of REAL
+encoded images (PNG/BMP/PPM/GIF/JPEG produced by the repo's own
+encoders) whose expected hashes were computed at fixture-build time by
+an independent scalar-loop implementation working on the pre-encode
+pixel arrays (for the lossless formats — the encode→decode round trip
+is exact; the JPEG row pins the decoder's output, documented in
+``tests/fixtures/make_image_fixture.py``). The pair oracle recomputes
+the full <=d relation in DuckDB from those pinned hashes via
+``bit_count(xor(...))`` — the same external-recomputation posture as
+the SimHash oracle.
+
+Reference: the reference repo has no image dedup; this is [ext]
+LLM-pipeline surface per SURVEY §2 (multimodal curation family).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+QUERIES = {}
+ORACLES = {}
+
+#: pinned fixture parquet, located relative to the repo checkout
+FIXTURE_PATH = str(
+    Path(__file__).resolve().parents[2] / "tests/fixtures/images.parquet"
+)
+
+_LUMA = np.array([299, 587, 114], dtype=np.int64)
+
+
+def dhash64(payload: bytes, fmt: str) -> int:
+    """Signed-int64 dHash of one encoded image (see module doc)."""
+    from event_pipeline_spark.operators import codecs
+
+    pixels = codecs.decode_image(bytes(payload), fmt)
+    if pixels.ndim == 3:
+        luma = pixels.astype(np.int64) @ _LUMA
+    else:
+        luma = pixels.astype(np.int64) * 1000
+    g = codecs.resize_nearest(luma, 9, 8)
+    bits = (g[:, 1:] > g[:, :-1]).reshape(64)
+    h = 0
+    for b in bits:  # 64 iterations, MSB-first
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def dhash_images(
+    df: DataFrame,
+    *,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(img_id, dhash): one Arrow-batched decode+hash pass."""
+
+    @pandas_udf("long")
+    def _dh(payload: pd.Series, fmt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dhash64(p, f) for p, f in zip(payload, fmt)], dtype="int64"
+        )
+
+    return df.select(
+        F.col(id_col).alias("img_id"),
+        _dh(F.col(payload_col), F.col(fmt_col)).alias("dhash"),
+    )
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+    fmt_col: str = "fmt",
+    max_hamming: int = 10,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of visually-near-duplicate images
+    within ``max_hamming`` bits (default 10 — the conventional dHash
+    near-dup threshold), via the shared pigeonhole block join."""
+    from event_pipeline_spark.operators.dedup import hamming_block_pairs
+
+    sigs = dhash_images(
+        df, id_col=id_col, payload_col=payload_col, fmt_col=fmt_col
+    ).select(F.col("img_id").alias("_id"), F.col("dhash").alias("_sig"))
+    return hamming_block_pairs(sigs, max_hamming=max_hamming)
+
+
+# -- registered queries ------------------------------------------------------
+
+
+def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the pinned real encoded images and hash them; the oracle
+    reads the independently-computed expected hashes from the same
+    parquet."""
+    imgs = spark.read.parquet(FIXTURE_PATH)
+    return dhash_images(imgs).orderBy("img_id")
+
+
+QUERIES["mm_image_dhash"] = q_mm_image_dhash
+ORACLES["mm_image_dhash"] = f"""
+    SELECT img_id, expected_hash AS dhash
+    FROM read_parquet('{FIXTURE_PATH}')
+    ORDER BY img_id
+"""
+
+_MAX_HAMMING = 10
+
+
+def q_mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visually-near-duplicate pairs over the fixture; DuckDB
+    recomputes the entire <= d relation from the pinned hashes."""
+    imgs = spark.read.parquet(FIXTURE_PATH)
+    return image_near_duplicates(imgs, max_hamming=_MAX_HAMMING).orderBy(
+        "id_a", "id_b"
+    )
+
+
+QUERIES["mm_image_neardup"] = q_mm_image_neardup
+ORACLES["mm_image_neardup"] = f"""
+    WITH sigs AS (
+      SELECT img_id, expected_hash AS s
+      FROM read_parquet('{FIXTURE_PATH}'))
+    SELECT l.img_id AS id_a, r.img_id AS id_b,
+           CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
+    FROM sigs l JOIN sigs r ON l.img_id < r.img_id
+    WHERE bit_count(xor(l.s, r.s)) <= {_MAX_HAMMING}
+    ORDER BY id_a, id_b
+"""
