@@ -1,0 +1,229 @@
+"""Corpus-level lexical statistics: Zipf fit, Heaps curve, type/token.
+
+Before mixing or sampling decisions, large-corpus curation pipelines
+look at the corpus's lexical shape: does the token rank-frequency
+distribution follow the expected Zipf power law (slope ~ -1 on
+log-log), how fast does vocabulary grow with corpus size (Heaps' law
+V ~ K * N^beta), and what do type/token ratios and hapax counts say
+about duplication and noise? (A corpus whose Zipf slope flattens or
+whose hapax share collapses is usually contaminated or over-duplicated
+— these are standard public diagnostics, e.g. in corpus-linguistics
+literature and web-corpus reports.)
+
+All three registered queries are exact integer/rounded-double
+aggregates with full DuckDB oracles:
+
+- ``corpus_type_token`` — types, tokens, type/token ratio, hapax and
+  dis legomena counts, top-token coverage. Pure groupBy aggregates.
+- ``corpus_zipf_fit`` — least-squares slope/intercept of
+  ln(freq) ~ ln(rank) over the top-K tokens. Both engines compute the
+  same closed form (covar_pop/var_pop over round-7 logs), so the
+  rounded result is engine-portable.
+- ``corpus_heaps_curve`` — cumulative (tokens, types) at fixed
+  document checkpoints: types at checkpoint c = tokens whose FIRST
+  occurrence (min doc_id) lands at or before c — an exact-integer
+  reformulation that needs no per-document scan ordering.
+
+Scale shape: everything reduces through token-keyed partial
+aggregates (explode -> groupBy token), then tiny follow-up aggregates
+over at most top-K or n_docs/bucket rows. The one window over
+checkpoint rows runs on a bounded domain (documented plan-audit
+allowance); nothing shuffles documents themselves after the explode.
+
+Reference: the reference repo has no corpus statistics; [ext]
+LLM-pipeline surface per SURVEY §2 (corpus analytics family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc id, token) rows under the repo-wide ASCII \\s+ rule."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def type_token_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row: n_tokens, n_types, ttr, hapax/dis counts, top-token
+    coverage share (all ratios rounded to 6)."""
+    freqs = _tokens(df, id_col, text_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    return freqs.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("freq"), 6).alias("ttr"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0)).alias("dis"),
+        F.round(F.max("freq") / F.sum("freq"), 6).alias("top1_share"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """One row (slope, intercept, r2) of the least-squares fit
+    ln(freq) ~ ln(rank) over the ``top_k`` most frequent tokens.
+
+    Rank ties break by token so both engines rank identically; logs
+    are rounded to 7 before the moment sums (the repo's portability
+    idiom), results to 4 (the quotient of ~top_k-term double sums is
+    reproducible well past that)."""
+    freqs = (
+        _tokens(df, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.round(F.log("rank"), 7).alias("x"),
+            F.round(F.log("freq"), 7).alias("y"),
+        )
+    )
+    return ranked.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("slope"),
+        F.round(
+            F.avg("y") - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x"),
+            4,
+        ).alias("intercept"),
+        F.round(
+            F.covar_pop("x", "y")
+            * F.covar_pop("x", "y")
+            / (F.var_pop("x") * F.var_pop("y")),
+            4,
+        ).alias("r2"),
+    )
+
+
+def heaps_curve(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket: int = 250,
+) -> DataFrame:
+    """(checkpoint, cum_tokens, cum_types) rows: corpus prefix sizes in
+    ``id_col`` order at every ``bucket`` documents. cum_types counts
+    tokens whose first occurrence (min id) falls inside the prefix —
+    exact integers, no per-document state."""
+    toks = _tokens(df, id_col, text_col)
+    ck = (F.floor(F.col("_id") / bucket) + 1).alias("checkpoint")
+    per_bucket_tokens = toks.groupBy(ck).agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    first = toks.groupBy("tok").agg(F.min("_id").alias("first_id"))
+    per_bucket_types = first.groupBy(
+        (F.floor(F.col("first_id") / bucket) + 1).alias("checkpoint")
+    ).agg(F.count(F.lit(1)).alias("types"))
+    joined = per_bucket_tokens.join(per_bucket_types, "checkpoint", "left")
+    wc = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "checkpoint",
+        F.sum("toks").over(wc).alias("cum_tokens"),
+        F.sum(F.coalesce("types", F.lit(0))).over(wc).alias("cum_types"),
+    )
+
+
+# -- registered queries ------------------------------------------------------
+
+
+def q_corpus_type_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return type_token_stats(docs)
+
+
+QUERIES["corpus_type_token"] = q_corpus_type_token
+ORACLES["corpus_type_token"] = r"""
+WITH toks AS (
+  SELECT t.tok FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok != ''),
+freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) / CAST(sum(freq) AS DOUBLE), 6) AS ttr,
+       CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       round(max(freq) / CAST(sum(freq) AS DOUBLE), 6) AS top1_share
+FROM freqs
+"""
+
+
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_k=100)
+
+
+QUERIES["corpus_zipf_fit"] = q_corpus_zipf_fit
+ORACLES["corpus_zipf_fit"] = r"""
+WITH toks AS (
+  SELECT t.tok FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok != ''),
+freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+ranked AS (
+  SELECT round(ln(row_number() OVER (ORDER BY freq DESC, tok ASC)), 7) AS x,
+         round(ln(freq), 7) AS y,
+         row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk
+  FROM freqs QUALIFY rk <= 100)
+SELECT round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept,
+       round(covar_pop(x, y) * covar_pop(x, y)
+             / (var_pop(x) * var_pop(y)), 4) AS r2
+FROM ranked
+"""
+
+
+def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return heaps_curve(docs, bucket=250).orderBy("checkpoint")
+
+
+QUERIES["corpus_heaps_curve"] = q_corpus_heaps_curve
+ORACLES["corpus_heaps_curve"] = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok != ''),
+per_tok AS (
+  SELECT floor(doc_id / 250) + 1 AS checkpoint, count(*) AS toks
+  FROM toks GROUP BY 1),
+first AS (SELECT tok, min(doc_id) AS first_id FROM toks GROUP BY tok),
+per_typ AS (
+  SELECT floor(first_id / 250) + 1 AS checkpoint, count(*) AS types
+  FROM first GROUP BY 1)
+SELECT CAST(t.checkpoint AS BIGINT) AS checkpoint,
+       CAST(sum(t.toks) OVER (ORDER BY t.checkpoint
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+       CAST(sum(coalesce(y.types, 0)) OVER (ORDER BY t.checkpoint
+                                            ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_types
+FROM per_tok t LEFT JOIN per_typ y USING (checkpoint)
+ORDER BY checkpoint
+"""

@@ -1,0 +1,73 @@
+"""Corpus statistics: closed-form hand checks on a tiny corpus."""
+
+from __future__ import annotations
+
+import math
+
+from event_pipeline_spark.operators.corpusstats import (
+    heaps_curve,
+    type_token_stats,
+    zipf_fit,
+)
+
+
+def _docs(spark):
+    # freqs: a->4, b->2, c->1, d->1  (tokens=8, types=4)
+    return spark.createDataFrame(
+        [
+            (0, "a a b"),
+            (1, "a b c"),
+            (2, "a d"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_type_token_closed_form(spark):
+    row = type_token_stats(_docs(spark)).collect()[0]
+    assert row["n_tokens"] == 8
+    assert row["n_types"] == 4
+    assert row["ttr"] == round(4 / 8, 6)
+    assert row["hapax"] == 2  # c, d
+    assert row["dis"] == 1  # b
+    assert row["top1_share"] == round(4 / 8, 6)
+
+
+def test_zipf_fit_closed_form(spark):
+    """Least squares over (ln rank, ln freq) with rank ties broken by
+    token: ranks a=1(f4), b=2(f2), c=3(f1), d=4(f1)."""
+    xs = [round(math.log(r), 7) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(f), 7) for f in (4, 2, 1, 1)]
+    mx = sum(xs) / 4
+    my = sum(ys) / 4
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 4
+    vx = sum((x - mx) ** 2 for x in xs) / 4
+    vy = sum((y - my) ** 2 for y in ys) / 4
+    row = zipf_fit(_docs(spark), top_k=4).collect()[0]
+    assert row["slope"] == round(cov / vx, 4)
+    assert row["intercept"] == round(my - cov / vx * mx, 4)
+    assert row["r2"] == round(cov * cov / (vx * vy), 4)
+
+
+def test_heaps_curve_closed_form(spark):
+    """bucket=2: checkpoint 1 = docs 0-1 (6 tokens; first-seen a,b,c),
+    checkpoint 2 = doc 2 (2 tokens; first-seen d)."""
+    rows = {
+        r["checkpoint"]: (r["cum_tokens"], r["cum_types"])
+        for r in heaps_curve(_docs(spark), bucket=2).collect()
+    }
+    assert rows == {1: (6, 3), 2: (8, 4)}
+
+
+def test_heaps_curve_empty_checkpoint_gap(spark):
+    """A checkpoint whose docs add no new types still reports the
+    carried-forward cumulative type count."""
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y"), (2, "x z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["checkpoint"]: (r["cum_tokens"], r["cum_types"])
+        for r in heaps_curve(docs, bucket=1).collect()
+    }
+    assert rows == {1: (2, 2), 2: (4, 2), 3: (6, 3)}
