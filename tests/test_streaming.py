@@ -1406,3 +1406,92 @@ def test_streaming_substring_dedup_across_batches(spark, tmp_path):
         assert len(collected) == 3
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_media_dedup_perceptual_replay(spark, tmp_path):
+    """A JPEG re-encode of a batch-1 PNG has different bytes but the
+    same dHash, so the signature seen-set suppresses it in batch 2;
+    a visually distinct image still passes. Audio: a float32 re-encode
+    of a batch-1 PCM16 clip is suppressed by its fingerprint."""
+    from event_pipeline_spark.operators import codecs
+    from event_pipeline_spark.operators.imagededup import FIXTURE_PATH
+    from event_pipeline_spark.operators.audiodedup import (
+        FIXTURE_PATH as AUDIO_FIXTURE,
+    )
+    from event_pipeline_spark.streaming.mediadedup import (
+        streaming_dedup_media,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    imgs = {r["img_id"]: r for r in spark.read.parquet(FIXTURE_PATH).collect()}
+    png = bytes(imgs[1]["payload"])  # continuous-tone base
+    jpeg_replay = codecs.encode_jpeg(
+        codecs.decode_image(png, "png"), quality=90
+    )  # same dHash, different bytes (measured in the batch tests)
+    distinct = bytes(imgs[7]["payload"])
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/md_src"
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "media_id long, fmt string, payload binary"
+        )
+        mk([(1, "png", png)]).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        mk(
+            [(2, "jpeg", jpeg_replay), (3, "png", distinct)]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        collected: list = []
+        q = (
+            streaming_dedup_media(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/md_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        survivors = {r["media_id"] for r in collected}
+        assert survivors == {1, 3}  # replay (2) suppressed across batches
+
+        # audio: PCM16 clip then its float32 re-encode
+        clips = {
+            r["clip_id"]: bytes(r["payload"])
+            for r in spark.read.parquet(AUDIO_FIXTURE).collect()
+        }
+        asrc = f"file://{tmp_path}/ma_src"
+        amk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "media_id long, payload binary"
+        )
+        amk([(10, clips[1])]).coalesce(1).write.mode("append").parquet(asrc)
+        time.sleep(1.1)
+        amk(
+            [(11, clips[3]), (12, clips[6])]  # float32 replay + distinct
+        ).coalesce(1).write.mode("append").parquet(asrc)
+        acollected: list = []
+        aq = (
+            streaming_dedup_media(
+                read_parquet_stream(spark, asrc, max_files_per_trigger=1),
+                fmt_col=None,
+                method="afp",
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: acollected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ma_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(aq)
+        assert {r["media_id"] for r in acollected} == {10, 12}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
