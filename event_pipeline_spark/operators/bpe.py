@@ -494,3 +494,76 @@ SELECT doc_id, n_tokens, running_tokens
 FROM ranked WHERE running_tokens <= 40000
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (round 7): the standard tokenizer-
+# efficiency diagnostic — how many BPE tokens per whitespace word and
+# how many text bytes per BPE token each language pays under a frozen
+# tokenizer. Multilingual-tokenizer reports (e.g. the public fertility
+# tables in tokenizer papers) use exactly these two ratios to spot
+# languages a vocabulary underserves. Composes the frozen merge table
+# with the corpus's lang labels; everything reduces to per-language
+# integer sums, so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_tokens, n_bytes, fertility,
+    bytes_per_token): per-language totals (exact ints) and ratios
+    (rounded 6) under the given merge table."""
+    toks = apply_bpe(df, text_col, merges, id_col=id_col).select(
+        F.col("id").alias(id_col), F.col("n_tokens").cast("long").alias("_nt")
+    )
+    words = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        words.alias("_nw"),
+        F.octet_length(text_col).cast("long").alias("_nb"),
+    ).join(toks, id_col)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nw").alias("n_words"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nb").alias("n_bytes"),
+        F.round(F.sum("_nt") / F.sum("_nw"), 6).alias("fertility"),
+        F.round(F.sum("_nb") / F.sum("_nt"), 6).alias("bytes_per_token"),
+    )
+
+
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-tokenizer fertility over the documents table's lang
+    ground truth."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return tokenizer_fertility(docs, FROZEN_MERGES).orderBy("lang")
+
+
+QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang
+ORACLES["bpe_fertility_by_lang"] = f"""
+WITH {_BPE_DOC_TOKENS_CTE},
+perdoc AS (
+  SELECT d.doc_id, d.lang,
+         len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                         x -> x != '')) AS nw,
+         octet_length(encode(d.text)) AS nb,
+         t.n AS nt
+  FROM documents d JOIN doctok t USING (doc_id))
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       round(sum(nt) / CAST(sum(nw) AS DOUBLE), 6) AS fertility,
+       round(sum(nb) / CAST(sum(nt) AS DOUBLE), 6) AS bytes_per_token
+FROM perdoc GROUP BY lang ORDER BY lang
+"""

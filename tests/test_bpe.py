@@ -180,3 +180,27 @@ def test_materialize_sequences_empty_docs_skipped(spark):
     )
     out = materialize_sequences(df, FROZEN_MERGES, seq_len=1000).collect()
     assert len(out) == 1  # one partial sequence; doc 2 contributes nothing
+
+
+def test_tokenizer_fertility_closed_form(spark):
+    """Two langs, hand-computable under an empty merge table: a word
+    of L chars segments to its chars plus the </w> end symbol, so
+    "ab" -> 3 tokens and "c" -> 2."""
+    from event_pipeline_spark.operators.bpe import (
+        segment_word,
+        tokenizer_fertility,
+    )
+
+    assert segment_word("ab", {}) == ["a", "b", "</w>"]
+    n_ab, n_c = 3, 2
+    docs = spark.createDataFrame(
+        [(0, "en", "ab c"), (1, "de", "ab")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in tokenizer_fertility(docs, []).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_docs"], en["n_words"], en["n_bytes"]) == (1, 2, 4)
+    assert en["n_tokens"] == n_ab + n_c
+    assert en["fertility"] == round((n_ab + n_c) / 2, 6)
+    assert de["n_tokens"] == n_ab
+    assert de["bytes_per_token"] == round(2 / n_ab, 6)
