@@ -103,7 +103,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
         "extract", "lm", "lines", "dsir", "substrings", "langid",
-        "imagededup", "audiodedup", "corpusstats",
+        "imagededup", "audiodedup", "corpusstats", "mojibake",
     ):
         try:
             mod = __import__(
