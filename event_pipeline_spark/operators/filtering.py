@@ -447,3 +447,93 @@ _register(
                length({_redact_sql}) AS redacted_len
         FROM fixture ORDER BY doc_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (round 7): Flesch reading ease / Flesch-Kincaid
+# grade — the classic closed-form readability pair, used by public
+# corpus-quality reports as a cheap complexity prior (alongside the
+# Gopher heuristics above). Syllables use the standard vowel-group
+# approximation with the silent-e correction; words and sentences the
+# usual regex splits. All counts are integers and the formulas close
+# over three exact ratios, so the oracle recomputes everything.
+# ---------------------------------------------------------------------------
+
+_VOWEL_GROUP_RE = "[aeiouy]+"
+#: silent final e: a lone trailing 'e' after a consonant ("make",
+#: "whale") adds a vowel group that is not a spoken syllable
+_SILENT_E_RE = "[b-df-hj-np-tv-xz]e( |$)"
+_SENTENCE_RE = "[.!?]+"
+
+
+def readability_components(col: Column) -> dict[str, Column]:
+    """Exact integer counts: words, sentences (>= 1 so fragment rows
+    divide cleanly), syllables (>= 1 per word)."""
+    low = F.lower(col)
+    words = F.size(
+        F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(col, F.lit(_SENTENCE_RE)), F.lit(1)
+    ).cast("long")
+    groups = F.regexp_count(low, F.lit(_VOWEL_GROUP_RE))
+    silent = F.regexp_count(low, F.lit(_SILENT_E_RE))
+    syllables = F.greatest(groups - silent, words).cast("long")
+    return {"words": words, "sentences": sentences, "syllables": syllables}
+
+
+def readability_scores(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, flesch, fk_grade):
+    Flesch reading ease 206.835 - 1.015*(W/S) - 84.6*(Syl/W) and
+    Flesch-Kincaid grade 0.39*(W/S) + 11.8*(Syl/W) - 15.59, rounded
+    to 4; empty documents drop (no words -> no ratio)."""
+    c = readability_components(F.col(text_col))
+    wps = c["words"] / c["sentences"]
+    spw = c["syllables"] / c["words"]
+    return (
+        df.select(
+            F.col(id_col),
+            c["words"].alias("n_words"),
+            c["sentences"].alias("n_sentences"),
+            c["syllables"].alias("n_syllables"),
+            F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
+            F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_scores(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+_register(
+    "text_readability",
+    q_text_readability,
+    r"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           - len(regexp_extract_all(lower(text),
+                                    '[b-df-hj-np-tv-xz]e( |$)')) AS g
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(greatest(g, w) AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+             - 84.6 * (greatest(g, w) / CAST(w AS DOUBLE)), 4) AS flesch,
+       round(0.39 * (w / CAST(s AS DOUBLE))
+             + 11.8 * (greatest(g, w) / CAST(w AS DOUBLE)) - 15.59, 4)
+           AS fk_grade
+FROM c WHERE w > 0
+ORDER BY doc_id
+""",
+)

@@ -37,6 +37,9 @@ GRADE_FIRST_OPERATORS = [
     # form stays registered), and extract_html_fixture -> langid_score
     # (extraction keeps its sf-scaling entry extract_html_text; langid
     # is the round-7 headline family and earns the graded slot).
+    # Late round-7: dsir_log_weights -> mm_image_neardup (DSIR keeps
+    # dsir_sample, which subsumes the weights; perceptual image dedup
+    # is a new family and diversifies the graded mix).
     "extract_html_text",
     "langid_score",
     "lm_score_positions",
@@ -57,7 +60,7 @@ GRADE_FIRST_OPERATORS = [
     "cdc_snapshot_diff",
     "skew_salted_agg",
     "asof_join",
-    "dsir_log_weights",
+    "mm_image_neardup",
     "pack_sequences_bpe",
     "select_token_budget_bpe",
 ]
