@@ -83,7 +83,7 @@ _VALID_UTF8_RE = (
     r"|[\xEE-\xEF][\x80-\xBF]{2}"
     r"|\xF0[\x90-\xBF][\x80-\xBF]{2}"
     r"|[\xF1-\xF3][\x80-\xBF]{3}"
-    r"|\xF4[\x80-\x8F][\x80-\xBF]{3}"
+    r"|\xF4[\x80-\x8F][\x80-\xBF]{2}"
     r")*$"
 )
 

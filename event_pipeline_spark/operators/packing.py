@@ -287,3 +287,101 @@ SELECT seq_id::BIGINT AS seq_id, doc_id, doc_off::BIGINT AS doc_off,
        seq_off::BIGINT AS seq_off, n::BIGINT AS n
 FROM segs ORDER BY seq_id, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (round 7): the RAG/embedding-index
+# preprocessing step — fixed-size token windows with overlap, the
+# public recipe every retrieval pipeline uses (chunk size ~ model
+# context, overlap to avoid cutting answers at boundaries). Pure JVM:
+# per-document window starts via sequence(), slices via slice() —
+# no shuffle at all (chunking is embarrassingly per-row), so the plan
+# is scan → project regardless of corpus size.
+#
+# Chunk-start rule: starts at k*stride (stride = chunk - overlap) for
+# k = 0.. while the chunk still contributes at least one new token
+# (k == 0 or k*stride + overlap < n). The last start is >= n - chunk,
+# so the tail is always covered, and no chunk is a strict subset of
+# its predecessor.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, start, n_tokens, text) sliding-window chunks.
+
+    ``overlap`` consecutive tokens are shared between neighboring
+    chunks; documents shorter than ``chunk_tokens`` yield one chunk.
+    Empty documents yield none."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor((n - overlap) / F.lit(float(stride))).cast("long") +
+        F.when(((n - overlap) % stride) != 0, 1).otherwise(0),
+        F.lit(1),
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).where(n > 0)
+    start = F.col("chunk_id") * stride
+    length = F.least(F.lit(chunk_tokens), F.col("_n") - start)
+    return base.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start"),
+        length.cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("_toks", start + 1, length), " "
+        ).alias("text"),
+    )
+
+
+def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks with 8-token overlap over documents (avg ~54
+    tokens, so multi-chunk docs and single-chunk docs both occur)."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+QUERIES["chunk_documents_32"] = _chunk_docs_q
+ORACLES["chunk_documents_32"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x != '') AS a
+  FROM documents),
+sized AS (
+  SELECT doc_id, a, len(a) AS n,
+         greatest(
+           CAST(floor((len(a) - 8) / 24.0) AS BIGINT)
+             + CASE WHEN (len(a) - 8) % 24 != 0 THEN 1 ELSE 0 END,
+           1) AS n_chunks
+  FROM toks WHERE len(a) > 0),
+chunks AS (
+  SELECT doc_id, t.k AS chunk_id, t.k * 24 AS start,
+         least(32, n - t.k * 24) AS n_tokens, a
+  FROM sized, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(k))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       array_to_string(a[start + 1 : start + n_tokens], ' ') AS text
+FROM chunks ORDER BY doc_id, chunk_id
+"""

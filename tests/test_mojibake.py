@@ -97,3 +97,48 @@ def test_repair_documents_flags(spark):
     assert rows[1]["text"] == "plain" and not rows[1]["was_corrupted"]
     assert rows[2]["text"] == "café" and rows[2]["was_corrupted"]
     assert rows[2]["score_before"] > 0
+
+
+def test_hypothesis_corrupt_repair_roundtrip(spark):
+    """Deep differential: corrupt arbitrary unicode text with an
+    INDEPENDENT Python-codec implementation of the sloppy-cp1252
+    mangle, then require the Spark JVM repair chain to invert it
+    exactly — including text that was already mojibake-shaped, pure
+    ASCII (corrupt == identity), C1 controls, CJK, and emoji."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sloppy_undefined = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+    def corrupt(text: str) -> str:
+        out = []
+        for b in text.encode("utf-8"):
+            if b in sloppy_undefined or b < 0x80:
+                out.append(chr(b))
+            else:
+                out.append(bytes([b]).decode("cp1252"))
+        return "".join(out)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(max_size=40),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, corrupt(t)) for i, t in enumerate(texts)],
+            "i long, t string",
+        )
+        got = {
+            r["i"]: r["f"]
+            for r in df.select(
+                "i", fix_mojibake(F.col("t")).alias("f")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == t, (i, t, got[i])
+
+    run()

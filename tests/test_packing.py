@@ -263,3 +263,66 @@ def test_pack_sequences_matches_naive_model(spark):
         assert got == sorted(want)
 
     run()
+
+
+def test_chunk_documents_closed_form(spark):
+    """10 tokens, chunk=4, overlap=1 (stride 3): starts 0,3,6 —
+    start 9 would only re-cover token 9 (9+1 >= 10)... ceil((10-1)/3)
+    = 3 chunks; the last is [6,10) with 4 tokens. A 2-token doc yields
+    one whole chunk; an empty doc yields none."""
+    from event_pipeline_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+            (2, "a b"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start"], r["n_tokens"], r["text"])
+        for r in rows
+    }
+    assert got == {
+        (1, 0): (0, 4, "t0 t1 t2 t3"),
+        (1, 1): (3, 4, "t3 t4 t5 t6"),
+        (1, 2): (6, 4, "t6 t7 t8 t9"),
+        (2, 0): (0, 2, "a b"),
+    }
+
+
+def test_chunk_documents_coverage_and_overlap_properties(spark):
+    """For a spread of doc lengths: every token is covered, neighbor
+    chunks share exactly `overlap` tokens (except a short tail), and
+    no chunk is a subset of its predecessor."""
+    from event_pipeline_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 40)],
+        "doc_id long, text string",
+    )
+    chunk, overlap = 8, 3
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(1, 40))
+    for n, rs in by_doc.items():
+        covered = set()
+        prev_end = None
+        for r in rs:
+            s, ln = r["start"], r["n_tokens"]
+            assert ln >= 1
+            assert r["text"] == " ".join(f"w{i}" for i in range(s, s + ln))
+            if prev_end is not None:
+                assert s < prev_end  # overlapping
+                assert prev_end - s == overlap  # exact shared tokens
+                assert s + ln > prev_end  # adds new tokens
+            covered |= set(range(s, s + ln))
+            prev_end = s + ln
+        assert covered == set(range(n))
