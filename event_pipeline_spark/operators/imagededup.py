@@ -275,3 +275,38 @@ ORACLES["mm_image_neardup_phash"] = f"""
     WHERE bit_count(xor(l.s, r.s)) <= {_MAX_HAMMING}
     ORDER BY id_a, id_b
 """
+
+
+def q_mm_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the pHash near-dup relation (the
+    image analogue of ``dedup_clusters``): re-encodes, brightness
+    shifts, and patch edits of one source image all collapse into one
+    cluster labeled by its minimum id. Oracle: WITH RECURSIVE
+    transitive closure over the pinned-hash <= d relation checks the
+    distributed label-propagation fixpoint itself."""
+    from event_pipeline_spark.operators.dedup import duplicate_clusters
+
+    imgs = spark.read.parquet(FIXTURE_PATH)
+    pairs = image_near_duplicates(
+        imgs, max_hamming=_MAX_HAMMING, method="phash"
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+QUERIES["mm_image_clusters"] = q_mm_image_clusters
+ORACLES["mm_image_clusters"] = f"""
+WITH RECURSIVE sigs AS (
+  SELECT img_id, expected_phash AS s
+  FROM read_parquet('{FIXTURE_PATH}')),
+pairs AS (
+  SELECT l.img_id AS id_a, r.img_id AS id_b
+  FROM sigs l JOIN sigs r ON l.img_id < r.img_id
+  WHERE bit_count(xor(l.s, r.s)) <= {_MAX_HAMMING}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS id, least(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY id
+"""

@@ -215,3 +215,19 @@ def test_phash_block_join_equals_bruteforce(spark):
     }
     assert got == expected
     assert len(expected) >= 4
+
+
+def test_image_clusters_families(spark):
+    """Components over pHash pairs: the base family (PNG, brightness
+    BMP, JPEG re-encode, patch-edit PPM) collapses to cluster 1, the
+    pattern family (GIF + edited PNG) to cluster 5; unrelated images
+    are absent (singletons have no pairs)."""
+    from event_pipeline_spark.operators.imagededup import (
+        q_mm_image_clusters,
+    )
+
+    rows = {
+        r["id"]: r["cluster_id"]
+        for r in q_mm_image_clusters(spark, "unused").collect()
+    }
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
