@@ -227,3 +227,96 @@ SELECT CAST(t.checkpoint AS BIGINT) AS checkpoint,
 FROM per_tok t LEFT JOIN per_typ y USING (checkpoint)
 ORDER BY checkpoint
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-language unigram divergence (round 7b): KL(P_lang || P_corpus)
+# over token distributions — the standard mixing diagnostic for "how
+# far does each slice's vocabulary usage sit from the pooled corpus"
+# (domain-relevance weighting à la DSIR uses exactly this quantity at
+# the feature level). Smoothing-free by construction: every token of a
+# slice exists in the pooled corpus, so Q(tok) > 0 wherever P > 0.
+#
+# Portability: each token's contribution P*ln(P/Q) closes over four
+# integers (slice count, slice total, corpus count, corpus total) and
+# is quantized to an INTEGER count of 1e-7 units, so the per-language
+# sum is a plain exact integer aggregate — order-independent on both
+# engines by construction (the langid_score lesson: a round-7 double
+# fold flipped a final digit on a 5e-4 boundary at sf0.1).
+# ---------------------------------------------------------------------------
+
+
+def lang_unigram_divergence(
+    df: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_tokens, kl_bits) — KL divergence (natural log,
+    rounded 4) of each language slice's unigram distribution from the
+    pooled corpus distribution."""
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    slice_counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    slice_totals = slice_counts.groupBy("lang").agg(
+        F.sum("c").alias("nt")
+    )
+    corpus_counts = slice_counts.groupBy("tok").agg(
+        F.sum("c").alias("cc")
+    )
+    corpus_total = corpus_counts.agg(F.sum("cc").alias("ct"))
+    term = F.round(
+        (F.col("c") / F.col("nt"))
+        * F.log(
+            (F.col("c") / F.col("nt")) / (F.col("cc") / F.col("ct"))
+        )
+        * 1e7
+    ).cast("long")
+    joined = (
+        slice_counts.join(slice_totals, "lang")
+        .join(corpus_counts, "tok")
+        .crossJoin(F.broadcast(corpus_total))
+        .select("lang", "nt", term.alias("t"))
+    )
+    return (
+        joined.groupBy("lang", "nt")
+        .agg(F.sum("t").alias("kl_units"))
+        .select(
+            "lang",
+            F.col("nt").alias("n_tokens"),
+            F.round(F.col("kl_units") / 1e7, 4).alias("kl_nats"),
+        )
+    )
+
+
+def q_corpus_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lang_unigram_divergence(docs).orderBy("lang")
+
+
+QUERIES["corpus_lang_divergence"] = q_corpus_lang_divergence
+ORACLES["corpus_lang_divergence"] = r"""
+WITH toks AS (
+  SELECT lang, t.tok FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok != ''),
+sc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+st AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nt FROM sc GROUP BY lang),
+cc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+ct AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM cc),
+terms AS (
+  SELECT sc.lang, st.nt,
+         CAST(round((sc.c / CAST(st.nt AS DOUBLE))
+                    * ln((sc.c / CAST(st.nt AS DOUBLE))
+                         / (cc.cc / CAST(ct.ct AS DOUBLE)))
+                    * 10000000) AS BIGINT) AS t
+  FROM sc JOIN st USING (lang) JOIN cc USING (tok) CROSS JOIN ct)
+SELECT lang, nt AS n_tokens, round(sum(t) / 10000000.0, 4) AS kl_nats
+FROM terms GROUP BY lang, nt ORDER BY lang
+"""

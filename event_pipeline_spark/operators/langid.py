@@ -29,10 +29,11 @@ word n-grams to char n-grams):
   corpus pass is a pure map stage);
 - scoring keeps the per-language terms in ONE array column per
   position (no per-language row blowup): each position contributes an
-  ``array<double>`` of round-7 log terms, folded per document with a
-  sorted ``aggregate``+``zip_with`` — partition-order deterministic on
-  Spark and recomputable by a plain per-language SUM in DuckDB (the
-  lm.py double-rounding recipe: round 7 per term, round 3 final);
+  ``array<long>`` of INTEGER 1e-7-unit log terms, folded per document
+  with ``aggregate``+``zip_with`` — integer addition is exact and
+  order-independent, so Spark's fold and DuckDB's plain SUM agree
+  bit-for-bit (a round-7 double variant flipped a final digit on a
+  5e-4 boundary at sf0.1; see ``langid_score``);
 - ``N_lang``/``V`` are bounded driver scalars (|langs|+1 values),
   inlined as literals like every threshold in this repo.
 
@@ -136,12 +137,16 @@ def langid_score(
 ) -> DataFrame:
     """(id, lang, score) for every document x training language.
 
-    score = round(sum_positions round(ln((c+1)/(N_lang+V)), 7), 3) —
-    the add-one multinomial log-likelihood. Documents shorter than
-    ``n`` characters emit no positions and drop out (nothing to
-    identify). The per-language terms travel as one array per position
-    and fold per document in sorted order (see module doc).
-    """
+    score = round(sum_positions round(ln((c+1)/(N_lang+V)) * 1e7)
+    / 1e7, 3) — the add-one multinomial log-likelihood with each term
+    quantized to an INTEGER count of 1e-7 units, so the per-document
+    sum is exact and order-independent (a round-7 DOUBLE term was
+    observed to flip the final displayed digit between Spark's sorted
+    fold and DuckDB's unordered SUM when a score lands on a 5e-4
+    boundary — sf0.1 doc 263/fr; integer units make the two engines
+    bit-identical by construction, the same trade the PQ ADC LUT
+    makes). Documents shorter than ``n`` characters emit no positions
+    and drop out (nothing to identify)."""
     profiles = langid_profiles(
         train, label_col=label_col, text_col=text_col, n=n
     )
@@ -155,7 +160,8 @@ def langid_score(
         F.col(id_col).alias("_id"),
         F.explode(char_ngrams(F.col(text_col), n)).alias("g"),
     )
-    # per-position array of round-7 log terms, one slot per language
+    # per-position array of integer 1e-7-unit log terms, one slot per
+    # language
     terms = F.array(
         *[
             F.round(
@@ -165,25 +171,25 @@ def langid_score(
                         + F.lit(1)
                     ).cast("double")
                     / F.lit(float(totals[lg] + vocab))
-                ),
-                7,
-            )
+                )
+                * 1e7
+            ).cast("long")
             for lg in langs
         ]
     )
     joined = pos.join(F.broadcast(gram_map), "g", "left").select(
         "_id", "g", terms.alias("t")
     )
-    zero = F.array(*[F.lit(0.0)] * len(langs))
+    zero = F.array(*[F.lit(0).cast("long")] * len(langs))
     folded = (
         joined.groupBy("_id")
-        .agg(F.sort_array(F.collect_list(F.struct("g", "t"))).alias("_a"))
+        .agg(F.collect_list(F.col("t")).alias("_a"))
         .withColumn(
             "_s",
             F.aggregate(
                 "_a",
                 zero,
-                lambda acc, x: F.zip_with(acc, x["t"], lambda a, b: a + b),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
             ),
         )
     )
@@ -194,7 +200,7 @@ def langid_score(
     ).select(
         id_col,
         F.element_at(lang_arr, F.col("_p") + 1).alias("lang"),
-        F.round("_v", 3).alias("score"),
+        F.round(F.col("_v") / 1e7, 3).alias("score"),
     )
 
 
@@ -257,7 +263,8 @@ pos AS (
   WHERE length(text) >= 3),
 scores AS (
   SELECT p.doc_id, l.lang,
-         round(sum(round(ln((coalesce(c.c, 0) + 1.0) / (nl.n + v.v)), 7)),
+         round(sum(CAST(round(ln((coalesce(c.c, 0) + 1.0) / (nl.n + v.v))
+                              * 10000000) AS BIGINT)) / 10000000.0,
                3) AS score
   FROM pos p
   CROSS JOIN langs l

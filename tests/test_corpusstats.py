@@ -71,3 +71,43 @@ def test_heaps_curve_empty_checkpoint_gap(spark):
         for r in heaps_curve(docs, bucket=1).collect()
     }
     assert rows == {1: (2, 2), 2: (4, 2), 3: (6, 3)}
+
+
+def test_lang_divergence_closed_form(spark):
+    """Two langs: en = {a:2, b:1}, de = {a:1, c:2}. Corpus: a:3, b:1,
+    c:2, total 6. KL computed with Python ints in the same 1e-7-unit
+    quantization; identical-distribution slices give exactly 0."""
+    import math
+
+    from event_pipeline_spark.operators.corpusstats import (
+        lang_unigram_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a a b"), (1, "de", "a c c")],
+        "doc_id long, lang string, text string",
+    )
+    units = lambda v: int(round(v * 1e7))  # noqa: E731
+
+    def kl(slice_counts, corpus_counts, ct):
+        nt = sum(slice_counts.values())
+        s = sum(
+            units((c / nt) * math.log((c / nt) / (corpus_counts[t] / ct)))
+            for t, c in slice_counts.items()
+        )
+        return nt, round(s / 1e7, 4)
+
+    corpus = {"a": 3, "b": 1, "c": 2}
+    rows = {
+        r["lang"]: (r["n_tokens"], r["kl_nats"])
+        for r in lang_unigram_divergence(docs).collect()
+    }
+    assert rows["en"] == kl({"a": 2, "b": 1}, corpus, 6)
+    assert rows["de"] == kl({"a": 1, "c": 2}, corpus, 6)
+
+    same = spark.createDataFrame(
+        [(0, "en", "a b"), (1, "de", "a b")],
+        "doc_id long, lang string, text string",
+    )
+    for r in lang_unigram_divergence(same).collect():
+        assert r["kl_nats"] == 0.0

@@ -23,6 +23,7 @@ def test_scores_match_hand_computation(spark):
     V = |{aa,ab,ba}| = 3, N_x = 2, N_y = 3:
       score_x = ln(3/5) + ln(1/5)   (aa seen twice, ab unseen in x)
       score_y = ln(1/6) + ln(3/6)   (aa unseen in y, ab seen twice)
+    summed as exact integer 1e-7 units (the engine-portable form).
     """
     train = spark.createDataFrame(
         [("x", "aaa"), ("y", "abab")], "lang string, text string"
@@ -32,11 +33,12 @@ def test_scores_match_hand_computation(spark):
         r["lang"]: r["score"]
         for r in langid_score(docs, train, n=2).collect()
     }
+    units = lambda v: int(round(v * 1e7))  # noqa: E731
     exp_x = round(
-        round(math.log(3 / 5), 7) + round(math.log(1 / 5), 7), 3
+        (units(math.log(3 / 5)) + units(math.log(1 / 5))) / 1e7, 3
     )
     exp_y = round(
-        round(math.log(1 / 6), 7) + round(math.log(3 / 6), 7), 3
+        (units(math.log(1 / 6)) + units(math.log(3 / 6))) / 1e7, 3
     )
     assert rows == {"x": pytest.approx(exp_x), "y": pytest.approx(exp_y)}
     pred = langid_predict(docs, train, n=2).collect()[0]

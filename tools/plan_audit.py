@@ -62,6 +62,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "the tiny broadcast LUT set scores every 8-byte code row; the "
         "probed scale path is sim_ivfpq_topk_exact (equi-join on cell)",
     },
+    "corpus_lang_divergence": {
+        "BroadcastNestedLoopJoin": "broadcast one-row corpus token "
+        "total (the rank_bm25 one-row-stats shape)",
+    },
     "corpus_heaps_curve": {
         "Exchange SinglePartition": "cumulative sums over the bounded "
         "checkpoint domain (n_docs/bucket rows — 12 at sf0.01); the "
