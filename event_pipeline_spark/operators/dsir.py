@@ -19,9 +19,11 @@ positions against one broadcast (bucket, log-ratio) table — the same
 broadcast-model shape as ``operators/lm.py``. Distributions use
 add-one smoothing so unseen buckets stay finite.
 
-Float portability: per-position terms round to 7 dp on both engines,
-the per-doc sum folds a position-sorted array on Spark, final value
-rounds to 3 dp (the lm.py double-rounding pattern).
+Float portability: per-position terms quantize to exact integer 1e-7
+units on both engines, so the per-doc sum is a plain exact integer
+aggregate — order-independent by construction (the langid lesson: a
+round-7 double fold flipped a final digit on a 5e-4 boundary at
+sf0.1); the final value rounds to 3 dp.
 
 Registered query: ``dsir_log_weights`` [oracle] — target = sources
 src1/src2/src3, raw = everything; DuckDB recomputes buckets, counts,
@@ -132,23 +134,16 @@ def dsir_log_weights(
     terms = pos.join(F.broadcast(ratio), "bucket", "left").select(
         F.col(id_col),
         "i",
-        F.round(F.coalesce("lratio", floor), 7).alias("_t"),
+        F.round(F.coalesce("lratio", floor) * 1e7).cast("long").alias("_t"),
     )
-    per_doc = (
-        terms.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sort_array(F.collect_list(F.struct("i", "_t"))).alias("_a"),
-        )
-        .withColumn(
-            "_sum",
-            F.aggregate("_a", F.lit(0.0), lambda acc, x: acc + x["_t"]),
-        )
+    per_doc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_t").alias("_units"),
     )
     return per_doc.select(
         F.col(id_col),
         F.col("n_grams"),
-        F.round("_sum", 3).alias("logw"),
+        F.round(F.col("_units") / 1e7, 3).alias("logw"),
     )
 
 
@@ -188,14 +183,17 @@ tot AS (SELECT (SELECT coalesce(sum(c),0) FROM tc) AS tn,
                (SELECT coalesce(sum(c),0) FROM rc) AS rn),
 terms AS (
   SELECT p.doc_id,
-         round(ln((coalesce(t.c, 0) + 1)::DOUBLE / (tot.tn + {NUM_BUCKETS}))
-             - ln((coalesce(r.c, 0) + 1)::DOUBLE / (tot.rn + {NUM_BUCKETS})),
-             7) AS lt
+         CAST(round((ln((coalesce(t.c, 0) + 1)::DOUBLE
+                         / (tot.tn + {NUM_BUCKETS}))
+                     - ln((coalesce(r.c, 0) + 1)::DOUBLE
+                          / (tot.rn + {NUM_BUCKETS})))
+                    * 10000000) AS BIGINT) AS lt
   FROM pos p
   LEFT JOIN tc t USING (bucket)
   LEFT JOIN rc r USING (bucket)
   CROSS JOIN tot)
-SELECT doc_id, count(*)::BIGINT AS n_grams, round(sum(lt), 3) AS logw
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       round(sum(lt) / 10000000.0, 3) AS logw
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -271,14 +269,17 @@ tot AS (SELECT (SELECT coalesce(sum(c),0) FROM tc) AS tn,
                (SELECT coalesce(sum(c),0) FROM rc) AS rn),
 terms AS (
   SELECT p.doc_id,
-         round(ln((coalesce(t.c, 0) + 1)::DOUBLE / (tot.tn + {NUM_BUCKETS}))
-             - ln((coalesce(r.c, 0) + 1)::DOUBLE / (tot.rn + {NUM_BUCKETS})),
-             7) AS lt
+         CAST(round((ln((coalesce(t.c, 0) + 1)::DOUBLE
+                         / (tot.tn + {NUM_BUCKETS}))
+                     - ln((coalesce(r.c, 0) + 1)::DOUBLE
+                          / (tot.rn + {NUM_BUCKETS})))
+                    * 10000000) AS BIGINT) AS lt
   FROM pos p
   LEFT JOIN tc t USING (bucket)
   LEFT JOIN rc r USING (bucket)
   CROSS JOIN tot),
-w AS (SELECT doc_id, round(sum(lt), 3) AS logw FROM terms GROUP BY doc_id),
+w AS (SELECT doc_id, round(sum(lt) / 10000000.0, 3) AS logw
+      FROM terms GROUP BY doc_id),
 noised AS (
   SELECT doc_id, logw,
          round(logw - ln(-ln(

@@ -336,7 +336,8 @@ pos AS (
   WHERE NOT is_train AND length(text) >= 3),
 scores AS (
   SELECT p.sent_id, l.lang,
-         round(sum(round(ln((coalesce(c.c, 0) + 1.0) / (nl.n + v.v)), 7)),
+         round(sum(CAST(round(ln((coalesce(c.c, 0) + 1.0) / (nl.n + v.v))
+                              * 10000000) AS BIGINT)) / 10000000.0,
                3) AS score
   FROM pos p
   CROSS JOIN langs l

@@ -211,12 +211,12 @@ def lm_doc_perplexity(
 ) -> DataFrame:
     """Per-doc stupid-backoff perplexity: (id, n_tokens, ppl).
 
-    ``ppl = exp(-mean_i round(ln(num_i/den_i) + level_i*ln(alpha), 7))``
-    rounded to 3 dp. The per-term round + final round is the
-    double-rounding guard that makes the value engine-portable (see
-    module docstring). The per-doc mean folds a sorted per-doc array
-    (``sort_array`` + ``aggregate``) so it is also partition-order
-    deterministic on Spark itself.
+    ``ppl = exp(-mean_i round((ln(num_i/den_i) + level_i*ln(alpha))
+    * 1e7) / 1e7)`` rounded to 3 dp: each term is an exact INTEGER
+    count of 1e-7 units, so the per-doc sum is order-independent and
+    both engines agree bit-for-bit by construction (the langid round-7
+    double fold flipped a final digit on a 5e-4 boundary at sf0.1 —
+    integer units close that hazard for every sum-of-terms score).
     """
     pos = lm_score_positions(
         docs,
@@ -227,30 +227,26 @@ def lm_doc_perplexity(
         min_count=min_count,
     )
     lterm = F.round(
-        F.log(F.col("num").cast("double") / F.col("den"))
-        + F.col("level") * F.lit(math.log(alpha)),
-        7,
-    )
+        (
+            F.log(F.col("num").cast("double") / F.col("den"))
+            + F.col("level") * F.lit(math.log(alpha))
+        )
+        * 1e7
+    ).cast("long")
     per_doc = (
         pos.withColumn("_lt", lterm)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sort_array(F.collect_list(F.struct("i", "_lt"))).alias("_a"),
-        )
-        .withColumn(
-            "_sum",
-            F.aggregate(
-                "_a",
-                F.lit(0.0),
-                lambda acc, x: acc + x["_lt"],
-            ),
+            F.sum("_lt").alias("_units"),
         )
     )
     return per_doc.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(F.exp(-F.col("_sum") / F.col("n_tokens")), 3).alias("ppl"),
+        F.round(
+            F.exp(-(F.col("_units") / 1e7) / F.col("n_tokens")), 3
+        ).alias("ppl"),
     )
 
 
@@ -325,10 +321,11 @@ ORACLES["lm_doc_perplexity"] = f"""
 WITH resolved AS ({_POS_SQL}),
 terms AS (
   SELECT doc_id,
-         round(ln(num::DOUBLE / den) + level * ln(0.4), 7) AS lt
+         CAST(round((ln(num::DOUBLE / den) + level * ln(0.4))
+                    * 10000000) AS BIGINT) AS lt
   FROM resolved)
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       round(exp(-sum(lt) / count(*)), 3) AS ppl
+       round(exp(-(sum(lt) / 10000000.0) / count(*)), 3) AS ppl
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
 
