@@ -29,7 +29,7 @@ Registered queries (rows-only):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -170,6 +170,204 @@ def q_sketch_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# -- KMV theta, md5-derived: the deterministic-parameter exact mode ----------
+#
+# The builtin DataSketches forms above hash with an opaque JVM seed, so
+# their estimates register rows-only. This variant is the same
+# estimator family (k minimum values / theta set algebra, Beyer et al.
+# 2007) built on the repo's portable hash contract — md5-low-64
+# little-endian == DuckDB ``md5_number_lower`` — so the ENTIRE sketch
+# (retained hash sets, thetas, every estimate) is recomputable by the
+# oracle, the sim_lsh_topk_exact / pq_topk_exact pattern applied to
+# sketches. Same trick as operators/dedup.py's minhash.
+
+#: retained-values budget per KMV sketch
+KMV_K = 64
+
+#: 2^64 — the hash-space size; theta for an unsaturated sketch
+_HASH_SPACE = "18446744073709551616"
+
+
+def _md5_low64_col(col: Column) -> Column:
+    """Low 64 bits of md5 as decimal(20,0), little-endian — bit-identical
+    to DuckDB ``md5_number_lower`` (same helper as operators/dsir.py)."""
+    h = F.md5(col)
+    le_hex = F.concat(*[F.substring(h, 33 - 2 * k, 2) for k in range(1, 9)])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def kmv_theta_overlap(
+    df: DataFrame,
+    value_col: str,
+    tag_col: str,
+    tag_a: str,
+    tag_b: str,
+    *,
+    k: int = KMV_K,
+) -> DataFrame:
+    """|A|, |B|, |A ∪ B|, |A ∩ B|, |A \\ B| estimates over distinct
+    ``value_col`` sets from two KMV sketches — every number the oracle
+    can recompute exactly.
+
+    Estimator: with theta = the k-th smallest 64-bit hash (2^64 when the
+    set holds < k distinct hashes), retained R = {h < theta}, the
+    estimate for any derived set S ⊆ R is |S| · 2^64 / theta. Set
+    algebra scopes both sketches to theta = min(theta_a, theta_b);
+    membership below theta is EXACT (h < theta ≤ theta_X means h ∈ X iff
+    h ∈ R_X), which is what makes intersection/difference well-defined.
+
+    Scale shape: the only corpus-sized stage is the distinct over
+    (tag, 8-byte digest) — values themselves never shuffle. Top-k then
+    runs in two phases (per-salt partial top-k, then top-k of ≤ 16·k
+    survivors per tag) so no executor ever sorts a full tag's hash set;
+    everything after is ≤ 2(k-1) rows.
+    """
+    space = F.expr(f"CAST('{_HASH_SPACE}' AS DECIMAL(21,0))")
+
+    dh = (
+        df.filter(F.col(tag_col).isin(tag_a, tag_b))
+        .select(
+            F.col(tag_col).alias("tag"),
+            _md5_low64_col(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    cnt = dh.groupBy("tag").agg(F.count(F.lit(1)).alias("n_distinct"))
+    # two-phase top-k: partial per (tag, h % 16), then final per tag
+    part = Window.partitionBy("tag", F.pmod(F.col("h"), F.lit(16))).orderBy(
+        "h"
+    )
+    survivors = dh.withColumn("r1", F.row_number().over(part)).filter(
+        F.col("r1") <= k
+    )
+    final = Window.partitionBy("tag").orderBy("h")
+    ranked = survivors.withColumn("r", F.row_number().over(final)).filter(
+        F.col("r") <= k
+    )
+    # theta per tag: k-th smallest when saturated, else 2^64
+    theta = (
+        ranked.groupBy("tag")
+        .agg(F.max(F.when(F.col("r") == k, F.col("h"))).alias("_kth"))
+        .join(cnt, "tag")
+        .select(
+            "tag",
+            F.when(F.col("n_distinct") >= k, F.col("_kth"))
+            .otherwise(space)
+            .alias("theta"),
+        )
+    )
+    th = theta.groupBy().agg(
+        F.max(F.when(F.col("tag") == tag_a, F.col("theta"))).alias(
+            "theta_a"
+        ),
+        F.max(F.when(F.col("tag") == tag_b, F.col("theta"))).alias(
+            "theta_b"
+        ),
+    ).withColumn("theta", F.least("theta_a", "theta_b"))
+    # retained hashes flagged by side; set ops scope to min-theta, the
+    # per-sketch estimates n_a/n_b to their OWN theta
+    flags = (
+        ranked.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("tag") == tag_a, 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("tag") == tag_b, 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+        .join(F.broadcast(th), how="cross")  # one-row theta scalars
+    )
+
+    def est(count_col: Column, theta_col: str) -> Column:
+        return F.round(
+            F.coalesce(count_col, F.lit(0)).cast("double")
+            * F.lit(float(2**64))
+            / F.col(theta_col).cast("double"),
+            3,
+        )
+
+    below = F.col("h") < F.col("theta")
+    return flags.groupBy("theta_a", "theta_b", "theta").agg(
+        F.sum(F.when(F.col("h") < F.col("theta_a"), F.col("in_a"))).alias(
+            "_ca"
+        ),
+        F.sum(F.when(F.col("h") < F.col("theta_b"), F.col("in_b"))).alias(
+            "_cb"
+        ),
+        F.sum(F.when(below, 1)).alias("_cu"),
+        F.sum(F.when(below, F.col("in_a") * F.col("in_b"))).alias("_ci"),
+        F.sum(F.when(below, F.col("in_a") * (1 - F.col("in_b")))).alias(
+            "_cao"
+        ),
+    ).select(
+        est(F.col("_ca"), "theta_a").alias("n_a"),
+        est(F.col("_cb"), "theta_b").alias("n_b"),
+        est(F.col("_cu"), "theta").alias("n_union"),
+        est(F.col("_ci"), "theta").alias("n_intersect"),
+        est(F.col("_cao"), "theta").alias("n_a_only"),
+    )
+
+
+def q_sketch_theta_kmv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer overlap between URGENT and HIGH orders via the
+    md5-derived KMV sketch (saturated — estimation branch — at every SF;
+    the unsaturated exact-count branch is covered by
+    ``tests/test_sketches.py`` with k larger than the universe)."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return kmv_theta_overlap(
+        orders, "o_custkey", "o_orderpriority", "1-URGENT", "2-HIGH"
+    )
+
+
+_KMV_ORACLE = f"""
+WITH dh AS (
+  SELECT DISTINCT o_orderpriority AS tag,
+         md5_number_lower(o_custkey::VARCHAR)::HUGEINT AS h
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+ranked AS (
+  SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY tag) AS n_distinct
+  FROM dh),
+theta AS (
+  SELECT tag,
+         CASE WHEN max(n_distinct) >= {KMV_K}
+              THEN max(CASE WHEN r = {KMV_K} THEN h END)
+              ELSE {_HASH_SPACE}::HUGEINT END AS theta
+  FROM ranked GROUP BY tag),
+th AS (
+  SELECT max(CASE WHEN tag = '1-URGENT' THEN theta END) AS theta_a,
+         max(CASE WHEN tag = '2-HIGH' THEN theta END) AS theta_b,
+         least(max(CASE WHEN tag = '1-URGENT' THEN theta END),
+               max(CASE WHEN tag = '2-HIGH' THEN theta END)) AS theta
+  FROM theta),
+flags AS (
+  SELECT h,
+         max(CASE WHEN tag = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN tag = '2-HIGH' THEN 1 ELSE 0 END) AS in_b
+  FROM (SELECT * FROM ranked WHERE r <= {KMV_K})
+  GROUP BY h),
+scoped AS (SELECT f.*, th.* FROM flags f CROSS JOIN th)
+SELECT
+  round(coalesce(sum(CASE WHEN h < theta_a THEN in_a END), 0)::DOUBLE
+        * 18446744073709551616.0 / theta_a::DOUBLE, 3) AS n_a,
+  round(coalesce(sum(CASE WHEN h < theta_b THEN in_b END), 0)::DOUBLE
+        * 18446744073709551616.0 / theta_b::DOUBLE, 3) AS n_b,
+  round(coalesce(sum(CASE WHEN h < theta THEN 1 END), 0)::DOUBLE
+        * 18446744073709551616.0 / theta::DOUBLE, 3) AS n_union,
+  round(coalesce(sum(CASE WHEN h < theta THEN in_a * in_b END), 0)::DOUBLE
+        * 18446744073709551616.0 / theta::DOUBLE, 3) AS n_intersect,
+  round(coalesce(sum(CASE WHEN h < theta THEN in_a * (1 - in_b) END),
+                 0)::DOUBLE
+        * 18446744073709551616.0 / theta::DOUBLE, 3) AS n_a_only
+FROM scoped GROUP BY theta_a, theta_b, theta
+"""
+
+
 QUERIES["sketch_hll_daily_users"] = q_sketch_hll_daily_users
 QUERIES["sketch_theta_overlap"] = q_sketch_theta_overlap
 QUERIES["sketch_kll_value_quantiles"] = q_sketch_kll_value_quantiles
+QUERIES["sketch_theta_kmv_exact"] = q_sketch_theta_kmv_exact
+ORACLES["sketch_theta_kmv_exact"] = _KMV_ORACLE

@@ -117,3 +117,89 @@ def test_kll_merge_across_groups(events):
         daily.withColumn("all", F.lit(1)), "kll", ["all"]
     ).select(F.kll_sketch_get_n_double("kll").alias("n")).first()["n"]
     assert merged == events.where(F.col("value").isNotNull()).count()
+
+
+# -- KMV theta (md5-derived exact mode) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return read_table(spark, sf_dir, "orders").cache()
+
+
+def _exact_overlap(orders):
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    na = a.select("o_custkey").distinct().count()
+    nb = b.select("o_custkey").distinct().count()
+    nu = (
+        a.select("o_custkey")
+        .union(b.select("o_custkey"))
+        .distinct()
+        .count()
+    )
+    return na, nb, nu, na + nb - nu, nu - nb
+
+
+def test_kmv_estimates_within_bound(spark, sf_dir, orders):
+    """KMV with k=64: every estimate within 4/sqrt(k-1) ≈ 50% relative
+    (generous 4-sigma bound; observed error is a few percent)."""
+    from event_pipeline_spark.operators.sketches import kmv_theta_overlap
+
+    row = kmv_theta_overlap(
+        orders, "o_custkey", "o_orderpriority", "1-URGENT", "2-HIGH"
+    ).collect()[0]
+    na, nb, nu, ni, nao = _exact_overlap(orders)
+    bound = 4.0 / (63**0.5)
+    for est, exact in [
+        (row["n_a"], na),
+        (row["n_b"], nb),
+        (row["n_union"], nu),
+        (row["n_intersect"], ni),
+        (row["n_a_only"], nao),
+    ]:
+        assert abs(est - exact) <= max(4.0, bound * exact), (est, exact)
+
+
+def test_kmv_unsaturated_is_exact(spark, sf_dir, orders):
+    """k larger than the universe → theta = 2^64 and every estimate
+    collapses to the exact distinct count (the unsaturated branch)."""
+    from event_pipeline_spark.operators.sketches import kmv_theta_overlap
+
+    row = kmv_theta_overlap(
+        orders,
+        "o_custkey",
+        "o_orderpriority",
+        "1-URGENT",
+        "2-HIGH",
+        k=10**6,
+    ).collect()[0]
+    na, nb, nu, ni, nao = _exact_overlap(orders)
+    assert (
+        row["n_a"],
+        row["n_b"],
+        row["n_union"],
+        row["n_intersect"],
+        row["n_a_only"],
+    ) == (float(na), float(nb), float(nu), float(ni), float(nao))
+
+
+def test_kmv_algebra_internally_consistent(spark, sf_dir, orders):
+    """union = intersect + a_only + b_only under the shared min-theta
+    scope (all four counts divide by the same theta, so the identity is
+    exact in the counts, hence in the estimates)."""
+    from event_pipeline_spark.operators.sketches import kmv_theta_overlap
+
+    row_ab = kmv_theta_overlap(
+        orders, "o_custkey", "o_orderpriority", "1-URGENT", "2-HIGH"
+    ).collect()[0]
+    row_ba = kmv_theta_overlap(
+        orders, "o_custkey", "o_orderpriority", "2-HIGH", "1-URGENT"
+    ).collect()[0]
+    assert row_ab["n_union"] == pytest.approx(
+        row_ab["n_intersect"] + row_ab["n_a_only"] + row_ba["n_a_only"],
+        abs=0.01,
+    )
+    # symmetry of the commutative outputs
+    assert row_ab["n_union"] == row_ba["n_union"]
+    assert row_ab["n_intersect"] == row_ba["n_intersect"]

@@ -47,6 +47,11 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sketch_theta_overlap": {
         "Exchange SinglePartition": "one-row sketch aggregates",
     },
+    "sketch_theta_kmv_exact": {
+        "BroadcastNestedLoopJoin": "broadcast one-row theta scalars over "
+        "the <=2k retained hashes (rank_bm25 one-row-stats shape)",
+        "Exchange SinglePartition": "one-row sketch estimate output",
+    },
     # documented bounded-result global windows / final orderings
     "shuffle_epoch": {
         "Exchange SinglePartition": "global_sort mode is documented for "
