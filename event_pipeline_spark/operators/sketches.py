@@ -18,13 +18,22 @@ sketch of the whole), not DuckDB-checked — the estimates are
 approximate by design, so these register as rows-only queries
 (sim_lsh_topk precedent).
 
-Registered queries (rows-only):
+Registered queries (rows-only — opaque builtin hashing):
 - ``sketch_hll_daily_users`` — daily HLL sketches of user_id per
   event_type, unioned to per-type totals + estimates.
 - ``sketch_theta_overlap`` — distinct-user union / intersection /
   difference between event types via Theta sketch algebra.
 - ``sketch_kll_value_quantiles`` — mergeable p50/p95 of ``value`` per
   event_type from KLL sketches.
+
+Registered queries (full external oracle — the deterministic-parameter
+exact modes, same estimator families on the repo's portable md5 hash
+contract, every intermediate recomputed by DuckDB):
+- ``sketch_theta_kmv_exact`` — KMV theta set algebra over distinct
+  order customers (URGENT vs HIGH).
+- ``sketch_hll_md5_exact`` — HLL distinct parts per lineitem return
+  flag (exact integer register series; both estimator branches
+  exercised across SFs).
 """
 
 from __future__ import annotations
@@ -366,8 +375,136 @@ FROM scoped GROUP BY theta_a, theta_b, theta
 """
 
 
+# -- HLL, md5-derived: the deterministic-parameter exact mode ----------------
+
+#: HLL precision: p index bits -> m = 2^p registers
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: bits left for the rho field out of the 60-bit hash slice
+HLL_W = 60 - HLL_P
+#: Flajolet et al. 2007 bias constant for m = 256
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_md5_estimate(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct estimate whose EVERY intermediate — hash,
+    register index, rho, register maxima, the summed 2^-M series — is an
+    exact integer the oracle recomputes, and whose only doubles are one
+    final division (and one round-7 ln on the linear-counting branch,
+    the repo's accepted ln-portability recipe).
+
+    Layout of the 60-bit hash slice x = md5_low64 mod 2^60: the top
+    p bits index the register, rho = leading zeros of the remaining
+    w = 60-p bits + 1 (w+1 when they are all zero). The 2^-M_j harmonic
+    series is kept exact by scaling by 2^(w+1): T = sum_j 2^(w+1-M_j)
+    (absent registers contribute 2^(w+1)), a BIGINT <= m * 2^(w+1).
+    Estimate = alpha * m^2 * 2^(w+1) / T, with the standard
+    linear-counting switch (E <= 2.5m and empty registers exist ->
+    m * ln(m/V)).
+
+    Scale shape: register maxima are a map-side-combinable
+    groupBy(group, idx).max — the shuffle is at most m rows per group
+    regardless of corpus size, the same contract as the builtin
+    ``hll_partial``/``hll_merge`` pair (registers merge by max).
+    """
+    two_60 = F.expr("CAST('1152921504606846976' AS DECIMAL(20,0))")
+    x = F.pmod(_md5_low64_col(F.col(value_col).cast("string")), two_60).cast(
+        "long"
+    )
+    pos = df.select(
+        *group_cols,
+        (x - F.pmod(x, F.lit(1 << HLL_W))).alias("_hi"),
+        F.pmod(x, F.lit(1 << HLL_W)).alias("_rem"),
+    ).select(
+        *group_cols,
+        (F.col("_hi") / F.lit(1 << HLL_W)).cast("long").alias("idx"),
+        # rho: leading zeros in the w-bit field + 1; bin() drops leading
+        # zeros so its length locates the MSB (identical in DuckDB)
+        F.when(F.col("_rem") == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(F.col("_rem"))))
+        .alias("rho"),
+    )
+    regs = pos.groupBy(*group_cols, "idx").agg(F.max("rho").alias("_m"))
+    shift = HLL_W + 1
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nz"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - _m)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << shift).cast("long")
+        ).alias("t_units"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << shift))
+        / F.col("t_units").cast("double")
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.round(
+            F.lit(float(HLL_M))
+            * F.round(F.log(F.lit(float(HLL_M)) / v.cast("double")), 7),
+            3,
+        ),
+    ).otherwise(F.round(raw, 3))
+    return agg.select(*group_cols, "nz", "t_units", est.alias("est"))
+
+
+def q_sketch_hll_md5_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-part estimate per lineitem return flag via the
+    md5-derived HLL (linear-counting branch at small SFs, raw branch at
+    sf0.1 — both mirrored exactly by the oracle)."""
+    from event_pipeline_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return hll_md5_estimate(li, "l_partkey", ["l_returnflag"]).orderBy(
+        "l_returnflag"
+    )
+
+
+_HLL_ORACLE = f"""
+WITH pos AS (
+  SELECT l_returnflag,
+         ((md5_number_lower(l_partkey::VARCHAR) % 1152921504606846976)
+          // {1 << HLL_W})::BIGINT AS idx,
+         ((md5_number_lower(l_partkey::VARCHAR) % 1152921504606846976)
+          % {1 << HLL_W})::BIGINT AS rem
+  FROM lineitem),
+regs AS (
+  SELECT l_returnflag, idx,
+         max(CASE WHEN rem = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W + 1} - length(bin(rem)) END) AS m
+  FROM pos GROUP BY l_returnflag, idx),
+agg AS (
+  SELECT l_returnflag, count(*)::BIGINT AS nz,
+         (sum(1::BIGINT << ({HLL_W + 1} - m))
+          + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_W + 1}))::BIGINT
+           AS t_units
+  FROM regs GROUP BY l_returnflag)
+SELECT l_returnflag, nz, t_units,
+       CASE WHEN ({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                  * {float(1 << (HLL_W + 1))!r}::DOUBLE / t_units::DOUBLE)
+                 <= {2.5 * HLL_M!r}::DOUBLE
+             AND ({HLL_M} - nz) > 0
+            THEN round({float(HLL_M)!r}::DOUBLE
+                       * round(ln({float(HLL_M)!r}::DOUBLE
+                                  / ({HLL_M} - nz)::DOUBLE), 7), 3)
+            ELSE round({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                       * {float(1 << (HLL_W + 1))!r}::DOUBLE
+                       / t_units::DOUBLE, 3)
+       END AS est
+FROM agg ORDER BY l_returnflag
+"""
+
+
 QUERIES["sketch_hll_daily_users"] = q_sketch_hll_daily_users
 QUERIES["sketch_theta_overlap"] = q_sketch_theta_overlap
 QUERIES["sketch_kll_value_quantiles"] = q_sketch_kll_value_quantiles
 QUERIES["sketch_theta_kmv_exact"] = q_sketch_theta_kmv_exact
 ORACLES["sketch_theta_kmv_exact"] = _KMV_ORACLE
+QUERIES["sketch_hll_md5_exact"] = q_sketch_hll_md5_exact
+ORACLES["sketch_hll_md5_exact"] = _HLL_ORACLE

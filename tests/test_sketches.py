@@ -203,3 +203,65 @@ def test_kmv_algebra_internally_consistent(spark, sf_dir, orders):
     # symmetry of the commutative outputs
     assert row_ab["n_union"] == row_ba["n_union"]
     assert row_ab["n_intersect"] == row_ba["n_intersect"]
+
+
+# -- HLL (md5-derived exact mode) ---------------------------------------------
+
+
+def test_hll_md5_estimate_within_rsd(spark, sf_dir):
+    """m=256 -> relative standard error 1.04/sqrt(256) = 6.5%; allow
+    4 sigma (observed ~5.5% at saturation)."""
+    from event_pipeline_spark.operators.sketches import hll_md5_estimate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: r["est"]
+        for r in hll_md5_estimate(
+            li, "l_partkey", ["l_returnflag"]
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= max(4, 0.26 * exact[flag]), flag
+
+
+def test_hll_md5_is_set_semantic(spark, sf_dir):
+    """Registers are max-folds of per-value hashes, so duplicating every
+    row must leave every output (nz, t_units, est) bit-identical — the
+    property that makes register merges safe across partitions/days."""
+    from event_pipeline_spark.operators.sketches import hll_md5_estimate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    one = sorted(
+        hll_md5_estimate(li, "l_partkey", ["l_returnflag"]).collect()
+    )
+    dup = sorted(
+        hll_md5_estimate(
+            li.union(li), "l_partkey", ["l_returnflag"]
+        ).collect()
+    )
+    assert one == dup
+
+
+def test_hll_md5_linear_branch_formula(spark, sf_dir):
+    """Small universe (15 users) -> linear-counting branch; the estimate
+    must equal the closed form m*ln(m/V) under the round-7/round-3
+    quantization, recomputed here in plain Python."""
+    import math
+
+    from event_pipeline_spark.operators.sketches import (
+        HLL_M,
+        hll_md5_estimate,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    row = hll_md5_estimate(ev, "user_id", []).collect()[0]
+    assert row["nz"] < HLL_M
+    v = HLL_M - row["nz"]
+    expect = round(HLL_M * round(math.log(HLL_M / v), 7), 3)
+    assert row["est"] == expect
