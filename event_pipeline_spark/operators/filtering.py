@@ -93,8 +93,18 @@ def quality_components(col: Column) -> dict[str, Column]:
     }
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append rule flags + an overall ``passes_quality`` verdict."""
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_stopword_hits: int = MIN_STOPWORD_HITS,
+) -> DataFrame:
+    """Append rule flags + an overall ``passes_quality`` verdict.
+
+    ``min_stopword_hits`` is the one threshold callers routinely
+    calibrate per corpus (Gopher's own value assumes English web text;
+    ``stopword_hits`` counts DISTINCT stopwords present, so a synthetic
+    or non-English corpus may max out below the default)."""
     c = quality_components(F.col(text_col))
     flags = {
         "word_count_ok": (c["n_words"] >= MIN_WORDS)
@@ -103,7 +113,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (c["mean_word_len"] <= MAX_MEAN_WORD_LEN),
         "symbol_ratio_ok": c["symbol_word_ratio"] <= MAX_SYMBOL_WORD_RATIO,
         "bullet_ratio_ok": c["bullet_line_ratio"] <= MAX_BULLET_LINE_RATIO,
-        "stopwords_ok": c["stopword_hits"] >= MIN_STOPWORD_HITS,
+        "stopwords_ok": c["stopword_hits"] >= min_stopword_hits,
     }
     out = df
     for name, col in {**c, **flags}.items():

@@ -106,7 +106,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "rollup", "packing", "filtering", "sampling", "decontam", "ranking",
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
         "extract", "lm", "lines", "dsir", "substrings", "langid",
-        "imagededup", "audiodedup", "corpusstats", "mojibake",
+        "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
     ):
         try:
             mod = __import__(
