@@ -1678,3 +1678,201 @@ cand AS (
 {_PQ_ADC_RANK_SQL}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-parameter k-means (round 7): the exact-mode family
+# extended to the TRAINING loop itself. ``sim_kmeans_clusters`` (above)
+# trains with a driver-sampled seeded Lloyd — rows-only checkable. Here
+# every quantity in the loop is engine-portable by construction, so the
+# oracle recomputes the ITERATIONS, not just a final assignment:
+#
+# - coordinates quantize once to exact integer 1e-7 units (BIGINT);
+# - init centroids are literal ±1 rows (units = ±10^7 exactly);
+# - assignment = argmin of the EXACT integer squared L2 distance in
+#   units² (64 dims × (2·10^7)² ≈ 2.6e16 < 2^63 — no overflow, no
+#   doubles, no rounding), ties to the lower centroid id;
+# - the centroid update is the ONLY floating step: mean = BIGINT sum /
+#   BIGINT count (one correctly-rounded double division) re-quantized
+#   to integer units with one round() — the langid/lm single-op rule,
+#   never a sum of doubles;
+# - empty clusters keep their previous centroid (mirrored in SQL via a
+#   left join + coalesce).
+#
+# Scale shape per iteration: assignment is a pure map against ONE
+# broadcast row holding all k centroid arrays (the rank_bm25 one-row
+# shape — no per-centroid row blowup, no shuffle); the update is a
+# posexplode to (cluster, dim, units) narrow rows feeding a map-side-
+# combinable sum/count groupBy of k×DIM cells. Iterations unroll into
+# one lazy plan — no driver collect, no eager job.
+# ---------------------------------------------------------------------------
+
+#: 8 ±1 literal init centroids for the exact k-means
+KMEANS_EXACT_CENTROIDS: list[list[float]] = _pm1_matrix(8, seed=20260817)
+
+#: 1e-7 quantization scale shared by both engines
+_KM_UNITS = 10_000_000
+
+
+def _km_units(vec_col: str) -> Column:
+    return F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * _KM_UNITS).cast("long"),
+    )
+
+
+def _km_assign(units_col: Column, cents_col: Column) -> Column:
+    """struct(dist, cid) of the nearest centroid: exact integer squared
+    L2 in units², ties to the lower cid (struct min-ordering)."""
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda ct: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        units_col,
+                        ct["cu"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def kmeans_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means with literal init centroids and engine-portable
+    arithmetic: ``iters`` assignment rounds with ``iters - 1`` centroid
+    updates between them. Returns (id, cluster, dist_units) of the
+    final assignment — dist_units is the exact integer squared L2
+    distance in 1e-7 units²."""
+    cents0 = [
+        [int(x) * _KM_UNITS for x in row]
+        for row in (
+            KMEANS_EXACT_CENTROIDS if centroids is None else centroids
+        )
+    ]
+    spark = df.sparkSession
+    u = df.select(
+        F.col(id_col).alias("_id"), _km_units(vec_col).alias("_u")
+    )
+    cents_df = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(cents0)],
+        "cid int, cu array<long>",
+    )
+    for _ in range(iters - 1):
+        one = cents_df.groupBy().agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cu"))).alias(
+                "_cents"
+            )
+        )
+        assigned = u.join(F.broadcast(one), how="cross").select(
+            "_id", "_u", _km_assign(F.col("_u"), F.col("_cents"))["cid"].alias("_c")
+        )
+        upd = (
+            assigned.select("_c", F.posexplode("_u").alias("_d", "_v"))
+            .groupBy("_c", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "_mu",
+                F.round(F.col("_s") / F.col("_n")).cast("long"),
+            )
+            .groupBy("_c")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_d", "_mu"))),
+                    lambda s: s["_mu"],
+                ).alias("_cu_new")
+            )
+        )
+        cents_df = (
+            cents_df.join(upd, cents_df["cid"] == upd["_c"], "left")
+            .select(
+                "cid",
+                F.coalesce("_cu_new", "cu").alias("cu"),
+            )
+        )
+    one = cents_df.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cu"))).alias("_cents")
+    )
+    best = _km_assign(F.col("_u"), F.col("_cents"))
+    return u.join(F.broadcast(one), how="cross").select(
+        F.col("_id").alias(id_col),
+        best["cid"].alias("cluster"),
+        best["dist"].alias("dist_units"),
+    )
+
+
+def q_sim_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds (init assign → mean update → reassign) from the
+    literal ±1 centroids — the oracle recomputes the full loop."""
+    return kmeans_exact(_emb(spark, sf_dir), iters=2).orderBy("vec_id")
+
+
+def _km_cents_values() -> str:
+    rows = []
+    for i, c in enumerate(KMEANS_EXACT_CENTROIDS):
+        lits = ", ".join(str(int(x) * _KM_UNITS) for x in c)
+        rows.append(f"({i}, [{lits}]::BIGINT[])")
+    return ",\n       ".join(rows)
+
+
+_register(
+    "sim_kmeans_exact",
+    q_sim_kmeans_exact,
+    f"""
+WITH u AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {_KM_UNITS}) AS BIGINT)) AS u
+  FROM embeddings),
+c0(cid, cu) AS (
+  VALUES {_km_cents_values()}
+),
+a0 AS (
+  SELECT id, u, cid AS c FROM (
+    SELECT id, u, cid, row_number() OVER (
+        PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk
+    FROM (
+      SELECT x.id, x.u, ct.cid,
+             list_sum(list_transform(list_zip(x.u, ct.cu),
+                      p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist
+      FROM u x CROSS JOIN c0 ct))
+  WHERE rk = 1),
+upd AS (
+  SELECT c, d,
+         CAST(round(sum(v)::BIGINT / count(*)::BIGINT) AS BIGINT) AS mu
+  FROM (SELECT a0.c, t.i - 1 AS d, a0.u[t.i] AS v
+        FROM a0, LATERAL unnest(generate_series(1, len(a0.u))) AS t(i))
+  GROUP BY c, d),
+c1 AS (
+  -- empty cluster -> keep the previous centroid (count(), not
+  -- coalesce: list() over a left-join miss yields [NULL], not NULL)
+  SELECT c0.cid,
+         CASE WHEN count(upd.mu) = 0 THEN c0.cu
+              ELSE list(upd.mu ORDER BY upd.d) END AS cu
+  FROM c0 LEFT JOIN upd ON upd.c = c0.cid
+  GROUP BY c0.cid, c0.cu),
+a1 AS (
+  SELECT id, cid AS cluster, dist AS dist_units FROM (
+    SELECT id, cid, dist, row_number() OVER (
+        PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk
+    FROM (
+      SELECT x.id, ct.cid,
+             list_sum(list_transform(list_zip(x.u, ct.cu),
+                      p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist
+      FROM u x CROSS JOIN c1 ct))
+  WHERE rk = 1)
+SELECT id AS vec_id, cluster, dist_units FROM a1 ORDER BY vec_id
+""",
+)

@@ -639,3 +639,104 @@ def test_ivfpq_exact_is_pq_restricted_to_probed_cells(emb, queries):
             if r["query_id"] == qid and cell[r["corpus_id"]] in probes[qid]
         ][: len(rs)]
         assert rs == expected
+
+
+# -- deterministic-parameter k-means ------------------------------------------
+
+
+def _km_numpy(vecs: dict[int, np.ndarray], cents0: np.ndarray, iters: int):
+    """Plain-python mirror of kmeans_exact: integer units, exact
+    integer distances, single-division quantized means."""
+    ids = sorted(vecs)
+    u = {i: np.rint(vecs[i] * 1e7).astype(np.int64) for i in ids}
+    cents = [row.astype(np.int64) for row in cents0 * 10**7]
+    for _ in range(iters - 1):
+        assign = {
+            i: min(
+                range(len(cents)),
+                key=lambda c: (int(((u[i] - cents[c]) ** 2).sum()), c),
+            )
+            for i in ids
+        }
+        new = []
+        for c in range(len(cents)):
+            members = [u[i] for i in ids if assign[i] == c]
+            if not members:
+                new.append(cents[c])
+            else:
+                s = np.sum(members, axis=0, dtype=np.int64)
+                # Spark/DuckDB: round(sum/n) half away from zero
+                mu = np.array(
+                    [
+                        int(
+                            np.floor(abs(x) / len(members) + 0.5)
+                            * (1 if x >= 0 else -1)
+                        )
+                        for x in s
+                    ],
+                    dtype=np.int64,
+                )
+                new.append(mu)
+        cents = new
+    out = {}
+    for i in ids:
+        d, c = min(
+            (int(((u[i] - cents[c]) ** 2).sum()), c)
+            for c in range(len(cents))
+        )
+        out[i] = (c, d)
+    return out
+
+
+def test_kmeans_exact_matches_numpy_loop(emb):
+    from event_pipeline_spark.operators.similarity import (
+        KMEANS_EXACT_CENTROIDS,
+        kmeans_exact,
+    )
+
+    sample = emb.where(F.col("vec_id") < 200)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in sample.collect()
+    }
+    want = _km_numpy(
+        vecs, np.array(KMEANS_EXACT_CENTROIDS, dtype=np.int64), iters=2
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_units"])
+        for r in kmeans_exact(sample, iters=2).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_exact_iteration_improves(emb):
+    """One Lloyd update must not worsen the total squared distance
+    (exact means guarantee monotone descent; unit quantization can
+    perturb by <=0.5 units/dim — allow that epsilon)."""
+    from event_pipeline_spark.operators.similarity import kmeans_exact
+
+    sample = emb.where(F.col("vec_id") < 300)
+    t1 = kmeans_exact(sample, iters=1).agg(
+        F.sum("dist_units").alias("t")
+    ).collect()[0]["t"]
+    t2 = kmeans_exact(sample, iters=2).agg(
+        F.sum("dist_units").alias("t")
+    ).collect()[0]["t"]
+    assert t2 <= t1 * 1.001
+    assert t2 < t1  # the update actually moved the centroids
+
+
+def test_kmeans_exact_empty_cluster_keeps_centroid(emb):
+    """A duplicated init centroid loses every tie to its lower-id twin,
+    so its cluster is empty after round 1 — it must keep the init
+    centroid (and the final assignment must still prefer the twin)."""
+    from event_pipeline_spark.operators.similarity import (
+        KMEANS_EXACT_CENTROIDS,
+        kmeans_exact,
+    )
+
+    cents = [KMEANS_EXACT_CENTROIDS[0], KMEANS_EXACT_CENTROIDS[0]]
+    out = kmeans_exact(
+        emb.where(F.col("vec_id") < 100), centroids=cents, iters=2
+    ).collect()
+    assert {r["cluster"] for r in out} == {0}

@@ -47,6 +47,13 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sketch_theta_overlap": {
         "Exchange SinglePartition": "one-row sketch aggregates",
     },
+    "sim_kmeans_exact": {
+        "BroadcastNestedLoopJoin": "broadcast ONE row holding all k "
+        "centroid arrays per assignment round (rank_bm25 one-row-stats "
+        "shape) — assignment stays a pure map, no per-centroid blowup",
+        "Exchange SinglePartition": "k-row centroid table folded to the "
+        "one-row broadcast",
+    },
     "sketch_theta_kmv_exact": {
         "BroadcastNestedLoopJoin": "broadcast one-row theta scalars over "
         "the <=2k retained hashes (rank_bm25 one-row-stats shape)",
