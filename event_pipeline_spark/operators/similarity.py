@@ -1876,3 +1876,99 @@ a1 AS (
 SELECT id AS vec_id, cluster, dist_units FROM a1 ORDER BY vec_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-parameter near-duplicate pairs: the exact-mode sibling
+# of ``sim_embedding_neardup`` (seeded production variant above). The
+# candidate generator is the literal-plane LSH (lsh_buckets_exact), so
+# buckets, the candidate pair set, and the exact-cosine verify are all
+# DuckDB-recomputable — SemDeDup-style near-dup detection with an
+# externally checkable answer.
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_exact(
+    df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold among
+    candidates sharing any literal-plane (table, bucket). Candidate
+    pairs join bucket-local (id_a < id_b dedupes the symmetric pair);
+    verification is one exact round-6 cosine per candidate."""
+    b = lsh_buckets_exact(
+        df, id_col=id_col, vec_col=vec_col, planes=planes,
+        n_planes=n_planes,
+    )
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    scored = (
+        pairs.join(v.withColumnRenamed("_vid", "id_a"), "id_a")
+        .withColumnRenamed("_v", "_va")
+        .join(v.withColumnRenamed("_vid", "id_b"), "id_b")
+        .withColumnRenamed("_v", "_vb")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
+
+
+def q_sim_embedding_neardup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same 0.45 threshold rationale as ``sim_embedding_neardup``
+    (99.9th-percentile pairwise cosine of this corpus)."""
+    return embedding_neardup_exact(
+        _emb(spark, sf_dir), threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+_register(
+    "sim_embedding_neardup_exact",
+    q_sim_embedding_neardup_exact,
+    f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(t, w, pv) AS (
+  VALUES {_planes_values(LSH_EXACT_PLANES, 4)}
+),
+b AS (
+  SELECT c.id, pl.t,
+         CAST(sum(CASE WHEN round(list_inner_product(c.v, pl.pv), 7) >= 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes pl GROUP BY c.id, pl.t),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         ROUND(list_cosine_similarity(ca.v, cb.v), 6) AS cosine
+  FROM cand
+  JOIN corpus ca ON ca.id = cand.id_a
+  JOIN corpus cb ON cb.id = cand.id_b)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.45 ORDER BY id_a, id_b
+""",
+)

@@ -740,3 +740,38 @@ def test_kmeans_exact_empty_cluster_keeps_centroid(emb):
         emb.where(F.col("vec_id") < 100), centroids=cents, iters=2
     ).collect()
     assert {r["cluster"] for r in out} == {0}
+
+
+def test_embedding_neardup_exact_sound_and_recalls(emb):
+    """Every returned pair is a true >=threshold pair (soundness is
+    exact — candidates are verified), and LSH recall over the
+    brute-force truth clears the 4-plane/8-table analytic floor."""
+    import itertools
+
+    from event_pipeline_spark.operators.similarity import (
+        embedding_neardup_exact,
+    )
+
+    sample = emb.where(F.col("vec_id") < 300)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(sample, threshold=0.35).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in sample.collect()
+    }
+    truth = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        c = round(
+            float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            ),
+            6,
+        )
+        if c >= 0.35:
+            truth.add((a, b))
+    assert got <= truth
+    assert truth  # the threshold actually selects something
+    assert len(got) / len(truth) >= 0.4
