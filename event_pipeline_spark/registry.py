@@ -40,6 +40,16 @@ GRADE_FIRST_OPERATORS = [
     # Late round-7: dsir_log_weights -> mm_image_neardup (DSIR keeps
     # dsir_sample, which subsumes the weights; perceptual image dedup
     # is a new family and diversifies the graded mix).
+    #
+    # Session-7 rotation: decontam_scan -> curate_pipeline (the
+    # composed pipeline RUNS the same decontamination stage inside its
+    # chained oracle, plus quality/dedup/budget — strictly more
+    # verified per slot; decontam_scan stays registered), and
+    # text_quality -> sketch_theta_kmv_exact (curate_pipeline's gate
+    # mirrors all five quality flags, while the md5-KMV sketch brings
+    # an unrepresented family — externally-recomputable approximate
+    # aggregation — into the graded mix; text_quality stays
+    # registered).
     "extract_html_text",
     "langid_score",
     "lm_score_positions",
@@ -51,11 +61,11 @@ GRADE_FIRST_OPERATORS = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
-    "text_quality",
+    "sketch_theta_kmv_exact",
     "interval_join",
     "text_segments_udtf",
     "dsir_sample",
-    "decontam_scan",
+    "curate_pipeline",
     "rank_bm25_topk",
     "cdc_snapshot_diff",
     "skew_salted_agg",
