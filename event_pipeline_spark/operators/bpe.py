@@ -19,8 +19,10 @@ property the tests pin.
 Registered queries:
 - ``bpe_word_vocab`` [oracle] — the distributed word-frequency pass
   (top words by count, exact).
-- ``bpe_merges`` — rows-only (iterative driver-side algorithm; DuckDB
-  has no analogue); the merge semantics are pytest-pinned instead.
+- ``bpe_merges`` [oracle] — the TRAINING loop itself, recomputed by
+  DuckDB as 40 unrolled (pair-count, argmax, replace-update) CTE
+  triples over materialized per-word states (see _bpe_train_oracle;
+  the kmeans_exact unrolled-training precedent).
 """
 
 from __future__ import annotations
@@ -194,8 +196,8 @@ def q_bpe_word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 40 BPE merges learned from the corpus vocabulary
-    (deterministic: tie-break on lexical pair order). Rows-only — the
-    merge loop is iterative driver-side logic with no SQL analogue."""
+    (deterministic: tie-break on lexical pair order). The oracle
+    recomputes the whole training loop (_bpe_train_oracle below)."""
     merges = train_bpe_distributed(
         _docs(spark, sf_dir), "text", num_merges=40
     )
@@ -567,3 +569,66 @@ SELECT lang,
        round(sum(nb) / CAST(sum(nt) AS DOUBLE), 6) AS bytes_per_token
 FROM perdoc GROUP BY lang ORDER BY lang
 """
+
+
+# -- BPE training oracle (the train loop recomputed by DuckDB) ---------------
+#
+# q_bpe_merges was rows-only ("iterative driver-side algorithm with no
+# SQL analogue") — but the kmeans_exact precedent shows training loops
+# CAN be unrolled into the oracle when every step is deterministic.
+# Each of the 40 iterations is three chained CTEs: weighted adjacent-
+# pair counts over the current per-word symbol states, the argmax pair
+# (count DESC, then lexical — binary collation == Python tuple order on
+# this ASCII corpus), and a state update via the same ',x,,y,'->',xy,'
+# replace proven scan-equivalent by the 504-word segmentation test.
+# The vocab is bounded (31 distinct words on this corpus; the Spark
+# side's driver loop is bounded by the same top_k contract), so 120
+# generated CTEs stay cheap.
+
+
+def _bpe_train_oracle(num_merges: int) -> str:
+    ctes = [
+        """v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents)
+  WHERE word != '' GROUP BY word)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT ',,' || array_to_string(
+             list_append(string_split(word, ''), '{EOW}'), ',,')
+         || ',,' AS st, cnt
+  FROM v)""",
+    ]
+    picks = []
+    for i in range(1, num_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT sy[j] AS a, sy[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(st, ',,') AS sy, cnt FROM {prev}),
+       LATERAL unnest(generate_series(2, len(sy) - 2)) AS t(j)
+  GROUP BY sy[j], sy[j + 1])"""
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED "
+            f"(SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            # MATERIALIZED: each state is referenced twice (next pair-count
+        # and next update); DuckDB would otherwise inline the chain into
+        # a 2^40-leaf expression tree
+        f"""s{i} AS MATERIALIZED (
+  SELECT replace(st, ',' || b{i}.a || ',,' || b{i}.b || ',',
+                 ',' || b{i}.a || b{i}.b || ',') AS st, cnt
+  FROM {prev} CROSS JOIN b{i})"""
+        )
+        picks.append(
+            f'SELECT {i - 1} AS "rank", a AS "left", b AS "right" FROM b{i}'
+        )
+    union = "\nUNION ALL\n".join(picks)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + union + '\nORDER BY "rank"'
+    )
+
+
+ORACLES["bpe_merges"] = _bpe_train_oracle(40)
