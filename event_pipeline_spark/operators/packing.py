@@ -385,3 +385,74 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        array_to_string(a[start + 1 : start + n_tokens], ' ') AS text
 FROM chunks ORDER BY doc_id, chunk_id
 """
+
+
+# -- balanced shard assignment (the output side of packing) -------------------
+
+#: shard count for the registered query
+N_SHARDS = 8
+
+
+def assign_shards_balanced(
+    df: DataFrame,
+    *,
+    tokens_col: str,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Serpentine LPT shard assignment: rank documents by size
+    (desc, id tiebreak) and deal them boustrophedon across ``n_shards``
+    (0..n-1, then n-1..0, …) — the classic deterministic approximation
+    that bounds the max-min shard token gap by one document. This is
+    how a training run gets N balanced input shards without a solver.
+
+    Scale shape: the global rank comes from the distributed prefix sum
+    (operators/prefix.py — range partition + broadcast offsets), never
+    a single-partition window; the shard formula is then a pure map.
+    Returns input columns + ``shard``.
+    """
+    from event_pipeline_spark.operators.prefix import running_total
+
+    order = [F.col(tokens_col).desc(), F.col(id_col).asc()]
+    ranked = running_total(
+        df.withColumn("_one", F.lit(1)), order, "_one", out_col="_rank"
+    ).drop("_one")
+    pos = F.col("_rank") - 1
+    fwd = F.pmod(pos, F.lit(n_shards))
+    rnd = F.floor(pos / n_shards)
+    shard = F.when(
+        F.pmod(rnd, F.lit(2)) == 0, fwd
+    ).otherwise(F.lit(n_shards - 1) - fwd)
+    return ranked.withColumn("shard", shard.cast("int")).drop("_rank")
+
+
+def _shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.operators.text import token_count
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return assign_shards_balanced(
+        docs, tokens_col="n_tokens", id_col="doc_id", n_shards=N_SHARDS
+    ).orderBy("doc_id")
+
+
+QUERIES["shard_assign"] = _shard_assign_q
+ORACLES["shard_assign"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN (pos // {N_SHARDS}) % 2 = 0
+                 THEN pos % {N_SHARDS}
+                 ELSE {N_SHARDS} - 1 - pos % {N_SHARDS} END AS INT)
+         AS shard
+FROM ranked ORDER BY doc_id
+"""

@@ -326,3 +326,29 @@ def test_chunk_documents_coverage_and_overlap_properties(spark):
             covered |= set(range(s, s + ln))
             prev_end = s + ln
         assert covered == set(range(n))
+
+
+def test_shard_assignment_balance_and_coverage(spark, sf_dir):
+    """Serpentine LPT: every shard used, every doc assigned exactly
+    once, and the max-min shard token gap is bounded by the largest
+    document (the deal-order guarantee)."""
+    from event_pipeline_spark.operators.packing import (
+        N_SHARDS,
+        assign_shards_balanced,
+    )
+    from event_pipeline_spark.operators.text import token_count
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = assign_shards_balanced(
+        docs, tokens_col="n_tokens", id_col="doc_id", n_shards=N_SHARDS
+    ).collect()
+    assert len(out) == docs.count()
+    totals = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+    assert set(totals) == set(range(N_SHARDS))
+    biggest = max(r["n_tokens"] for r in out)
+    assert max(totals.values()) - min(totals.values()) <= biggest
