@@ -1495,3 +1495,72 @@ def test_streaming_media_dedup_perceptual_replay(spark, tmp_path):
         assert {r["media_id"] for r in acollected} == {10, 12}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_curate_pipeline(spark, tmp_path):
+    """Composed streaming curation: the quality gate drops a too-short
+    doc, decontamination drops a doc containing a benchmark 8-gram,
+    exact-dedup state suppresses a cross-batch replay — and the clean
+    survivors from both batches come through exactly once."""
+    import hashlib
+
+    from event_pipeline_spark.streaming.curate import streaming_curate
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    good_a = (
+        "the quick spark batch merge table scan join order filter "
+        "window value line part small batch stream data row group "
+        "query sort agg"
+    )
+    good_b = (
+        "the slow spark vector merge column scan join order filter "
+        "window value line part small batch stream data row group "
+        "query sort agg"
+    )
+    bench_words = "alpha bravo charlie delta echo foxtrot golf hotel"
+    contaminated = f"the {bench_words} spark batch merge table scan join order filter window value line part group"
+    bench_hash = hashlib.md5(bench_words.encode()).hexdigest()
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/cur_src"
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        mk(
+            [
+                (1, good_a),
+                (2, "too short"),  # fails the quality gate
+                (3, contaminated),  # shares the benchmark 8-gram
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        mk(
+            [
+                (4, good_a),  # exact replay -> suppressed by state
+                (5, good_b),
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        collected: list = []
+        q = (
+            streaming_curate(
+                read_parquet_stream(spark, src, max_files_per_trigger=1),
+                bench_gram_hashes=[bench_hash],
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/cur_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        by_id = {r["docid"]: r["text"] for r in collected}
+        assert by_id == {1: good_a, 5: good_b}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
