@@ -1013,3 +1013,123 @@ _register(
        WHERE jaccard >= 0.7 AND (id_a % 2) != (id_b % 2)
        ORDER BY id_a, id_b""",
 )
+
+
+# -- containment similarity join (asymmetric near-dup) ------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    group_col: str | None = None,
+) -> DataFrame:
+    """EXACT min-containment join: pairs with
+    ``|A ∩ B| / min(|A|, |B|) >= threshold`` over word k-shingle sets.
+
+    Jaccard misses subset duplication by construction (a quote embedded
+    in a 10x longer page has J ≈ 0.1 however verbatim the copy);
+    containment is the standard complementary detector (quotes,
+    boilerplate-wrapped copies, excerpt pages).
+
+    Scale shape: containment only bounds the SMALLER set's overlap, so
+    the prefix-filter trick applies to the smaller side while the
+    larger side needs a full inverted index — the textbook asymmetric
+    AllPairs layout. Candidates = smaller-side prefix shingles
+    equi-joined to the larger side's full index (size conjunct picks a
+    canonical smaller side; id tiebreak at equal size), then survivors
+    verify exactly via one JVM array_intersect. No false negatives: a
+    qualifying pair shares >= t*|A| shingles, so one lands inside A's
+    ``|A| - ceil(t*|A|) + 1`` prefix, and the full index cannot miss it.
+    """
+    t = threshold
+    sh_df = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(group_col).alias("_grp")] if group_col else []),
+        shingles(F.col(text_col), k_shingle).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
+    sh_df = pin(sh_df)
+
+    prefix_len = (F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1).cast(
+        "int"
+    )
+    grp_cols = ["_grp"] if group_col else []
+    pre = sh_df.select(
+        "_id", *grp_cols, "_n",
+        F.explode(F.slice("_sh", 1, prefix_len)).alias("_g"),
+    )
+    full = sh_df.select(
+        "_id", *grp_cols, "_n", F.explode("_sh").alias("_g")
+    )
+    left, right = pre.alias("l"), full.alias("r")
+    cond = (F.col("l._g") == F.col("r._g")) & (
+        (F.col("l._n") < F.col("r._n"))
+        | ((F.col("l._n") == F.col("r._n")) & (F.col("l._id") < F.col("r._id")))
+    )
+    if group_col:
+        cond = cond & (F.col("l._grp") == F.col("r._grp"))
+    cand = (
+        left.join(right, cond)
+        .select(
+            F.least("l._id", "r._id").alias("id_a"),
+            F.greatest("l._id", "r._id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cand.join(
+            sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.least(F.size("sh_a"), F.size("sh_b")),
+                6,
+            ).alias("containment"),
+        )
+    )
+    return verified.where(F.col("containment") >= t)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-containment >= 0.6 within each source (3-shingles)."""
+    return containment_pairs(
+        _docs(spark, sf_dir), threshold=0.6, group_col="source"
+    ).orderBy("id_a", "id_b")
+
+
+_register(
+    "dedup_containment",
+    q_dedup_containment,
+    # naive within-source pair join as the oracle (gate-scale
+    # affordable), against which the asymmetric prefix+index join must
+    # be exact — same contract as dedup_ngram_jaccard's oracle
+    """WITH sh AS (
+         SELECT doc_id, source,
+                list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 0)),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+         FROM (SELECT doc_id, source,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.grams, b.grams)) AS inter,
+                least(len(a.grams), len(b.grams)) AS mn
+         FROM sh a JOIN sh b
+           ON a.source = b.source AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, ROUND(inter::DOUBLE / mn, 6) AS containment
+       FROM pairs
+       WHERE inter > 0 AND ROUND(inter::DOUBLE / mn, 6) >= 0.6
+       ORDER BY id_a, id_b""",
+)

@@ -285,3 +285,25 @@ def test_incremental_reuses_persisted_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="corpus_df"):
         minhash_cross_near_duplicates(new)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A verbatim quote embedded in a 10x longer page: containment = 1
+    (every quote shingle is in the page) while Jaccard is tiny — the
+    complementary-detector contract."""
+    from event_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    filler = " ".join(f"word{i} filler{i} pad{i}" for i in range(20))
+    page = f"{filler} {quote} {filler}"
+    df = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []
