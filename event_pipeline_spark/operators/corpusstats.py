@@ -320,3 +320,92 @@ terms AS (
 SELECT lang, nt AS n_tokens, round(sum(t) / 10000000.0, 4) AS kl_nats
 FROM terms GROUP BY lang, nt ORDER BY lang
 """
+
+
+# -- per-document n-gram novelty ----------------------------------------------
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_novel, novelty): the share of a document's
+    DISTINCT word n-grams that appear in no other document — the
+    diversity signal curation uses to prioritize documents under a
+    budget (a doc whose grams all recur elsewhere adds little).
+
+    Scale shape: grams travel as md5 digests (fixed 32-byte shuffle
+    keys, never raw text); the document-frequency pass is a map-side-
+    combinable groupBy over digests; the novelty join fans each doc
+    gram back once. Docs shorter than ``n`` words emit one whole-text
+    gram (the ``dedup.py`` shingle rule).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+            )
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    dg = docs.select(
+        F.col(id_col).alias("_id"), F.explode(grams_arr).alias("_g")
+    )
+    df_counts = dg.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_df")
+    )  # dg is per-doc distinct already
+    return (
+        dg.join(df_counts, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return ngram_novelty(read_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["corpus_ngram_novelty"] = q_corpus_ngram_novelty
+ORACLES["corpus_ngram_novelty"] = """
+WITH dg AS (
+  SELECT DISTINCT doc_id,
+         md5(CASE WHEN len(toks) >= 3
+                  THEN array_to_string(toks[i : i + 2], ' ')
+                  ELSE array_to_string(toks, ' ') END) AS g
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+           AS t(i)),
+dfc AS (SELECT g, count(*) AS df FROM dg GROUP BY g)
+SELECT dg.doc_id,
+       count(*)::INT AS n_grams,
+       sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::INT AS n_novel,
+       round(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM dg JOIN dfc USING (g)
+GROUP BY dg.doc_id
+ORDER BY dg.doc_id
+"""

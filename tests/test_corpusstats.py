@@ -111,3 +111,21 @@ def test_lang_divergence_closed_form(spark):
     )
     for r in lang_unigram_divergence(same).collect():
         assert r["kl_nats"] == 0.0
+
+
+def test_ngram_novelty_closed_form(spark):
+    """Hand case: doc 1 and doc 2 share one 3-gram exactly; doc 3 is a
+    verbatim copy of doc 1 (novelty 0 for both copies)."""
+    from event_pipeline_spark.operators.corpusstats import ngram_novelty
+
+    a = "alpha beta gamma delta"       # grams: abg, bgd
+    b = "alpha beta gamma epsilon"     # grams: abg, bge
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    # every gram of docs 1/3 recurs (shared abg + the copy); doc 2's
+    # bge gram is unique to it
+    assert out[1]["novelty"] == 0.0 and out[3]["novelty"] == 0.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
+    assert out[2]["novelty"] == 0.5
