@@ -409,3 +409,80 @@ FROM dg JOIN dfc USING (g)
 GROUP BY dg.doc_id
 ORDER BY dg.doc_id
 """
+
+
+# -- cross-source exact-overlap matrix ----------------------------------------
+
+
+def source_overlap(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared): count of distinct content units
+    (md5 digests of ``unit``) present in BOTH sources, for every
+    unordered source pair with nonzero overlap — the provenance-
+    contamination matrix a multi-dump corpus audit starts with (two
+    crawls sharing content double-count training data). ``unit`` is a
+    Column of an array of strings per document: whole-doc (exact
+    overlap) or lines/shingles (partial overlap — what real dumps
+    actually share).
+
+    Scale shape: one distinct over (source, digest), then a self-join
+    keyed on the digest — digests only, never text; the output is at
+    most |sources|² rows."""
+    units = F.split(F.col(text_col), "\n")
+    sh = docs.select(
+        F.col(group_col).alias("_grp"),
+        F.explode(F.transform(units, F.md5)).alias("_h"),
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._grp") < F.col("b._grp")),
+        )
+        .groupBy(
+            F.col("a._grp").alias("source_a"),
+            F.col("b._grp").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level overlap (6-word lines, the dedup_lines_docs prep):
+    whole-doc exact overlap is empty below sf0.1 on this corpus, while
+    shared lines exist at every SF — and shared lines are what real
+    dumps actually have in common (boilerplate, syndicated content)."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.trim(F.col("text")), r"((?:\S+ ){5}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return source_overlap(docs).orderBy("source_a", "source_b")
+
+
+QUERIES["corpus_source_overlap"] = q_corpus_source_overlap
+ORACLES["corpus_source_overlap"] = r'''
+WITH prepared AS (
+  SELECT source,
+         regexp_replace(trim(text), '((?:\S+ ){5}\S+) ', '\1' || chr(10),
+                        'g') AS text
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source, md5(unnest(string_split(text, chr(10)))) AS h
+  FROM prepared)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_shared
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+'''

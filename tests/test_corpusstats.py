@@ -129,3 +129,22 @@ def test_ngram_novelty_closed_form(spark):
     assert out[1]["novelty"] == 0.0 and out[3]["novelty"] == 0.0
     assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
     assert out[2]["novelty"] == 0.5
+
+
+def test_source_overlap_counts_shared_units_once(spark):
+    from event_pipeline_spark.operators.corpusstats import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "shared line\nonly in a"),
+            (2, "a", "shared line\nstill only a"),  # dup within a: once
+            (3, "b", "shared line\nonly in b"),
+            (4, "c", "nothing in common here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap(df).collect()
+    }
+    assert out == {("a", "b"): 1}
