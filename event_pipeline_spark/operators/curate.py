@@ -189,3 +189,71 @@ ORDER BY doc_id
 
 QUERIES["curate_pipeline"] = q_curate_pipeline
 ORACLES["curate_pipeline"] = _CURATE_ORACLE
+
+
+# -- novelty-weighted budget selection ----------------------------------------
+
+#: token budget for the novelty-ranked selection
+NOVEL_BUDGET = 15_000
+
+
+def q_select_novel_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget selection ranked by n-gram novelty instead of length —
+    the diversity-first fill (prefer documents whose content recurs
+    nowhere else). Composes two verified operators: the novelty score
+    (corpus_ngram_novelty) feeds the distributed prefix-sum selector
+    (select_token_budget); ties break on doc_id, so the row set is
+    deterministic despite score ties."""
+    from event_pipeline_spark.operators.corpusstats import ngram_novelty
+    from event_pipeline_spark.operators.prefix import select_token_budget
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    nov = ngram_novelty(docs).select("doc_id", "novelty")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = select_token_budget(
+        nov.join(toks, "doc_id"),
+        score_col="novelty",
+        tokens_col="n_tokens",
+        budget=NOVEL_BUDGET,
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "novelty", "n_tokens", "running_tokens"
+    ).orderBy("doc_id")
+
+
+QUERIES["select_novel_budget"] = q_select_novel_budget
+ORACLES["select_novel_budget"] = f"""
+WITH dg AS (
+  SELECT DISTINCT doc_id,
+         md5(CASE WHEN len(toks) >= 3
+                  THEN array_to_string(toks[i : i + 2], ' ')
+                  ELSE array_to_string(toks, ' ') END) AS g
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+           AS t(i)),
+dfc AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+nov AS (
+  SELECT dg.doc_id,
+         round(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS novelty
+  FROM dg JOIN dfc USING (g) GROUP BY dg.doc_id),
+toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT n.doc_id, n.novelty, t.n_tokens,
+         CAST(SUM(t.n_tokens) OVER (ORDER BY n.novelty DESC, n.doc_id)
+              AS BIGINT) AS running_tokens
+  FROM nov n JOIN toks t USING (doc_id))
+SELECT doc_id, novelty, n_tokens, running_tokens
+FROM ranked WHERE running_tokens <= {NOVEL_BUDGET}
+ORDER BY doc_id
+"""
