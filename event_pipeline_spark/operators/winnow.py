@@ -1,0 +1,149 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+— the MOSS algorithm): from the rolling sequence of word k-gram
+hashes, select the minimum of every w-hash window (rightmost position
+on ties). The winnowing guarantee: any shared token run of length
+>= w + k - 1 between two documents yields at least one SHARED selected
+fingerprint — detection is deterministic, not probabilistic (the
+position-aware complement of MinHash, which trades determinism for a
+fixed-size sketch).
+
+Scale shape: fingerprint selection is a pure per-document JVM
+expression (no shuffle); downstream matching joins on the 32-byte
+fingerprint digest only. The pair report caps fingerprint document
+frequency (``max_df``) before joining — ultra-common fingerprints are
+boilerplate by definition and would otherwise force a quadratic join
+(the standard MOSS noise rule).
+
+Registered query ``fp_winnow`` is the selection itself (linear rows,
+fully oracle-recomputed: hashes, window argmin, tie rule). The pair
+report is pytest-gated (guarantee + df-cap contracts) because its row
+count is corpus-shape-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+#: k-gram length (tokens per hash) and window size (hashes per window)
+K_GRAM = 4
+WINDOW = 4
+
+
+def _gram_hash_structs(text_col: Column, k: int) -> Column:
+    """array<struct(h: md5-hex of k-gram at pos, negpos: -pos)> —
+    negpos makes struct-min pick the RIGHTMOST among equal hashes."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.struct(
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
+            (-i).alias("negpos"),
+        ),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+    w: int = WINDOW,
+) -> DataFrame:
+    """(id, pos, fp): the distinct selected fingerprints per document
+    (pos is the 1-based k-gram position). Documents with fewer than w
+    k-grams form one clamped window (their global minimum is selected),
+    so every non-empty document carries at least one fingerprint."""
+    hs = _gram_hash_structs(F.col(text_col), k)
+    n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.explode(selected).alias("_s")
+    ).select(
+        id_col,
+        (-F.col("_s.negpos")).cast("int").alias("pos"),
+        F.col("_s.h").alias("fp"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+    w: int = WINDOW,
+    max_df: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing selected
+    fingerprints, after dropping fingerprints appearing in more than
+    ``max_df`` documents (the MOSS noise rule — ultra-common
+    fingerprints are boilerplate and would force a quadratic join)."""
+    fps = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w
+    ).select(F.col(id_col).alias("_id"), "fp").distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    fr = fps.join(rare, "fp")
+    a, b = fr.alias("a"), fr.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def q_fp_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return winnow_fingerprints(
+        read_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id", "pos", "fp")
+
+
+QUERIES["fp_winnow"] = q_fp_winnow
+ORACLES["fp_winnow"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents),
+hs AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(a[i : i + {K_GRAM - 1}], ' ')) AS h,
+         greatest(len(a) - {K_GRAM - 1}, 1) AS n_grams
+  FROM toks,
+       LATERAL unnest(generate_series(1, greatest(len(a) - {K_GRAM - 1}, 1)))
+           AS t(i)),
+sel AS (
+  SELECT DISTINCT doc_id, pos, h FROM (
+    SELECT hs.doc_id, hs.pos, hs.h,
+           row_number() OVER (
+               PARTITION BY hs.doc_id, wj.j
+               ORDER BY hs.h ASC, hs.pos DESC) AS rk
+    FROM hs,
+         LATERAL unnest(generate_series(
+             1, greatest(hs.n_grams - {WINDOW - 1}, 1))) AS wj(j)
+    WHERE hs.pos >= wj.j AND hs.pos < wj.j + {WINDOW})
+  WHERE rk = 1)
+SELECT doc_id, pos::INT AS pos, h AS fp
+FROM sel ORDER BY doc_id, pos, fp
+"""

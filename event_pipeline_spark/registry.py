@@ -117,7 +117,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
         "extract", "lm", "lines", "dsir", "substrings", "langid",
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
-        "unicodenorm", "boilerplate",
+        "unicodenorm", "boilerplate", "winnow",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,77 @@
+"""Winnowing fingerprints (operators/winnow.py)."""
+
+from __future__ import annotations
+
+from event_pipeline_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fps(spark, rows, **kw):
+    out = {}
+    for r in winnow_fingerprints(_docs(spark, rows), **kw).collect():
+        out.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    return out
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Any shared token run of length >= w + k - 1 yields at least one
+    shared fingerprint hash (Schleimer et al. 2003, Theorem in §3)."""
+    k, w = 4, 4
+    run = "q w e r t y u"  # w + k - 1 = 7 tokens
+    fps = _fps(
+        spark,
+        [(1, f"alpha beta {run} gamma"), (2, f"{run} delta epsilon zeta")],
+        k=k,
+        w=w,
+    )
+    shared = {h for _, h in fps[1]} & {h for _, h in fps[2]}
+    assert shared, "shared 7-token run must yield a shared fingerprint"
+
+
+def test_short_document_gets_one_global_min(spark):
+    # 5 tokens, k=4 -> 2 k-grams < w=4 -> one clamped window: global min.
+    fps = _fps(spark, [(1, "a b c d e")])
+    assert len(fps[1]) == 1
+
+
+def test_repeated_gram_ties_pick_rightmost(spark):
+    # All k-grams identical -> every window's min is the same hash and
+    # the rightmost position in each window wins; distinct keeps one
+    # entry per selected position, the last being at the final k-gram.
+    toks = " ".join(["x"] * 10)  # 7 k-grams (k=4), windows at 1..4
+    fps = _fps(spark, [(1, toks)])
+    positions = sorted(p for p, _ in fps[1])
+    # window j selects pos j+w-1 (rightmost): windows 1..4 -> pos 4..7
+    assert positions == [4, 5, 6, 7]
+
+
+def test_pairs_share_count_and_order(spark):
+    run = "m n o p q r s t u v"
+    df = _docs(
+        spark,
+        [
+            (1, f"one unique opening {run}"),
+            (2, f"{run} two unique closing"),
+            (3, "totally different content here now ok fine"),
+        ],
+    )
+    rows = winnow_pairs(df).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(a < b for a, b in pairs)
+    assert not any(3 in p for p in pairs)
+
+
+def test_pairs_max_df_drops_boilerplate(spark):
+    # Six identical documents: every fingerprint has df=6, so with
+    # max_df=5 all are boilerplate and no pairs survive.
+    run = "b o i l e r p l a t e x"
+    df = _docs(spark, [(i, run) for i in range(6)])
+    assert winnow_pairs(df, max_df=5).count() == 0
+    assert winnow_pairs(df, max_df=6).count() == 15  # all C(6,2) pairs
