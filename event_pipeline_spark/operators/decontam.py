@@ -302,3 +302,146 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("decontam_bloom", q_decontam_bloom, ORACLES["decontam_scan"])
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-space)
+# ---------------------------------------------------------------------------
+#
+# N-gram decontamination misses paraphrased benchmark leakage — the
+# published complement (e.g. the phi / OpenLLM-leaderboard analyses)
+# screens in EMBEDDING space: a corpus item whose vector sits close to
+# any benchmark vector is flagged. Exhaustive corpus x benchmark
+# scoring is the sim_topk_bruteforce shape (fine for a tiny eval set,
+# quadratic in general); the scale path here mirrors
+# ``embedding_neardup_exact``: literal-plane LSH buckets on BOTH sides,
+# candidates from an equi-join on (table, bucket) — corpus vectors
+# never shuffle against each other, only against same-bucket benchmark
+# rows — then one exact round-6 cosine per candidate and a per-corpus-id
+# aggregate. Deterministic planes make the whole screen (buckets,
+# candidates, scores, flags) recomputable by the DuckDB oracle.
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(id, n_contaminated, max_cosine): corpus vectors whose cosine to
+    at least one same-bucket benchmark vector reaches ``threshold``.
+    ``n_contaminated`` counts distinct offending benchmark vectors (the
+    ``ngram_decontaminate`` report contract, lifted to embedding space).
+    """
+    from event_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+        lsh_buckets_exact,
+    )
+
+    cb = lsh_buckets_exact(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes,
+        n_planes=n_planes,
+    )
+    bb = lsh_buckets_exact(
+        benchmark, id_col=bench_id_col, vec_col=vec_col, planes=planes,
+        n_planes=n_planes,
+    ).withColumnRenamed("_id", "_bid")
+    cand = (
+        cb.join(bb, ["table", "bucket"])
+        .select(F.col("_id"), F.col("_bid"))
+        .distinct()
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    bv = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        as_double(F.col(vec_col)).alias("_bv"),
+    )
+    scored = (
+        cand.join(cv, "_id")
+        .join(F.broadcast(bv), "_bid")
+        .select(
+            "_id",
+            "_bid",
+            F.round(cosine(F.col("_cv"), F.col("_bv")), 6).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count_distinct("_bid").alias("n_contaminated"),
+        F.max("_cos").alias("max_cosine"),
+    )
+
+
+_SEM_BENCH_EVERY = 50
+_SEM_THRESHOLD = 0.30
+
+
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived benchmark fixture: every 50th embedding plays the eval
+    set; the rest are the corpus. Threshold 0.30 sits near this
+    corpus's 99th-percentile pairwise cosine, so a realistic small
+    fraction of rows flags."""
+    from event_pipeline_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % _SEM_BENCH_EVERY == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % _SEM_BENCH_EVERY != 0)
+    return semantic_decontaminate(
+        corpus, bench, threshold=_SEM_THRESHOLD
+    ).orderBy("vec_id")
+
+
+def _sem_oracle() -> str:
+    from event_pipeline_spark.operators.similarity import (
+        LSH_EXACT_PLANES,
+        _planes_values,
+    )
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {_SEM_BENCH_EVERY} <> 0),
+bench AS (
+  SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {_SEM_BENCH_EVERY} = 0),
+planes(t, w, pv) AS (
+  VALUES {_planes_values(LSH_EXACT_PLANES, 4)}
+),
+cbk AS (
+  SELECT c.id, pl.t,
+         CAST(sum(CASE WHEN round(list_inner_product(c.v, pl.pv), 7) >= 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes pl GROUP BY c.id, pl.t),
+bbk AS (
+  SELECT b.bid, pl.t,
+         CAST(sum(CASE WHEN round(list_inner_product(b.v, pl.pv), 7) >= 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+  FROM bench b CROSS JOIN planes pl GROUP BY b.bid, pl.t),
+cand AS (
+  SELECT DISTINCT c.id, b.bid
+  FROM cbk c JOIN bbk b ON c.t = b.t AND c.bucket = b.bucket),
+scored AS (
+  SELECT cand.id, cand.bid,
+         ROUND(list_cosine_similarity(cv.v, bv.v), 6) AS cos
+  FROM cand
+  JOIN corpus cv ON cv.id = cand.id
+  JOIN bench bv ON bv.bid = cand.bid)
+SELECT id AS vec_id,
+       CAST(count(DISTINCT bid) AS BIGINT) AS n_contaminated,
+       CAST(max(cos) AS DOUBLE) AS max_cosine
+FROM scored WHERE cos >= {_SEM_THRESHOLD}
+GROUP BY id ORDER BY vec_id
+"""
+
+
+_register("decontam_semantic", q_decontam_semantic, _sem_oracle())

@@ -310,3 +310,29 @@ def test_bloom_prefilter_is_selective_and_jvm_only(spark):
     assert passed <= total * 0.05  # ~ (k*n/m)^k << 5% here
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_decontaminate_flags_close_vectors(spark):
+    from event_pipeline_spark.operators.decontam import semantic_decontaminate
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e0_tilt = [1.0, 0.05] + [0.0] * (dim - 2)  # cosine vs e0 ~ 0.9988
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal to e0
+    bench = spark.createDataFrame(
+        [(100, e0), (101, e0_tilt)], "bench_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, e0), (2, e1)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    # vec 1 sits on top of BOTH benchmark vectors (same literal-plane
+    # buckets, cosine 1.0 / ~0.9988); vec 2 is orthogonal -> clean.
+    assert out[1]["n_contaminated"] == 2
+    assert out[1]["max_cosine"] == 1.0
+    assert 2 not in out
