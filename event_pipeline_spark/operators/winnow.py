@@ -15,9 +15,10 @@ boilerplate by definition and would otherwise force a quadratic join
 (the standard MOSS noise rule).
 
 Registered query ``fp_winnow`` is the selection itself (linear rows,
-fully oracle-recomputed: hashes, window argmin, tie rule). The pair
-report is pytest-gated (guarantee + df-cap contracts) because its row
-count is corpus-shape-dependent.
+fully oracle-recomputed: hashes, window argmin, tie rule);
+``fp_winnow_pairs`` is the capped pair report, whose oracle reuses the
+selection CTEs and recomputes the df cap, digest self-join, and shared
+counts. The guarantee and tie-rule contracts are pytest-gated.
 """
 
 from __future__ import annotations
@@ -121,7 +122,16 @@ def q_fp_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos", "fp")
 
 
+def q_fp_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return winnow_pairs(
+        read_table(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES["fp_winnow"] = q_fp_winnow
+QUERIES["fp_winnow_pairs"] = q_fp_winnow_pairs
 ORACLES["fp_winnow"] = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
@@ -147,3 +157,19 @@ sel AS (
 SELECT doc_id, pos::INT AS pos, h AS fp
 FROM sel ORDER BY doc_id, pos, fp
 """
+
+_SEL_CTES = ORACLES["fp_winnow"].split("SELECT doc_id, pos::INT")[0]
+
+ORACLES["fp_winnow_pairs"] = (
+    _SEL_CTES
+    + f""",
+fps AS (SELECT DISTINCT doc_id AS id, h AS fp FROM sel),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 5)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+WHERE a.id < b.id
+GROUP BY a.id, b.id ORDER BY id_a, id_b
+"""
+)
