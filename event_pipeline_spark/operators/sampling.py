@@ -345,3 +345,135 @@ def temperature_mix(
         F.lit(_threshold_hex(0.0)),
     )
     return df.where(h < cutoff_col)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture under an exact token budget
+# ---------------------------------------------------------------------------
+#
+# ``temperature_mix`` above allocates EXPECTED ROWS via per-source hash
+# fractions. Production loaders allocate exact TOKEN budgets per domain
+# (the mT5/XLM-R count^alpha rule applied to token mass, then a greedy
+# deterministic fill per source). This variant is fully exact and
+# externally recomputable: per-source token masses aggregate JVM-side;
+# alpha-weights quantize to integer 1e-7 units (one sqrt + one multiply
+# per source — single correctly-rounded double ops, never a double
+# SUM); per-source budgets come from integer `div`; selection is a
+# per-source window over (md5(id), id) keeping docs while the running
+# token count fits. Plan: one scan, one 20-row agg, two one-row
+# broadcasts (the rank_bm25 one-row-stats shape), one window shuffle
+# partitioned BY SOURCE — at 100 TB each source sorts independently;
+# no global ordering anywhere.
+
+
+def temperature_token_budget(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    text_col: str,
+    *,
+    budget_tokens: int | None = None,
+    budget_denom: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """(key, source, n_tokens, cum_tokens, src_budget): the documents a
+    sqrt-temperature mixture keeps under a global token budget. Source
+    ``i`` gets ``floor(budget * wu_i / sum(wu))`` tokens where
+    ``wu_i = floor(sqrt(tok_i / total) * 1e7 + 0.5)`` (integer units —
+    the lm.py cross-engine recipe); within a source, docs fill the
+    budget in deterministic ``(md5(key), key)`` order. Pass either an
+    absolute ``budget_tokens`` or ``budget_denom`` (budget = corpus
+    total ``div`` denom — a scale-relative share)."""
+    if (budget_tokens is None) == (budget_denom is None):
+        raise ValueError("pass exactly one of budget_tokens/budget_denom")
+    from event_pipeline_spark.operators.text import token_count
+
+    toks = df.select(
+        F.col(key_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    src = toks.groupBy(source_col).agg(
+        F.sum("n_tokens").cast("long").alias("_tok")
+    )
+    tot = src.agg(F.sum("_tok").cast("long").alias("_t"))
+    w = src.join(F.broadcast(tot)).withColumn(
+        "_wu",
+        F.floor(
+            F.sqrt(F.col("_tok").cast("double") / F.col("_t").cast("double"))
+            * F.lit(1e7)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    nrm = w.agg(F.sum("_wu").cast("long").alias("_nrm"))
+    budget_expr = (
+        f"CAST({int(budget_tokens)} AS BIGINT)"
+        if budget_tokens is not None
+        else f"(_t div {int(budget_denom)})"
+    )
+    budgets = w.join(F.broadcast(nrm)).select(
+        source_col,
+        F.expr(f"{budget_expr} * _wu div _nrm").alias("src_budget"),
+    )
+    order = Window.partitionBy(source_col).orderBy(
+        hash_hex(F.col(key_col), salt), F.col(key_col)
+    )
+    ranked = toks.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return ranked.join(F.broadcast(budgets), source_col).where(
+        F.col("cum_tokens") <= F.col("src_budget")
+    )
+
+
+_TEMP_DENOM = 10  # keep 10% of the corpus token mass
+
+
+def q_sample_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = temperature_token_budget(
+        _docs(spark, sf_dir), "source", "doc_id", "text",
+        budget_denom=_TEMP_DENOM,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "src_budget"
+    ).orderBy("doc_id")
+
+
+_register(
+    "sample_temperature_budget",
+    q_sample_temperature_budget,
+    f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents),
+src AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok
+  FROM toks GROUP BY source),
+tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM src),
+w AS (
+  SELECT source, tok, t,
+         CAST(floor(sqrt(tok::DOUBLE / t::DOUBLE) * 1e7 + 0.5) AS BIGINT)
+             AS wu
+  FROM src, tot),
+nrm AS (SELECT CAST(sum(wu) AS BIGINT) AS n FROM w),
+b AS (
+  SELECT source, ((t // {_TEMP_DENOM}) * wu) // n AS src_budget
+  FROM w, nrm),
+ranked AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         CAST(sum(t.n_tokens) OVER (
+             PARTITION BY t.source
+             ORDER BY substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8),
+                      t.doc_id) AS BIGINT) AS cum_tokens
+  FROM toks t)
+SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens, b.src_budget
+FROM ranked r JOIN b USING (source)
+WHERE r.cum_tokens <= b.src_budget
+ORDER BY doc_id
+""",
+)

@@ -336,3 +336,41 @@ def test_semantic_decontaminate_flags_close_vectors(spark):
     assert out[1]["n_contaminated"] == 2
     assert out[1]["max_cosine"] == 1.0
     assert 2 not in out
+
+
+def test_temperature_token_budget_upweights_small_source(spark):
+    import pytest
+
+    from event_pipeline_spark.operators.sampling import (
+        temperature_token_budget,
+    )
+
+    rows = []
+    # big source: 90 docs x 10 tokens = 900; small: 10 docs x 10 = 100
+    for i in range(90):
+        rows.append((i, "big", "t " * 10))
+    for i in range(90, 100):
+        rows.append((i, "small", "t " * 10))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    with pytest.raises(ValueError):
+        temperature_token_budget(df, "source", "doc_id", "text")
+    with pytest.raises(ValueError):
+        temperature_token_budget(
+            df, "source", "doc_id", "text", budget_tokens=10, budget_denom=10
+        )
+
+    out = temperature_token_budget(
+        df, "source", "doc_id", "text", budget_tokens=500
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["cum_tokens"] <= r["src_budget"]
+    kept = {s: sum(r["n_tokens"] for r in v) for s, v in by_src.items()}
+    # sqrt temperature: weights prop. to sqrt(0.9)/sqrt(0.1) = 3:1,
+    # not the raw 9:1 — the small source gets ~25% of the budget
+    # (capped by fill granularity), far above its 10% mass share.
+    assert kept["small"] / (kept["small"] + kept["big"]) > 0.2
+    # greedy fill respects the per-source budget exactly
+    assert kept["big"] <= 500 and kept["small"] <= 500

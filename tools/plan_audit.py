@@ -74,6 +74,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "the tiny broadcast LUT set scores every 8-byte code row; the "
         "probed scale path is sim_ivfpq_topk_exact (equi-join on cell)",
     },
+    "sample_temperature_budget": {
+        "BroadcastNestedLoopJoin": "broadcast one-row corpus token total "
+        "and one-row weight norm over the |sources|-row stats frame "
+        "(the rank_bm25 one-row-stats shape)",
+    },
     "corpus_lang_divergence": {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token "
         "total (the rank_bm25 one-row-stats shape)",
