@@ -387,3 +387,84 @@ _register(
               FROM (SELECT {_TOKS_SQL} AS t FROM documents))
         GROUP BY g ORDER BY cnt DESC, gram LIMIT 50""",
 )
+
+
+# ---------------------------------------------------------------------------
+# phrase search over positional postings
+# ---------------------------------------------------------------------------
+#
+# Exact-phrase retrieval the way a search engine executes it: positional
+# postings (token, doc_id, pos) filtered to the phrase's terms, then ONE
+# groupBy on the anchor position — a posting matching phrase offset i
+# votes for anchor ``pos - i``; an anchor collecting all m distinct
+# offsets is a match. One narrow shuffle regardless of phrase length
+# (the m-way self-join formulation would shuffle m times), postings for
+# non-phrase tokens are pruned at the scan, and repeated phrase terms
+# are handled correctly because votes are per-offset, not per-term.
+# The oracle takes the OPPOSITE strategy — a direct windowed slice
+# comparison per document — so the differential crosses two genuinely
+# different execution plans.
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): documents containing the exact
+    token sequence ``phrase`` (corpus tokenization), with the count of
+    match start positions and the first one (1-based)."""
+    terms = phrase.lower().split()
+    m = len(terms)
+    if m == 0:
+        raise ValueError("empty phrase")
+    postings = df.select(
+        F.col(id_col),
+        F.posexplode(corpus_tokens(F.col(text_col))).alias("_p0", "token"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "token")
+    votes = None
+    for i, t in enumerate(terms):
+        v = postings.where(F.col("token") == t).select(
+            id_col,
+            (F.col("pos") - i).alias("anchor"),
+            F.lit(i).alias("offset"),
+        )
+        votes = v if votes is None else votes.unionByName(v)
+    anchors = (
+        votes.where(F.col("anchor") >= 1)
+        .groupBy(id_col, "anchor")
+        .agg(F.count_distinct("offset").alias("_n_off"))
+        .where(F.col("_n_off") == m)
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )
+
+
+_PHRASE = "big order scan"
+
+
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_search(_docs(spark, sf_dir), _PHRASE).orderBy("doc_id")
+
+
+_register(
+    "rank_phrase_search",
+    _q_phrase,
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS a FROM documents),
+hits AS (
+  SELECT doc_id, i AS pos
+  FROM toks,
+       LATERAL unnest(generate_series(1, greatest(len(a) - 2, 1))) AS t(i)
+  WHERE array_to_string(a[i : i + 2], ' ') = '{_PHRASE}')
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+""",
+)

@@ -113,3 +113,35 @@ def test_bm25_explode_filters_before_aggregation(spark):
         .toString()
     )
     assert "Filter" in plan
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    import pytest
+
+    from event_pipeline_spark.operators.ranking import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x a b c"),        # two matches of "a b c"
+            (2, "A B C only once"),      # case-insensitive, at start
+            (3, "x y a b"),              # prefix only: no match
+            (4, "b a a b a a b"),        # overlapping repeated-term hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_search(df, "a b c").collect()}
+    assert (out[1]["n_matches"], out[1]["first_pos"]) == (2, 1)
+    assert (out[2]["n_matches"], out[2]["first_pos"]) == (1, 1)
+    assert 3 not in out and 4 not in out
+
+    # phrase with a REPEATED term: "a b a" matches doc 4 only at pos 3
+    # (a@3, b@4, a@5) — per-offset votes keep the duplicate term honest
+    rep = {r["doc_id"]: r for r in phrase_search(df, "a b a").collect()}
+    assert (rep[4]["n_matches"], rep[4]["first_pos"]) == (1, 3)
+
+    # single-token phrase degenerates to term lookup with positions
+    one = {r["doc_id"]: r for r in phrase_search(df, "x").collect()}
+    assert one[1]["first_pos"] == 4 and one[3]["first_pos"] == 1
+
+    with pytest.raises(ValueError):
+        phrase_search(df, "   ")
