@@ -141,3 +141,98 @@ ORACLES["cdc_snapshot_diff"] = """
        OR a.o_orderstatus != b.o_orderstatus OR a.price != b.price
     ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build
+# ---------------------------------------------------------------------------
+#
+# The warehouse-side complement of ``snapshot_diff``: compress an
+# ordered change stream into type-2 dimension rows — one row per
+# (key, state) RUN with [valid_from, valid_to) validity, a version
+# number, and an is_current flag. Consecutive identical states
+# collapse (SCD2 only opens a version on CHANGE); the final version of
+# each key is open-ended. Plan shape: both windows (the lag that finds
+# change points and the lead that closes intervals) share ONE
+# partitioning on the key — a single narrow shuffle of
+# (key, ts, state) triples, no self-join, no full-row movement.
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(key, state, valid_from, valid_to, version, is_current) type-2
+    rows from an event stream, ordered per key by (ts, tiebreak)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.select(key_col, state_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .where(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col))
+        )
+    )
+    wc = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wc).alias("valid_to"),
+        F.row_number().over(wc).cast("long").alias("version"),
+        F.lead(ts_col).over(wc).isNull().alias("is_current"),
+    )
+
+
+def q_cdc_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type treated as the tracked dimension state."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = scd2_history(
+        ev,
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        "is_current",
+    ).orderBy("user_id", "version")
+
+
+QUERIES["cdc_scd2_users"] = q_cdc_scd2_users
+ORACLES["cdc_scd2_users"] = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+hist AS (
+  SELECT user_id, event_type AS state,
+         ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+         CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS version
+  FROM changes)
+SELECT user_id, state,
+       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       version, (vt IS NULL) AS is_current
+FROM hist ORDER BY user_id, version
+"""

@@ -72,3 +72,34 @@ def test_join_shuffles_digest_not_rows(spark):
     # no full-width string columns survive into the join inputs
     assert "o_digest" in plan and "n_digest" in plan
     assert out.count() == 0
+
+
+def test_scd2_history_collapses_runs_and_chains_validity(spark):
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.cdc import scd2_history
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, "free", t(0), 10),
+            (1, "free", t(1), 11),   # same state: collapses into v1
+            (1, "paid", t(2), 12),
+            (1, "free", t(3), 13),   # back to free: NEW version (run-based)
+            (2, "paid", t(5), 14),
+        ],
+        "user_id long, plan string, ts timestamp, seq long",
+    )
+    out = scd2_history(
+        df, key_col="user_id", state_col="plan", ts_col="ts",
+        tiebreak_col="seq",
+    ).collect()
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["version"])
+    assert [r["plan"] for r in u1] == ["free", "paid", "free"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    # validity chains: each valid_to equals the next valid_from
+    assert u1[0]["valid_to"] == u1[1]["valid_from"] == t(2)
+    assert u1[1]["valid_to"] == u1[2]["valid_from"] == t(3)
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    (u2,) = [r for r in out if r["user_id"] == 2]
+    assert u2["version"] == 1 and u2["is_current"] and u2["valid_to"] is None
