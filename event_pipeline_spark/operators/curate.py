@@ -257,3 +257,147 @@ SELECT doc_id, novelty, n_tokens, running_tokens
 FROM ranked WHERE running_tokens <= {NOVEL_BUDGET}
 ORDER BY doc_id
 """
+
+
+# -- per-source curation funnel ----------------------------------------------
+
+
+def curate_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Per-source funnel report: every document attributed to the FIRST
+    pipeline stage that drops it (quality → duplicate → contaminated →
+    over_budget → selected). The observability face of
+    ``curate_corpus`` — same stage semantics, but nothing is filtered
+    away, so operators can see WHERE each source's mass goes.
+
+    Plan shape: the stage flags are the same narrow intermediates the
+    pipeline itself builds (quality map, md5-keyed keeper window,
+    broadcast gram semi-join, distributed prefix sum); they rejoin the
+    corpus by id only — (id, flag) pairs, never text — and collapse
+    into one |sources|-row aggregate."""
+    from event_pipeline_spark.operators.decontam import ngram_decontaminate
+    from event_pipeline_spark.operators.prefix import running_total
+
+    base = docs.select(id_col, source_col, text_col)
+    q = gopher_quality(
+        base, text_col=text_col, min_stopword_hits=min_stopword_hits
+    ).select(id_col, source_col, text_col, "passes_quality")
+    survivors = q.filter("passes_quality")
+    keeper = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    deduped = survivors.withColumn(
+        "_is_keeper", F.row_number().over(keeper) == 1
+    )
+    keepers = deduped.filter("_is_keeper")
+    contam_ids = ngram_decontaminate(
+        keepers.select(id_col, text_col),
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(id_col, F.lit(True).alias("_contam"))
+    clean = keepers.join(contam_ids, id_col, "left_anti")
+    toks = clean.select(
+        id_col, token_count(F.col(text_col)).alias("_nt")
+    )
+    sel_ids = running_total(
+        toks,
+        [F.col("_nt").desc(), F.col(id_col).asc()],
+        "_nt",
+        out_col="_run",
+    ).where(F.col("_run") <= budget).select(
+        id_col, F.lit(True).alias("_sel")
+    )
+    flags = (
+        q.select(id_col, source_col, "passes_quality")
+        .join(deduped.select(id_col, "_is_keeper"), id_col, "left")
+        .join(contam_ids, id_col, "left")
+        .join(sel_ids, id_col, "left")
+    )
+    stage = (
+        F.when(~F.col("passes_quality"), F.lit("quality"))
+        .when(~F.coalesce(F.col("_is_keeper"), F.lit(False)), F.lit("duplicate"))
+        .when(F.col("_contam").isNotNull(), F.lit("contaminated"))
+        .when(F.col("_sel").isNull(), F.lit("over_budget"))
+        .otherwise(F.lit("selected"))
+    )
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("_stage") == s, 1).otherwise(0)
+    ).cast("long")
+    return (
+        flags.withColumn("_stage", stage)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt("quality").alias("n_fail_quality"),
+            cnt("duplicate").alias("n_duplicate"),
+            cnt("contaminated").alias("n_contaminated"),
+            cnt("over_budget").alias("n_over_budget"),
+            cnt("selected").alias("n_selected"),
+        )
+    )
+
+
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return curate_funnel(
+        docs,
+        benchmark_fixture(spark, sf_dir),
+        budget=CURATE_BUDGET,
+        min_stopword_hits=CURATE_MIN_STOPWORDS,
+    ).orderBy("source")
+
+
+# Oracle: the curate_pipeline CTE chain (verbatim prefix, so the two
+# oracles can never drift), stages re-derived per doc, conditional
+# counts per source. CTEs consumed more than once are MATERIALIZED
+# (DuckDB would otherwise inline the upstream chain per reference).
+_FUNNEL_PREFIX = _CURATE_ORACLE.split(
+    "SELECT doc_id, n_tokens, running_tokens"
+)[0]
+for _name in ("q AS (", "d AS (", "contaminated AS (", "ranked AS ("):
+    _FUNNEL_PREFIX = _FUNNEL_PREFIX.replace(
+        _name, _name.replace("AS (", "AS MATERIALIZED (")
+    )
+
+QUERIES["curate_funnel"] = q_curate_funnel
+ORACLES["curate_funnel"] = (
+    _FUNNEL_PREFIX
+    + f""",
+sel AS MATERIALIZED (
+  SELECT doc_id FROM ranked WHERE running_tokens <= {CURATE_BUDGET}),
+stages AS (
+  SELECT doc.source,
+         CASE
+           WHEN doc.doc_id NOT IN (SELECT doc_id FROM q) THEN 'quality'
+           WHEN doc.doc_id NOT IN (SELECT doc_id FROM d) THEN 'duplicate'
+           WHEN doc.doc_id IN (SELECT doc_id FROM contaminated)
+               THEN 'contaminated'
+           WHEN doc.doc_id NOT IN (SELECT doc_id FROM sel)
+               THEN 'over_budget'
+           ELSE 'selected'
+         END AS stage
+  FROM documents doc)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fail_quality,
+       CAST(sum(CASE WHEN stage = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duplicate,
+       CAST(sum(CASE WHEN stage = 'contaminated' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN stage = 'over_budget' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_over_budget,
+       CAST(sum(CASE WHEN stage = 'selected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected
+FROM stages GROUP BY source ORDER BY source
+"""
+)

@@ -97,3 +97,34 @@ def test_dedup_keeper_chosen_among_quality_survivors(
         .collect()
     }
     assert chosen <= keepers
+
+
+def test_curate_funnel_attributes_first_dropping_stage(spark):
+    from event_pipeline_spark.operators.curate import curate_funnel
+
+    good = "the data " * 15  # 30 words, has a stopword: passes quality
+    rows = [
+        (1, "a", good + "one"),
+        (2, "a", good + "one"),        # exact dup of doc 1 -> duplicate
+        (3, "a", "too short"),         # fails quality
+        (4, "b", good + "two"),
+        (5, "b", good + "benchmark leak " * 4),  # contaminated (8-gram)
+    ]
+    bench = spark.createDataFrame(
+        [("benchmark leak " * 4,)], "text string"
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # budget admits doc 1 + doc 4 but not more
+    out = {
+        r["source"]: r
+        for r in curate_funnel(docs, bench, budget=70).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_fail_quality"], a["n_duplicate"]) == (3, 1, 1)
+    assert a["n_selected"] == 1
+    assert b["n_contaminated"] == 1 and b["n_selected"] == 1
+    for r in (a, b):
+        assert r["n_docs"] == (
+            r["n_fail_quality"] + r["n_duplicate"] + r["n_contaminated"]
+            + r["n_over_budget"] + r["n_selected"]
+        )
