@@ -50,24 +50,37 @@ GRADE_FIRST_OPERATORS = [
     # an unrepresented family — externally-recomputable approximate
     # aggregation — into the graded mix; text_quality stays
     # registered).
+    #
+    # Late session-7 rotation (every swapped-out name stays registered
+    # and differential-checked): curate_pipeline -> curate_funnel (the
+    # funnel oracle embeds the pipeline's entire CTE chain verbatim AND
+    # verifies per-source stage attribution on top — strictly more per
+    # slot); sim_topk_bruteforce -> decontam_semantic (bucketed
+    # embedding screen with full external oracle vs a BNLJ baseline);
+    # lm_score_positions -> rank_phrase_search (positional retrieval,
+    # a new family; lm keeps lm_doc_perplexity); cdc_snapshot_diff ->
+    # cdc_scd2_users (history build verifies intervals+versions+flags
+    # vs the 3-way diff); dedup_minhash_pairs -> fp_winnow_pairs
+    # (deterministic MOSS fingerprinting joins the graded dedup mix;
+    # probabilistic pair-dedup stays represented by dedup_ngram_jaccard).
     "extract_html_text",
     "langid_score",
-    "lm_score_positions",
+    "rank_phrase_search",
     "lm_doc_perplexity",
     "fuzzy_name_pairs_bounded",
     "sim_semantic_dedup_exact",
     "dedup_lines_docs",
     "dedup_substring_spans",
-    "dedup_minhash_pairs",
+    "fp_winnow_pairs",
     "dedup_ngram_jaccard",
-    "sim_topk_bruteforce",
+    "decontam_semantic",
     "sketch_theta_kmv_exact",
     "interval_join",
     "text_segments_udtf",
     "dsir_sample",
-    "curate_pipeline",
+    "curate_funnel",
     "rank_bm25_topk",
-    "cdc_snapshot_diff",
+    "cdc_scd2_users",
     "skew_salted_agg",
     "asof_join",
     "mm_image_neardup",
