@@ -468,3 +468,139 @@ SELECT doc_id,
 FROM hits GROUP BY doc_id ORDER BY doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood retrieval (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+#
+# The third classic ranking model next to TF-IDF and BM25: score(q,d) =
+# Σ_t log p(t|d) under Dirichlet smoothing (Zhai & Lafferty 2001),
+# decomposed the standard way so only PRESENT terms join postings:
+#   Σ_{t ∈ q ∩ d} log(1 + tf·|C| / (μ·cf(t)))  +  |q|·log(μ / (|d|+μ))
+# Every log term quantizes to exact BIGINT 1e-7 units before summing
+# (the lm.py cross-engine recipe — sums of rounded doubles are engine-
+# order-dependent, integer sums are not), so ranking is exact on both
+# engines. Plan shape mirrors ``bm25_topk``: the explode is filtered to
+# query terms before any aggregation, corpus frequencies are a
+# |q|-row broadcast, the corpus token total is a one-row broadcast
+# (the rank_bm25 one-row-stats shape).
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    mu: float = 100.0,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, score, rank): top-k docs containing >= 1 query term, ranked
+    by the full smoothed query-likelihood (absent terms contribute via
+    the length normalizer, so longer docs are properly penalized)."""
+    m = len(query_terms)
+    matched = df.select(
+        F.col(id_col),
+        F.size(corpus_tokens(F.col(text_col))).alias("dl"),
+        F.explode(corpus_tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token").isin(query_terms))
+    cf = matched.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    total = df.select(
+        F.sum(F.size(corpus_tokens(F.col(text_col))))
+        .cast("long")
+        .alias("c_total")
+    )
+    tf = matched.groupBy(id_col, "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    contrib = (
+        tf.join(F.broadcast(cf), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_u",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("tf") * F.col("c_total"))
+                    / (F.lit(float(mu)) * F.col("cf"))
+                )
+                * F.lit(1e7)
+            ).cast("long"),
+        )
+    )
+    scored = contrib.groupBy(id_col, "dl").agg(
+        F.sum("_u").cast("long").alias("_sum_u")
+    )
+    norm_u = (
+        F.lit(m)
+        * F.round(
+            F.log(
+                F.lit(float(mu)) / (F.col("dl") + F.lit(float(mu)))
+            )
+            * F.lit(1e7)
+        ).cast("long")
+    )
+    units = (F.col("_sum_u") + norm_u).alias("_units")
+    ranked = scored.select(id_col, units)
+    w = Window.orderBy(F.desc("_units"), F.asc(id_col))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            F.round(F.col("_units") / F.lit(1e7), 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+_QL_TERMS = ["spark", "window", "merge"]
+_QL_MU = 100.0
+
+
+def _q_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql_dirichlet_topk(
+        _docs(spark, sf_dir), _QL_TERMS, mu=_QL_MU
+    ).orderBy("rank")
+
+
+_QL_TERMS_SQL = ", ".join(f"'{t}'" for t in _QL_TERMS)
+
+_register(
+    "rank_ql_dirichlet",
+    _q_ql,
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS a FROM documents),
+total AS (SELECT CAST(sum(len(a)) AS BIGINT) AS c_total FROM toks),
+matched AS (
+  SELECT doc_id, len(a) AS dl, t.token
+  FROM toks, LATERAL unnest(a) AS t(token)
+  WHERE t.token IN ({_QL_TERMS_SQL})),
+cf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cf
+  FROM matched GROUP BY token),
+tf AS (
+  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+  FROM matched GROUP BY doc_id, dl, token),
+contrib AS (
+  SELECT tf.doc_id, tf.dl,
+         CAST(round(ln(1.0 + (tf.tf * total.c_total)
+                             / ({_QL_MU} * cf.cf)) * 1e7) AS BIGINT) AS u
+  FROM tf JOIN cf USING (token), total),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(u) AS BIGINT)
+         + {len(_QL_TERMS)}
+           * CAST(round(ln({_QL_MU} / (dl + {_QL_MU})) * 1e7) AS BIGINT)
+             AS units
+  FROM contrib GROUP BY doc_id, dl),
+ranked AS (
+  SELECT doc_id, units,
+         row_number() OVER (ORDER BY units DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT doc_id, round(units / 1e7, 4) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank
+""",
+)

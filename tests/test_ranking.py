@@ -145,3 +145,23 @@ def test_phrase_search_positions_and_overlaps(spark):
 
     with pytest.raises(ValueError):
         phrase_search(df, "   ")
+
+
+def test_ql_dirichlet_closed_form_and_exclusion(spark):
+    import math
+
+    from event_pipeline_spark.operators.ranking import ql_dirichlet_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d e")],
+        "doc_id long, text string",
+    )
+    out = ql_dirichlet_topk(df, ["a"], mu=2.0).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 has no term
+    assert [r["rank"] for r in out] == [1, 2]
+    # closed form: |C|=7 (doc 3's tokens count toward the corpus
+    # total even though it matches no term), cf(a)=3
+    s1 = math.log(1 + (2 * 7) / (2 * 3)) + math.log(2 / (3 + 2))
+    s2 = math.log(1 + (1 * 7) / (2 * 3)) + math.log(2 / (2 + 2))
+    assert abs(out[0]["score"] - round(s1, 4)) <= 1e-4
+    assert abs(out[1]["score"] - round(s2, 4)) <= 1e-4
