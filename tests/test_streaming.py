@@ -1564,3 +1564,80 @@ def test_streaming_curate_pipeline(spark, tmp_path):
         assert by_id == {1: good_a, 5: good_b}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_scd2_emits_closed_versions(spark, tmp_path):
+    """A change arriving in batch 2 closes the version opened in batch
+    1 (open version persists in state); emitted closed rows equal the
+    batch rebuild's non-current rows on the same log."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.cdc import scd2_history
+    from event_pipeline_spark.streaming.scd2 import streaming_scd2
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    b1 = [
+        (1, "free", t(0), 10),
+        (1, "paid", t(1), 11),   # closes free v1 within batch 1
+        (3, "same", t(0), 12),
+        (3, "same", t(1), 13),   # no change: nothing closes
+    ]
+    b2 = [
+        (1, "free", t(2), 20),   # closes paid v2 ACROSS batches
+        (2, "new", t(2), 21),    # opens only: nothing emitted
+    ]
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        src = f"file://{tmp_path}/scd_src"
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        collected: list = []
+        q = (
+            streaming_scd2(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/scd_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = sorted(
+            (r["key"], r["state"], r["valid_from"], r["valid_to"],
+             r["version"])
+            for r in collected
+        )
+        batch = scd2_history(
+            spark.createDataFrame(b1 + b2, schema),
+            key_col="user_id", state_col="event_type", ts_col="ts",
+            tiebreak_col="event_id",
+        )
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        want = sorted(
+            (r["user_id"], r["event_type"], r["valid_from"],
+             r["valid_to"], r["version"])
+            for r in batch.where(~F.col("is_current")).select(
+                "user_id", "event_type",
+                F.date_format("valid_from", fmt).alias("valid_from"),
+                F.date_format("valid_to", fmt).alias("valid_to"),
+                "version",
+            ).collect()
+        )
+        assert got == want
+        assert [g[0] for g in got] == [1, 1]  # only user 1 closed rows
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
