@@ -60,7 +60,15 @@ def winnow_fingerprints(
     (pos is the 1-based k-gram position). Documents with fewer than w
     k-grams form one clamped window (their global minimum is selected),
     so every non-empty document carries at least one fingerprint."""
-    hs = _gram_hash_structs(F.col(text_col), k)
+    # Materialize the gram-hash array as a REAL column before windowing:
+    # referencing the expression inside the window lambda would make
+    # Catalyst re-evaluate the whole O(n·k) md5 array per window slice
+    # (no CSE across lambda scopes) — measured 170s -> 3s at sf0.1.
+    hashed = docs.select(
+        F.col(id_col),
+        _gram_hash_structs(F.col(text_col), k).alias("_hs"),
+    )
+    hs = F.col("_hs")
     n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
     selected = F.array_distinct(
         F.transform(
@@ -68,7 +76,7 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(hs, j, w)),
         )
     )
-    return docs.select(
+    return hashed.select(
         F.col(id_col), F.explode(selected).alias("_s")
     ).select(
         id_col,
