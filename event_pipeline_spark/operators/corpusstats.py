@@ -343,16 +343,23 @@ def ngram_novelty(
     gram back once. Docs shorter than ``n`` words emit one whole-text
     gram (the ``dedup.py`` shingle rule).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams_arr = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-            )
-        ),
-    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    from event_pipeline_spark.operators.text import bind
+
+    # bind(): the token array must be a lambda variable, not a repeated
+    # expression — Catalyst re-evaluates the split per window otherwise
+    # (quadratic in document length; see text.bind).
+    grams_arr = bind(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+                )
+            ),
+        ).otherwise(F.array(F.md5(F.array_join(toks, " ")))),
+    )
     dg = docs.select(
         F.col(id_col).alias("_id"), F.explode(grams_arr).alias("_g")
     )

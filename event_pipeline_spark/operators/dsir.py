@@ -56,17 +56,28 @@ def hashed_gram_buckets(
 ) -> Column:
     """Array of bucket ids for a doc's word unigrams AND bigrams (the
     paper's feature set), in position order (unigrams first)."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+    from event_pipeline_spark.operators.text import bind
+
+    # bind(): the bigram builder indexes the token array per position —
+    # as a raw expression the split would re-run at every element
+    # (quadratic in doc length; see text.bind).
+    grams = bind(
+        F.split(F.trim(text_col), r"\s+"),
+        lambda toks: F.concat(
+            toks,
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
+    )
     return F.transform(
         grams, lambda g: (_md5_low64(g) % num_buckets).cast("int")
     )

@@ -69,14 +69,20 @@ def ngram_count_table(
 ) -> DataFrame:
     """(gram string, cnt) for all ``n``-grams — one JVM pass, the gram
     strings are built inside the token array before the explode."""
-    a = whitespace_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(a) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(a) - n + 1),
-            lambda i: F.array_join(F.slice(a, i, n), SEP),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from event_pipeline_spark.operators.text import bind
+
+    # bind(): route the token array through a lambda variable so the
+    # split is evaluated once, not once per gram (see text.bind).
+    grams = bind(
+        whitespace_tokens(F.col(text_col)),
+        lambda a: F.when(
+            F.size(a) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - n + 1),
+                lambda i: F.array_join(F.slice(a, i, n), SEP),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     out = (
         docs.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -93,31 +99,35 @@ def _position_table(
     """One row per token position: (id, i [1-based], gram_k / ctx_k
     strings for k=2..order). Built with ``inline`` so the token array
     is never duplicated across exploded rows."""
-    a = whitespace_tokens(F.col(text_col))
+    from event_pipeline_spark.operators.text import bind
 
-    def gram_ending_at(i, length):  # words [i-length+1 .. i] joined
-        return F.array_join(F.slice(a, i - length + 1, length), SEP)
+    def build(a):  # a = bound token array (see text.bind — the raw
+        # expression would re-split the text at EVERY position)
+        def gram_ending_at(i, length):  # words [i-length+1 .. i] joined
+            return F.array_join(F.slice(a, i - length + 1, length), SEP)
 
-    fields = lambda i: [  # noqa: E731
-        i.alias("i"),
-        F.element_at(a, i).alias("w"),
-        *[
-            x
-            for k in range(2, order + 1)
-            for x in (
-                F.when(i >= k, gram_ending_at(i, k)).alias(f"g{k}"),
-                F.when(i >= k, gram_ending_at(i - 1, k - 1)).alias(
-                    f"ctx{k}"
-                ),
-            )
-        ],
-    ]
-    terms = F.transform(
-        F.sequence(F.lit(1), F.size(a)), lambda i: F.struct(*fields(i))
-    )
-    return docs.where(F.size(a) > 0).select(
-        F.col(id_col), F.inline(terms)
-    )
+        fields = lambda i: [  # noqa: E731
+            i.alias("i"),
+            F.element_at(a, i).alias("w"),
+            *[
+                x
+                for k in range(2, order + 1)
+                for x in (
+                    F.when(i >= k, gram_ending_at(i, k)).alias(f"g{k}"),
+                    F.when(i >= k, gram_ending_at(i - 1, k - 1)).alias(
+                        f"ctx{k}"
+                    ),
+                )
+            ],
+        ]
+        return F.transform(
+            F.sequence(F.lit(1), F.size(a)), lambda i: F.struct(*fields(i))
+        )
+
+    terms = bind(whitespace_tokens(F.col(text_col)), build)
+    return docs.where(
+        F.size(whitespace_tokens(F.col(text_col))) > 0
+    ).select(F.col(id_col), F.inline(terms))
 
 
 def lm_score_positions(

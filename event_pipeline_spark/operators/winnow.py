@@ -36,14 +36,20 @@ WINDOW = 4
 
 def _gram_hash_structs(text_col: Column, k: int) -> Column:
     """array<struct(h: md5-hex of k-gram at pos, negpos: -pos)> —
-    negpos makes struct-min pick the RIGHTMOST among equal hashes."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.struct(
-            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
-            (-i).alias("negpos"),
+    negpos makes struct-min pick the RIGHTMOST among equal hashes.
+    ``bind`` keeps the split single-evaluation (see text.bind)."""
+    from event_pipeline_spark.operators.text import bind
+
+    return bind(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))
+            ),
+            lambda i: F.struct(
+                F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
+                (-i).alias("negpos"),
+            ),
         ),
     )
 

@@ -39,14 +39,19 @@ def _gram_hashes_expr(text_col: Column, n: int) -> Column:
     """Array of md5 hashes of the doc's space-joined lowercase word
     n-grams — the expression form of ``decontam._gram_hashes`` (same
     gram strings, same hashes), usable on a stream without a join."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from event_pipeline_spark.operators.text import bind
+
+    # bind(): evaluate the split once, not once per gram (text.bind)
+    return bind(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def streaming_curate(

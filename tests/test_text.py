@@ -110,3 +110,25 @@ def test_chunk_text_covers_document_with_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_text(df, chunk_chars=100, overlap=100)
+
+
+def test_bind_preserves_semantics(spark):
+    from event_pipeline_spark.operators.text import bind
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x",), ("",)], "text string"
+    )
+    toks_expr = F.split(F.trim(F.col("text")), r"\s+")
+    plain = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks_expr) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks_expr, i, 2), " "),
+    )
+    bound = bind(
+        toks_expr,
+        lambda a: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(a) - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(a, i, 2), " "),
+        ),
+    )
+    rows = df.select(plain.alias("p"), bound.alias("b")).collect()
+    assert all(r["p"] == r["b"] for r in rows)
