@@ -379,10 +379,19 @@ def materialize_sequences(
     mapping = F.create_map(
         *[F.lit(x) for tok_id, tok in enumerate(vocab) for x in (tok, tok_id)]
     )
+    from event_pipeline_spark.operators.text import bind
+
+    # bind(): the 2|V|-literal CreateMap would otherwise be rebuilt for
+    # EVERY token element (no CSE across lambda scopes; see text.bind)
     with_ids = toks.select(
         F.col("id").alias(id_col),
         F.col("n_tokens"),
-        F.transform("tokens", lambda t: F.element_at(mapping, t)).alias("_ids"),
+        bind(
+            mapping,
+            lambda m: F.transform(
+                "tokens", lambda t: F.element_at(m, t)
+            ),
+        ).alias("_ids"),
     )
     segs = pack_sequences(
         with_ids.select(id_col, "n_tokens"), id_col=id_col, seq_len=seq_len
