@@ -165,3 +165,44 @@ def test_ql_dirichlet_closed_form_and_exclusion(spark):
     s2 = math.log(1 + (1 * 7) / (2 * 3)) + math.log(2 / (2 + 2))
     assert abs(out[0]["score"] - round(s1, 4)) <= 1e-4
     assert abs(out[1]["score"] - round(s2, 4)) <= 1e-4
+
+
+def test_hypothesis_phrase_search_matches_python_scan(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_pipeline_spark.operators.ranking import phrase_search
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(tok, min_size=1, max_size=12),
+            min_size=1,
+            max_size=4,
+        ),
+        st.lists(tok, min_size=1, max_size=3),
+    )
+    def run(corpora, phrase):
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(corpora)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(df, " ".join(phrase)).collect()
+        }
+        want = {}
+        m = len(phrase)
+        for i, toks in enumerate(corpora):
+            hits = [
+                p + 1
+                for p in range(len(toks) - m + 1)
+                if toks[p : p + m] == phrase
+            ]
+            if hits:
+                want[i] = (len(hits), hits[0])
+        assert got == want
+
+    run()

@@ -75,3 +75,50 @@ def test_pairs_max_df_drops_boilerplate(spark):
     df = _docs(spark, [(i, run) for i in range(6)])
     assert winnow_pairs(df, max_df=5).count() == 0
     assert winnow_pairs(df, max_df=6).count() == 15  # all C(6,2) pairs
+
+
+def test_hypothesis_winnow_matches_python_model(spark):
+    """Selection (positions AND hashes, incl. the rightmost-tie rule)
+    must equal a sequential Python winnow on random small corpora."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_winnow(toks, k=4, w=4):
+        n_grams = max(len(toks) - (k - 1), 1)
+        hs = [
+            hashlib.md5(" ".join(toks[i - 1 : i - 1 + k]).encode()).hexdigest()
+            for i in range(1, n_grams + 1)
+        ]
+        out = set()
+        for j in range(1, max(n_grams - (w - 1), 1) + 1):
+            window = hs[j - 1 : j - 1 + w]
+            m = min(window)
+            # rightmost position among equal minimal hashes
+            pos = j + max(i for i, h in enumerate(window) if h == m)
+            out.add((pos, m))
+        return out
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(tok, min_size=1, max_size=14),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def run(corpora):
+        df = _docs(
+            spark,
+            [(i, " ".join(t).lower()) for i, t in enumerate(corpora)],
+        )
+        got = {}
+        for r in winnow_fingerprints(df).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        want = {i: py_winnow(t) for i, t in enumerate(corpora)}
+        assert got == want
+
+    run()
