@@ -604,3 +604,180 @@ SELECT doc_id, round(units / 1e7, 4) AS score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY rank
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine document-similarity join
+# ---------------------------------------------------------------------------
+#
+# The vector-space complement of the set-similarity joins in dedup.py
+# (Jaccard/containment ignore term WEIGHTS; two docs sharing one rare
+# technical term are closer than two sharing five stopwords). Candidate
+# generation uses rare-term blocking — only terms with df <= max_df
+# propose pairs, the same boilerplate-cap rationale as the winnow pair
+# report (a pair sharing ONLY ubiquitous terms is noise by definition,
+# and ubiquitous terms would force a quadratic join). The cosine itself
+# is then EXACT over all shared terms of each candidate. Weights are
+# integer 1e-7-unit idf scaled by tf, so dot products are exact BIGINT
+# sums (order-independent on both engines); norms take one sqrt of an
+# exact BIGINT sum — the lm.py recipe applied to a bilinear form.
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    threshold: float,
+    max_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, cosine): candidate pairs sharing >= 1 rare BIGRAM
+    (bigram df <= max_df) whose full unigram TF-IDF cosine reaches
+    ``threshold``. Bigram blocking keeps candidates distinctive even on
+    small-vocabulary corpora where no single term is rare; the verify
+    stage is the classic unigram vector cosine."""
+    from event_pipeline_spark.operators.text import bind
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(corpus_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "token",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n") / F.col("df")) * F.lit(1e7)
+                ).cast("long")
+            ).alias("wu"),
+        )
+    )
+    norms = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("wu") * F.col("wu"))).alias("norm")
+    )
+    bigrams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                bind(
+                    corpus_tokens(F.col(text_col)),
+                    lambda a: F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(a) - 1, F.lit(1))
+                        ),
+                        lambda i: F.array_join(F.slice(a, i, 2), " "),
+                    ),
+                )
+            )
+        ).alias("bg"),
+    )
+    rare = bigrams.join(
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .where(F.col("bdf") <= max_df)
+        .select("bg"),
+        "bg",
+    )
+    cand = (
+        rare.alias("ra")
+        .join(
+            rare.alias("rb"),
+            (F.col("ra.bg") == F.col("rb.bg"))
+            & (F.col("ra._id") < F.col("rb._id")),
+        )
+        .select(
+            F.col("ra._id").alias("id_a"), F.col("rb._id").alias("id_b")
+        )
+        .distinct()
+    )
+    wa = w.select(F.col("_id").alias("id_a"), "token", F.col("wu").alias("wa"))
+    wb = w.select(F.col("_id").alias("id_b"), "token", F.col("wu").alias("wb"))
+    dots = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+_DOCSIM_THRESHOLD = 0.85
+_DOCSIM_MAX_DF = 10
+
+
+def _q_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir),
+        threshold=_DOCSIM_THRESHOLD,
+        max_df=_DOCSIM_MAX_DF,
+    ).orderBy("id_a", "id_b")
+
+
+_register(
+    "rank_tfidf_docsim",
+    _q_docsim,
+    f"""
+WITH toks AS (
+  SELECT doc_id AS id, t.token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS a FROM documents),
+       LATERAL unnest(a) AS t(token)),
+tf AS (
+  SELECT id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY id, token),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w AS MATERIALIZED (
+  SELECT tf.id, tf.token,
+         tf.tf * CAST(round(ln(n_docs.n::DOUBLE / dfreq.df::DOUBLE) * 1e7)
+                      AS BIGINT) AS wu
+  FROM tf JOIN dfreq USING (token), n_docs),
+norms AS (
+  SELECT id, sqrt(CAST(sum(wu * wu) AS BIGINT)::DOUBLE) AS nrm
+  FROM w GROUP BY id),
+bigrams AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, array_to_string(a[i : i + 1], ' ') AS bg
+  FROM (SELECT doc_id, {_TOKS_SQL} AS a FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(a) - 1, 1))) AS t(i)),
+rare AS MATERIALIZED (
+  SELECT id, bg FROM bigrams
+  WHERE bg IN (SELECT bg FROM bigrams GROUP BY bg
+               HAVING count(*) <= {_DOCSIM_MAX_DF})),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rare a JOIN rare b ON a.bg = b.bg AND a.id < b.id),
+dots AS (
+  SELECT c.id_a, c.id_b, CAST(sum(wa.wu * wb.wu) AS BIGINT) AS dot
+  FROM cand c
+  JOIN w wa ON wa.id = c.id_a
+  JOIN w wb ON wb.id = c.id_b AND wb.token = wa.token
+  GROUP BY c.id_a, c.id_b)
+SELECT d.id_a, d.id_b,
+       round(d.dot::DOUBLE / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.id = d.id_a
+JOIN norms nb ON nb.id = d.id_b
+WHERE round(d.dot::DOUBLE / (na.nrm * nb.nrm), 6) >= {_DOCSIM_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)

@@ -206,3 +206,22 @@ def test_hypothesis_phrase_search_matches_python_scan(spark):
         assert got == want
 
     run()
+
+
+def test_tfidf_docsim_blocking_and_exact_cosine(spark):
+    from event_pipeline_spark.operators.ranking import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),     # identical twin of 1
+        # three docs sharing ONLY the ubiquitous "x y" bigram (df=3 >
+        # max_df=2): blocked out, no candidates among them
+        (3, "x y one"),
+        (4, "x y two"),
+        (5, "x y three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, threshold=0.0, max_df=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert pairs[(1, 2)] == 1.0  # identical docs: exact cosine 1
+    assert not any(a >= 3 for a, _ in pairs), "common-bigram docs blocked"
