@@ -68,6 +68,10 @@ OPERATORS = [
     "resample_ffill_hourly",
     "select_token_budget",
     "shuffle_epoch",
+    # round-7 additions: the new heavyweight families stay measured
+    "fp_winnow_pairs",
+    "curate_funnel",
+    "rank_tfidf_docsim",
 ]
 
 
