@@ -456,3 +456,102 @@ SELECT doc_id, n_tokens,
          AS shard
 FROM ranked ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+N_CURRICULUM_BUCKETS = 10
+
+
+def curriculum_order(
+    df: DataFrame,
+    *,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = N_CURRICULUM_BUCKETS,
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum training order: rank by ``score_col`` ascending
+    (easy → hard), cut into ``n_buckets`` equal rank buckets, and
+    SHUFFLE deterministically within each bucket (md5 order) — the
+    standard curriculum-learning data layout (ordered difficulty
+    without intra-bucket correlation). Returns input columns +
+    ``bucket`` + ``seq`` (the 1-based global training position).
+
+    Scale shape: both global ranks (difficulty rank, final sequence)
+    come from the distributed prefix sum (range partition + broadcast
+    offsets — never a single-partition window); the bucket formula
+    ``(rank-1)*n_buckets div N`` is a pure map over a one-row
+    broadcast count."""
+    from event_pipeline_spark.operators.prefix import running_total
+    from event_pipeline_spark.operators.sampling import hash_hex
+
+    n_total = df.select(F.count(F.lit(1)).alias("_n"))
+    ranked = running_total(
+        df.withColumn("_one", F.lit(1)),
+        [F.col(score_col).asc(), F.col(id_col).asc()],
+        "_one",
+        out_col="_rank",
+    )
+    bucketed = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "bucket",
+            F.expr(f"(_rank - 1) * {int(n_buckets)} div _n").cast("int"),
+        )
+        .drop("_rank", "_n")
+    )
+    seq = running_total(
+        bucketed,
+        [
+            F.col("bucket").asc(),
+            hash_hex(F.col(id_col), salt).asc(),
+            F.col(id_col).asc(),
+        ],
+        "_one",
+        out_col="seq",
+    ).drop("_one")
+    return seq
+
+
+def _curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length curriculum over documents: shortest docs first (the
+    classic sequence-length curriculum), shuffled inside each decile."""
+    from event_pipeline_spark.operators.text import token_count
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return curriculum_order(
+        docs, score_col="n_tokens", id_col="doc_id"
+    ).select("doc_id", "n_tokens", "bucket", "seq").orderBy("doc_id")
+
+
+QUERIES["curriculum_order"] = _curriculum_q
+ORACLES["curriculum_order"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             AS n_tokens
+  FROM documents),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS rk
+  FROM toks),
+bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(((rk - 1) * {N_CURRICULUM_BUCKETS}) // n AS INT) AS bucket
+  FROM ranked, n_tot),
+seqd AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(row_number() OVER (
+             ORDER BY bucket ASC,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+                      doc_id ASC) AS BIGINT) AS seq
+  FROM bucketed)
+SELECT doc_id, n_tokens, bucket, seq FROM seqd ORDER BY doc_id
+"""

@@ -352,3 +352,39 @@ def test_shard_assignment_balance_and_coverage(spark, sf_dir):
     assert set(totals) == set(range(N_SHARDS))
     biggest = max(r["n_tokens"] for r in out)
     assert max(totals.values()) - min(totals.values()) <= biggest
+
+
+def test_curriculum_order_buckets_and_shuffle(spark):
+    from event_pipeline_spark.operators.packing import curriculum_order
+
+    # 20 docs with strictly increasing difficulty 1..20
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 21)], "doc_id long, score long"
+    )
+    out = curriculum_order(
+        df, score_col="score", id_col="doc_id", n_buckets=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # equal rank buckets: docs 1-5 -> bucket 0, ..., 16-20 -> bucket 3
+    for i in range(1, 21):
+        assert by_id[i]["bucket"] == (i - 1) * 4 // 20
+    # seq is a permutation of 1..20 and bucket-monotone: every seq in
+    # bucket b precedes every seq in bucket b+1
+    seqs = sorted(r["seq"] for r in out)
+    assert seqs == list(range(1, 21))
+    max_prev = 0
+    for b in range(4):
+        bucket_seqs = [r["seq"] for r in out if r["bucket"] == b]
+        assert min(bucket_seqs) > max_prev
+        max_prev = max(bucket_seqs)
+    # within a bucket the order is NOT the id order (md5 shuffle) for
+    # at least one bucket of this fixture
+    shuffled = any(
+        [r["seq"] for r in sorted(out, key=lambda r: r["doc_id"])
+         if r["bucket"] == b]
+        != sorted(
+            r["seq"] for r in out if r["bucket"] == b
+        )
+        for b in range(4)
+    )
+    assert shuffled

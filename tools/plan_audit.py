@@ -79,6 +79,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "and one-row weight norm over the |sources|-row stats frame "
         "(the rank_bm25 one-row-stats shape)",
     },
+    "curriculum_order": {
+        "BroadcastNestedLoopJoin": "broadcast one-row doc count for the "
+        "bucket formula (the rank_bm25 one-row-stats shape)",
+    },
     "rank_tfidf_docsim": {
         "BroadcastNestedLoopJoin": "broadcast one-row doc-count for idf "
         "(the rank_bm25 one-row-stats shape)",
