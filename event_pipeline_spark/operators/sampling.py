@@ -477,3 +477,79 @@ WHERE r.cum_tokens <= b.src_budget
 ORDER BY doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Input columns + ``split`` ('train'|'val'|'test'): a deterministic
+    per-source stratified split with EXACT quotas — within each source,
+    rows rank by (md5(key), key); the first ``val_pct``% become val,
+    the next ``test_pct``% test, the rest train (floor quotas, so small
+    sources lose at most one row per eval split, never a whole split).
+    Hash-threshold splits (``sample_fraction``) only hit quotas in
+    expectation — an eval set wants them exact per stratum.
+
+    One window shuffle partitioned by source; the rank comparison is a
+    pure map against per-source counts broadcast from a |sources|-row
+    aggregate."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError("val/test percentages must be >=0 and sum < 100")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_src_n")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        hash_hex(F.col(key_col), salt), F.col(key_col)
+    )
+    ranked = df.withColumn("_rk", F.row_number().over(w)).join(
+        F.broadcast(counts), source_col
+    )
+    n_val = F.expr(f"_src_n * {int(val_pct)} div 100")
+    n_test = F.expr(f"_src_n * {int(test_pct)} div 100")
+    split = (
+        F.when(F.col("_rk") <= n_val, F.lit("val"))
+        .when(F.col("_rk") <= n_val + n_test, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return ranked.withColumn("split", split).drop("_rk", "_src_n")
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = split_assign(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        "doc_id",
+    )
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+_register(
+    "sample_split",
+    q_sample_split,
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN rk <= (n * 10) // 100 THEN 'val'
+            WHEN rk <= (n * 10) // 100 + (n * 10) // 100 THEN 'test'
+            ELSE 'train' END AS split
+FROM ranked ORDER BY doc_id
+""",
+)

@@ -374,3 +374,35 @@ def test_temperature_token_budget_upweights_small_source(spark):
     assert kept["small"] / (kept["small"] + kept["big"]) > 0.2
     # greedy fill respects the per-source budget exactly
     assert kept["big"] <= 500 and kept["small"] <= 500
+
+
+def test_split_assign_exact_quotas_and_determinism(spark):
+    import pytest
+
+    from event_pipeline_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(57)],
+        "doc_id long, source string",
+    )
+    out = split_assign(df, "source", "doc_id").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["source"], r["split"]), set()).add(r["doc_id"])
+    # exact floor quotas: a (n=50) -> 5/5/40; b (n=7) -> 0/0/7
+    assert len(by[("a", "val")]) == 5 and len(by[("a", "test")]) == 5
+    assert len(by[("a", "train")]) == 40
+    assert ("b", "val") not in by and ("b", "test") not in by
+    assert len(by[("b", "train")]) == 7
+    # deterministic: a second run assigns identically
+    out2 = split_assign(df, "source", "doc_id").collect()
+    assert {(r["doc_id"], r["split"]) for r in out2} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+    # a different salt moves at least one row between splits
+    out3 = split_assign(df, "source", "doc_id", salt="s2").collect()
+    assert {(r["doc_id"], r["split"]) for r in out3} != {
+        (r["doc_id"], r["split"]) for r in out
+    }
+    with pytest.raises(ValueError):
+        split_assign(df, "source", "doc_id", val_pct=60, test_pct=40)
