@@ -23,7 +23,7 @@ counts. The guarantee and tie-rule contracts are pytest-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -185,5 +185,107 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
 WHERE a.id < b.id
 GROUP BY a.id, b.id ORDER BY id_a, id_b
+"""
+)
+
+
+def winnow_span_report(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+    w: int = WINDOW,
+    max_df: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, longest_run, longest_span_tokens): the
+    MOSS-style extent report. Candidates come from the winnowing pair
+    join; the extent then uses ALL k-gram hashes of just those pairs —
+    a shared gram at positions (pa, pb) lies on diagonal pa−pb, and a
+    maximal run of consecutive positions on one diagonal is a shared
+    substring of run+k−1 tokens (exact, not a fingerprint sample,
+    because every gram of a shared run shares its hash).
+
+    Scale shape: the quadratic-looking part is confined to candidate
+    pairs (bounded by the max_df cap); the islands detection is one
+    window per (pair, diagonal) over gram POSITIONS — integers only,
+    no text movement."""
+    pairs = winnow_pairs(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w, max_df=max_df
+    )
+    grams = docs.select(
+        F.col(id_col).alias("_gid"),
+        F.explode(_gram_hash_structs(F.col(text_col), k)).alias("_s"),
+    ).select("_gid", (-F.col("_s.negpos")).alias("p"), F.col("_s.h").alias("h"))
+    ga = grams.select(
+        F.col("_gid").alias("id_a"), F.col("p").alias("pa"), "h"
+    )
+    gb = grams.select(
+        F.col("_gid").alias("id_b"), F.col("p").alias("pb"), "h"
+    )
+    occ = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "h"])
+        .select(
+            "id_a", "id_b", "n_shared",
+            (F.col("pa") - F.col("pb")).alias("diag"), "pa",
+        )
+        .distinct()
+    )
+    iw = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        occ.withColumn("_grp", F.col("pa") - F.row_number().over(iw))
+        .groupBy("id_a", "id_b", "n_shared", "diag", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return runs.groupBy("id_a", "id_b", "n_shared").agg(
+        F.max("_run").cast("long").alias("longest_run"),
+        (F.max("_run") + F.lit(k - 1)).cast("long").alias(
+            "longest_span_tokens"
+        ),
+    )
+
+
+def q_fp_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return winnow_span_report(
+        read_table(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["fp_winnow_spans"] = q_fp_winnow_spans
+ORACLES["fp_winnow_spans"] = (
+    _SEL_CTES
+    + f""",
+fps AS (SELECT DISTINCT doc_id AS id, h AS fp FROM sel),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 5),
+pairs AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id),
+grams AS MATERIALIZED (
+  SELECT doc_id AS id, pos AS p, h FROM hs),
+occ AS (
+  SELECT DISTINCT pr.id_a, pr.id_b, pr.n_shared,
+         ga.p - gb.p AS diag, ga.p AS pa
+  FROM pairs pr
+  JOIN grams ga ON ga.id = pr.id_a
+  JOIN grams gb ON gb.id = pr.id_b AND gb.h = ga.h),
+runs AS (
+  SELECT id_a, id_b, n_shared, diag,
+         pa - row_number() OVER (
+             PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+  FROM occ)
+SELECT id_a, id_b, n_shared,
+       CAST(max(run) AS BIGINT) AS longest_run,
+       CAST(max(run) + {K_GRAM - 1} AS BIGINT) AS longest_span_tokens
+FROM (SELECT id_a, id_b, n_shared, diag, grp,
+             count(*) AS run
+      FROM runs GROUP BY id_a, id_b, n_shared, diag, grp)
+GROUP BY id_a, id_b, n_shared ORDER BY id_a, id_b
 """
 )

@@ -122,3 +122,26 @@ def test_hypothesis_winnow_matches_python_model(spark):
         assert got == want
 
     run()
+
+
+def test_span_report_exact_longest_shared_run(spark):
+    from event_pipeline_spark.operators.winnow import winnow_span_report
+
+    run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"      # 9 shared tokens
+    run5 = "s1 s2 s3 s4 s5"                   # 5 shared tokens
+    df = _docs(
+        spark,
+        [
+            (1, f"{run9} fillA {run5} tailA one"),
+            (2, f"headB {run5} fillB {run9} tailB"),
+            (3, "entirely different words without overlap here ok"),
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r for r in winnow_span_report(df).collect()
+    }
+    r = out[(1, 2)]
+    # exact extents: the 9-token run has 6 consecutive 4-gram hashes
+    assert r["longest_run"] == 6
+    assert r["longest_span_tokens"] == 9
+    assert not any(3 in p for p in out)
