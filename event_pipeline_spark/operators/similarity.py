@@ -1972,3 +1972,127 @@ SELECT id_a, id_b, cosine FROM scored
 WHERE cosine >= 0.45 ORDER BY id_a, id_b
 """,
 )
+
+
+def contrastive_triplets_exact(
+    df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(anchor, pos_id, pos_cos, neg_id, neg_cos): contrastive training
+    triplets mined from the literal-plane candidate graph. Per anchor,
+    the positive is its best same-bucket neighbor at or above
+    ``threshold``; the hard negative is its best same-bucket neighbor
+    BELOW the threshold — the standard hard-negative rule (nearest
+    non-duplicate), which trains a sharper margin than random
+    negatives. Anchors lacking either side are dropped.
+
+    Scale shape: identical to ``embedding_neardup_exact`` — candidates
+    from the (table, bucket) equi-join (both directions here, since
+    every vector anchors its own triplet), one exact round-6 cosine per
+    candidate, then two per-anchor window minima. No corpus broadcast,
+    no pair blowup beyond the bucket join."""
+    b = lsh_buckets_exact(
+        df, id_col=id_col, vec_col=vec_col, planes=planes,
+        n_planes=n_planes,
+    )
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") != F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("anchor"), F.col("y._id").alias("cand"))
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    scored = (
+        cand.join(v.withColumnRenamed("_vid", "anchor"), "anchor")
+        .withColumnRenamed("_v", "_va")
+        .join(v.withColumnRenamed("_vid", "cand"), "cand")
+        .select(
+            "anchor",
+            "cand",
+            F.round(cosine(F.col("_va"), F.col("_v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos"), F.asc("cand"))
+    pos = (
+        scored.where(F.col("cos") >= threshold)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "anchor",
+            F.col("cand").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(F.col("cos") < threshold)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "anchor",
+            F.col("cand").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor")
+
+
+def q_sim_triplets_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 0.45 threshold as the neardup family."""
+    return contrastive_triplets_exact(
+        _emb(spark, sf_dir), threshold=0.45
+    ).orderBy("anchor")
+
+
+_register(
+    "sim_triplets_exact",
+    q_sim_triplets_exact,
+    f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(t, w, pv) AS (
+  VALUES {_planes_values(LSH_EXACT_PLANES, 4)}
+),
+b AS (
+  SELECT c.id, pl.t,
+         CAST(sum(CASE WHEN round(list_inner_product(c.v, pl.pv), 7) >= 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes pl GROUP BY c.id, pl.t),
+cand AS (
+  SELECT DISTINCT x.id AS anchor, y.id AS cand
+  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.id <> y.id),
+scored AS (
+  SELECT cand.anchor, cand.cand,
+         ROUND(list_cosine_similarity(ca.v, cb.v), 6) AS cos
+  FROM cand
+  JOIN corpus ca ON ca.id = cand.anchor
+  JOIN corpus cb ON cb.id = cand.cand),
+pos AS (
+  SELECT anchor, cand AS pos_id, cos AS pos_cos
+  FROM (SELECT anchor, cand, cos,
+               row_number() OVER (PARTITION BY anchor
+                                  ORDER BY cos DESC, cand ASC) AS r
+        FROM scored WHERE cos >= 0.45)
+  WHERE r = 1),
+neg AS (
+  SELECT anchor, cand AS neg_id, cos AS neg_cos
+  FROM (SELECT anchor, cand, cos,
+               row_number() OVER (PARTITION BY anchor
+                                  ORDER BY cos DESC, cand ASC) AS r
+        FROM scored WHERE cos < 0.45)
+  WHERE r = 1)
+SELECT pos.anchor, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos
+FROM pos JOIN neg USING (anchor) ORDER BY anchor
+""",
+)

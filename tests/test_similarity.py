@@ -775,3 +775,29 @@ def test_embedding_neardup_exact_sound_and_recalls(emb):
     assert got <= truth
     assert truth  # the threshold actually selects something
     assert len(got) / len(truth) >= 0.4
+
+
+def test_contrastive_triplets_pos_above_neg_below_threshold(spark):
+    from event_pipeline_spark.operators.similarity import (
+        contrastive_triplets_exact,
+    )
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 0.1] + [0.0] * (dim - 2)    # cos vs e0 ~0.995
+    far = [1.0] + [0.0] * 31 + [2.0] + [0.0] * 31  # cos vs e0 ~0.447<0.9
+    df = spark.createDataFrame(
+        [(1, e0), (2, near), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["anchor"]: r
+        for r in contrastive_triplets_exact(df, threshold=0.9).collect()
+    }
+    # anchor 1: positive = 2 (0.995 >= .9), hard negative = 3 (<.9)
+    assert out[1]["pos_id"] == 2 and out[1]["pos_cos"] >= 0.9
+    assert out[1]["neg_id"] == 3 and out[1]["neg_cos"] < 0.9
+    # the triplet margin is what the miner exists to produce
+    assert out[1]["pos_cos"] > out[1]["neg_cos"]
+    # anchor 3 has no positive (both neighbors < .9) -> dropped
+    assert 3 not in out
