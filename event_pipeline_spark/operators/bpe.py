@@ -641,3 +641,69 @@ def _bpe_train_oracle(num_merges: int) -> str:
 
 
 ORACLES["bpe_merges"] = _bpe_train_oracle(40)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-aware temperature mixture: the sample_temperature_budget
+# allocation driven by real BPE token counts under the frozen merge
+# table (the production contract — budgets are spent in TOKENIZER
+# tokens, not whitespace words). Same integer-unit weight math; the
+# oracle recomputes the BPE segmentation via the replace chain and then
+# the full allocation.
+# ---------------------------------------------------------------------------
+
+_TEMP_BPE_DENOM = 10
+
+
+def q_sample_temperature_budget_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from event_pipeline_spark.operators.sampling import (
+        temperature_token_budget,
+    )
+
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    counted = _bpe_doc_tokens(spark, sf_dir).join(src, "doc_id")
+    out = temperature_token_budget(
+        counted,
+        "source",
+        "doc_id",
+        tokens_col="n_tokens",
+        budget_denom=_TEMP_BPE_DENOM,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "src_budget"
+    ).orderBy("doc_id")
+
+
+QUERIES["sample_temperature_budget_bpe"] = q_sample_temperature_budget_bpe
+ORACLES["sample_temperature_budget_bpe"] = f"""
+WITH {_BPE_DOC_TOKENS_CTE},
+toks AS (
+  SELECT d.doc_id, doc.source, d.n AS n_tokens
+  FROM doctok d JOIN documents doc USING (doc_id)),
+srcm AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok
+  FROM toks GROUP BY source),
+tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM srcm),
+w AS (
+  SELECT source, tok, t,
+         CAST(floor(sqrt(tok::DOUBLE / t::DOUBLE) * 1e7 + 0.5) AS BIGINT)
+             AS wu
+  FROM srcm, tot),
+nrm AS (SELECT CAST(sum(wu) AS BIGINT) AS n FROM w),
+b AS (
+  SELECT source, ((t // {_TEMP_BPE_DENOM}) * wu) // n AS src_budget
+  FROM w, nrm),
+ranked AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         CAST(sum(t.n_tokens) OVER (
+             PARTITION BY t.source
+             ORDER BY substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8),
+                      t.doc_id) AS BIGINT) AS cum_tokens
+  FROM toks t)
+SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens, b.src_budget
+FROM ranked r JOIN b USING (source)
+WHERE r.cum_tokens <= b.src_budget
+ORDER BY doc_id
+"""

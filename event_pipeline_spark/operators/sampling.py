@@ -370,8 +370,9 @@ def temperature_token_budget(
     df: DataFrame,
     source_col: str,
     key_col: str,
-    text_col: str,
+    text_col: str | None = None,
     *,
+    tokens_col: str | None = None,
     budget_tokens: int | None = None,
     budget_denom: int | None = None,
     salt: str = "",
@@ -383,15 +384,24 @@ def temperature_token_budget(
     the lm.py cross-engine recipe); within a source, docs fill the
     budget in deterministic ``(md5(key), key)`` order. Pass either an
     absolute ``budget_tokens`` or ``budget_denom`` (budget = corpus
-    total ``div`` denom — a scale-relative share)."""
+    total ``div`` denom — a scale-relative share). Tokens come from
+    whitespace-counting ``text_col`` or, for tokenizer-aware mixing, a
+    precomputed ``tokens_col`` (e.g. BPE counts)."""
     if (budget_tokens is None) == (budget_denom is None):
         raise ValueError("pass exactly one of budget_tokens/budget_denom")
+    if (text_col is None) == (tokens_col is None):
+        raise ValueError("pass exactly one of text_col/tokens_col")
     from event_pipeline_spark.operators.text import token_count
 
+    n_tokens = (
+        token_count(F.col(text_col))
+        if tokens_col is None
+        else F.col(tokens_col)
+    )
     toks = df.select(
         F.col(key_col),
         F.col(source_col),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
     )
     src = toks.groupBy(source_col).agg(
         F.sum("n_tokens").cast("long").alias("_tok")

@@ -406,3 +406,31 @@ def test_split_assign_exact_quotas_and_determinism(spark):
     }
     with pytest.raises(ValueError):
         split_assign(df, "source", "doc_id", val_pct=60, test_pct=40)
+
+
+def test_temperature_token_budget_tokens_col_variant(spark):
+    import pytest
+
+    from event_pipeline_spark.operators.sampling import (
+        temperature_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 30), (3, "b", 40)],
+        "doc_id long, source string, n_bpe long",
+    )
+    out = temperature_token_budget(
+        df, "source", "doc_id", tokens_col="n_bpe", budget_tokens=100
+    ).collect()
+    assert all(r["cum_tokens"] <= r["src_budget"] for r in out)
+    assert {r["n_tokens"] for r in out} <= {30, 40}
+    # exactly one token source must be given
+    with pytest.raises(ValueError):
+        temperature_token_budget(
+            df, "source", "doc_id", "text", tokens_col="n_bpe",
+            budget_tokens=100,
+        )
+    with pytest.raises(ValueError):
+        temperature_token_budget(
+            df, "source", "doc_id", budget_tokens=100
+        )

@@ -79,6 +79,10 @@ ALLOWED: dict[str, dict[str, str]] = {
         "and one-row weight norm over the |sources|-row stats frame "
         "(the rank_bm25 one-row-stats shape)",
     },
+    "sample_temperature_budget_bpe": {
+        "BroadcastNestedLoopJoin": "same one-row stats broadcasts as "
+        "sample_temperature_budget, fed by BPE token counts",
+    },
     "curriculum_order": {
         "BroadcastNestedLoopJoin": "broadcast one-row doc count for the "
         "bucket formula (the rank_bm25 one-row-stats shape)",
