@@ -459,3 +459,138 @@ ORACLES["interval_join"] = """
      AND b.n_nationkey * 4.0 + 2.0 <= a.n_nationkey * 3.0 + 10.0
     ORDER BY a_id, b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequential conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
+
+def events_funnel(
+    events: DataFrame,
+    steps: list[str] = None,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_hours: int | None = None,
+) -> DataFrame:
+    """One-row funnel report: for each step k, how many users reached
+    stage k via a STRICTLY time-ordered sequence step1 < step2 < … (the
+    product-analytics funnel — a purchase before the signup does not
+    count), plus conversion rates from stage 1.
+
+    ``horizon_hours`` bounds the whole journey: later steps only count
+    within that window of the user's STAGE-1 timestamp (the standard
+    funnel-window semantics — without it, any active user eventually
+    converts and every rate saturates at 1.0).
+
+    Scale shape: ONE shuffle on the user key; each user's events
+    collapse to a sorted (ts, type) array and a single JVM fold walks
+    it, advancing the stage only when the expected type arrives at a
+    strictly later timestamp. No per-step self-joins (the naive plan is
+    |steps| sequential join-aggregates over the full event table).
+    Strict ts comparison makes the fold equal to the sequential
+    ``min(ts) > prev`` formulation on ANY tie layout, which is what the
+    oracle recomputes."""
+    steps = FUNNEL_STEPS if steps is None else steps
+    ev = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
+        ).alias("_e"),
+    )
+    per_user = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list("_e")).alias("_evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("start"),
+    )
+
+    def advance(acc, e):
+        out = acc
+        for k, st in enumerate(steps):
+            c = (
+                (acc["stage"] == k)
+                & (e["t"] == st)
+                & (acc["ts"].isNull() | (e["ts"] > acc["ts"]))
+            )
+            if horizon_hours is not None and k > 0:
+                c = c & (
+                    e["ts"]
+                    <= acc["start"]
+                    + F.expr(f"INTERVAL {int(horizon_hours)} HOURS")
+                )
+            step_state = F.struct(
+                F.lit(k + 1).alias("stage"),
+                e["ts"].alias("ts"),
+                (acc["start"] if k > 0 else e["ts"]).alias("start"),
+            )
+            out = F.when(c, step_state).otherwise(out)
+        return out
+
+    depth = F.aggregate(F.col("_evs"), init, advance)["stage"]
+    depths = per_user.select(depth.alias("_d"))
+    aggs = [
+        F.sum((F.col("_d") >= k + 1).cast("long")).alias(f"n_{st}")
+        for k, st in enumerate(steps)
+    ]
+    row = depths.agg(*aggs)
+    convs = [
+        F.round(
+            F.col(f"n_{st}") / F.col(f"n_{steps[0]}"), 6
+        ).alias(f"conv_{st}")
+        for st in steps[1:]
+    ]
+    return row.select("*", *convs)
+
+
+FUNNEL_HORIZON_HOURS = 6
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return events_funnel(
+        read_table(spark, sf_dir, "events"),
+        horizon_hours=FUNNEL_HORIZON_HOURS,
+    )
+
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts
+    AND e.ts <= t1.ts + INTERVAL 6 HOURS GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t2 ON t2.user_id = e.user_id
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'signup' AND e.ts > t2.ts
+    AND e.ts <= t1.ts + INTERVAL 6 HOURS GROUP BY e.user_id),
+t4 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t3 ON t3.user_id = e.user_id
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.ts
+    AND e.ts <= t1.ts + INTERVAL 6 HOURS GROUP BY e.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM t4) AS n_purchase,
+       round((SELECT count(*) FROM t2)::DOUBLE
+             / (SELECT count(*) FROM t1), 6) AS conv_click,
+       round((SELECT count(*) FROM t3)::DOUBLE
+             / (SELECT count(*) FROM t1), 6) AS conv_signup,
+       round((SELECT count(*) FROM t4)::DOUBLE
+             / (SELECT count(*) FROM t1), 6) AS conv_purchase
+"""

@@ -346,3 +346,40 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_events_funnel_strict_order_and_horizon(spark):
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import events_funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order within the horizon
+        (1, "view", t(0)), (1, "click", t(1)),
+        (1, "signup", t(2)), (1, "purchase", t(3)),
+        # u2: purchase BEFORE signup -> depth stops at click... then a
+        # signup arrives later, then NO further purchase: depth 3
+        (2, "view", t(0)), (2, "click", t(1)),
+        (2, "purchase", t(2)), (2, "signup", t(4)),
+        # u3: click at the SAME timestamp as view -> strict order
+        # rejects it; a later click counts
+        (3, "view", t(0)), (3, "click", t(0)), (3, "click", t(5)),
+        # u4: click outside the 1-hour horizon -> depth 1
+        (4, "view", t(0)), (4, "click", datetime(2024, 1, 1, 2, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    unbounded = events_funnel(df).collect()[0]
+    assert (
+        unbounded["n_view"], unbounded["n_click"],
+        unbounded["n_signup"], unbounded["n_purchase"],
+    ) == (4, 4, 2, 1)
+    assert unbounded["conv_purchase"] == 0.25
+
+    bounded = events_funnel(df, horizon_hours=1).collect()[0]
+    assert (
+        bounded["n_view"], bounded["n_click"],
+        bounded["n_signup"], bounded["n_purchase"],
+    ) == (4, 3, 2, 1)  # only u4's late click drops out
