@@ -594,3 +594,163 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
        round((SELECT count(*) FROM t4)::DOUBLE
              / (SELECT count(*) FROM t1), 6) AS conv_purchase
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def events_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    activity_type: str | None = None,
+) -> DataFrame:
+    """(cohort_day, day_offset, n_active, retention): the classic
+    cohort-retention triangle at day granularity — users grouped by the
+    day of their FIRST qualifying event (``activity_type`` restricts
+    what counts as activity, e.g. 'purchase'); ``retention`` = share of
+    the cohort active ``offset`` days after joining (offset 0 is 1.0 by
+    construction).
+
+    Scale shape: the cohort assignment is a per-user min (one user-key
+    shuffle, map-side combinable); activity days come from the same
+    distinct (user, day) pass — never per raw event; output is
+    |days|²/2 rows."""
+    ev = events
+    if activity_type is not None:
+        ev = ev.where(F.col(type_col) == activity_type)
+    ev = ev.select(
+        F.col(user_col).alias("_u"),
+        F.to_date(F.col(ts_col)).alias("_d"),
+    ).distinct()
+    first = ev.groupBy("_u").agg(F.min("_d").alias("_cohort"))
+    joined = ev.join(first, "_u").select(
+        "_cohort", F.datediff(F.col("_d"), F.col("_cohort")).alias("_off")
+    )
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("_size")
+    )
+    active = joined.groupBy("_cohort", "_off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return (
+        active.join(sizes, "_cohort")
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("_off").cast("int").alias("day_offset"),
+            "n_active",
+            F.round(F.col("n_active") / F.col("_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-retention: cohort = first purchase day, activity =
+    purchasing again N days later (the discriminative form — raw
+    any-event activity saturates at 1.0 on this corpus)."""
+    from event_pipeline_spark.session import read_table
+
+    return events_retention(
+        read_table(spark, sf_dir, "events"), activity_type="purchase"
+    ).orderBy("cohort_day", "day_offset")
+
+
+QUERIES["events_retention"] = q_events_retention
+ORACLES["events_retention"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events
+  WHERE event_type = 'purchase'),
+f AS (
+  SELECT user_id, min(d) AS cohort FROM uw GROUP BY user_id),
+sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS size
+  FROM f GROUP BY cohort),
+active AS (
+  SELECT f.cohort, uw.d - f.cohort AS offs,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM uw JOIN f USING (user_id)
+  GROUP BY f.cohort, uw.d - f.cohort)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(a.offs AS INT) AS day_offset, a.n_active,
+       round(a.n_active::DOUBLE / s.size, 6) AS retention
+FROM active a JOIN sizes s USING (cohort)
+ORDER BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix
+# ---------------------------------------------------------------------------
+
+
+def events_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, p): the first-order Markov transition
+    matrix of per-user event sequences — ``p`` = share of ``from_type``
+    occurrences whose NEXT event (same user, (ts, tiebreak) order) is
+    ``to_type``. The standard journey-analysis summary (which steps
+    follow which) and the sanity check before any sequence-model
+    training on the stream.
+
+    Scale shape: one user-key window for ``lead`` (same single shuffle
+    as sessionize); the matrix aggregate is |types|² rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(per_from), 6).alias("p"),
+    )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return events_transitions(read_table(spark, sf_dir, "events")).orderBy(
+        "from_type", "to_type"
+    )
+
+
+QUERIES["events_transitions"] = q_events_transitions
+ORACLES["events_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts ORDER BY from_type, to_type
+"""

@@ -383,3 +383,59 @@ def test_events_funnel_strict_order_and_horizon(spark):
         bounded["n_view"], bounded["n_click"],
         bounded["n_signup"], bounded["n_purchase"],
     ) == (4, 3, 2, 1)  # only u4's late click drops out
+
+
+def test_events_retention_triangle(spark):
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import events_retention
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, "purchase", d(1)), (1, "purchase", d(3)),
+        (1, "purchase", d(3, 5)),        # same day: one activity
+        (2, "purchase", d(1)),
+        (2, "view", d(3)),               # non-qualifying type: ignored
+        (3, "purchase", d(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (r["cohort_day"], r["day_offset"]): r
+        for r in events_retention(df, activity_type="purchase").collect()
+    }
+    r0 = out[("2024-01-01", 0)]
+    assert (r0["n_active"], r0["retention"]) == (2, 1.0)
+    r2 = out[("2024-01-01", 2)]
+    assert (r2["n_active"], r2["retention"]) == (1, 0.5)
+    assert out[("2024-01-02", 0)]["n_active"] == 1
+    assert ("2024-01-01", 1) not in out  # nobody active at offset 1
+
+
+def test_events_transitions_counts_and_rows(spark):
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import events_transitions
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, "view", t(0)), (1, 2, "click", t(1)),
+        (1, 3, "view", t(2)), (1, 4, "click", t(3)),
+        (2, 5, "view", t(0)), (2, 6, "purchase", t(1)),
+        # u3 has one event: no transition emitted
+        (3, 7, "view", t(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in events_transitions(df).collect()
+    }
+    assert out[("view", "click")]["n"] == 2
+    assert out[("view", "purchase")]["n"] == 1
+    assert out[("view", "click")]["p"] == round(2 / 3, 6)
+    assert out[("click", "view")]["n"] == 1  # within u1 only
+    # total transitions = events - users-with-events (one less per user)
+    assert sum(r["n"] for r in out.values()) == 7 - 3
