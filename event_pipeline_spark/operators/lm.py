@@ -43,6 +43,23 @@ Registered queries:
 
 Monotonicity property (garbage scores worse than in-domain text) and a
 closed-form hand-computed oracle live in ``tests/test_lm.py``.
+
+Round 7 adds **interpolated Kneser-Ney** (Kneser & Ney 1995; Chen &
+Goodman 1998 eq. 4.25) — the smoothing family KenLM itself implements,
+i.e. the scheme CCNet's filter actually runs — as a bigram model with
+fixed discount D:
+
+    P_KN(w | v) = (max(c(vw) - D, 0) + D * N1+(v·) * Pcont(w)) / c(v·)
+    Pcont(w)    = N1+(·w) / N1+(··)        (OOV floors to 1 type)
+
+where ``c(v·)`` is v's CONTEXT count (sum of bigrams starting at v —
+not v's token count: the last token of a document starts no bigram),
+``N1+(v·)`` / ``N1+(·w)`` are distinct-continuation type counts, and
+``N1+(··)`` the total number of distinct bigram types. Unseen contexts
+(and position 1) score the continuation probability directly. Every
+component is an exact integer (``lm_kn_components`` is the graded
+integer surface); the log-score fold uses the repo-standard 1e-7
+integer units so both engines agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -408,4 +425,229 @@ SELECT doc_id, ppl,
             ELSE 'tail' END AS bucket
 FROM w CROSS JOIN th
 ORDER BY doc_id
+"""
+
+
+# -- interpolated Kneser-Ney (bigram, fixed discount) ------------------------
+
+
+def _kn_pair_table(train: DataFrame, *, text_col: str) -> DataFrame:
+    """(v, w, c): adjacent-token bigram counts with the two words kept
+    as separate columns (KN needs per-side marginals, so the joined
+    gram-string form of ``ngram_count_table`` is the wrong shape).
+    One JVM pass: pairs are built inside the bound token array, the
+    shuffle carries (v, w, partial-count) — never documents."""
+    from event_pipeline_spark.operators.text import bind
+
+    pairs = bind(
+        whitespace_tokens(F.col(text_col)),
+        lambda a: F.when(
+            F.size(a) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(a)),
+                lambda i: F.struct(
+                    F.element_at(a, i - 1).alias("v"),
+                    F.element_at(a, i).alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<v:string,w:string>>")),
+    )
+    return (
+        train.select(F.inline(pairs))
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def lm_kn_components(
+    docs: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The integer-exact KN state per position: (id, i, cbi, ctxc,
+    n1fwd, n1bwd).
+
+    ``cbi`` = c(vw); ``ctxc`` = c(v·) (v's context count); ``n1fwd`` =
+    N1+(v·); ``n1bwd`` = N1+(·w). Position 1 (no context) and unseen
+    joins coalesce to 0. This is the float-free core — the probability
+    in :func:`lm_kn_perplexity` is a pure projection over these four
+    integers plus the scalar N1+(··).
+
+    The three model tables are vocabulary-sized (not corpus-sized), so
+    AQE broadcasts them and scoring stays a map stage over the
+    position table — the same join-don't-ship-a-dict design as
+    :func:`lm_score_positions`.
+    """
+    pos = _position_table(docs, id_col=id_col, text_col=text_col, order=2)
+    pairs = _kn_pair_table(train, text_col=text_col)
+    ctx = pairs.groupBy("v").agg(
+        F.sum("c").alias("ctxc"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("n1b"))
+    scored = (
+        pos.join(
+            pairs.select(
+                F.col("v").alias("_pv"),
+                F.col("w").alias("_pw"),
+                F.col("c").alias("_c"),
+            ),
+            (F.col("ctx2") == F.col("_pv")) & (F.col("w") == F.col("_pw")),
+            "left",
+        )
+        .join(
+            ctx.select(F.col("v").alias("_cv"), "ctxc", "n1f"),
+            F.col("ctx2") == F.col("_cv"),
+            "left",
+        )
+        .join(
+            bwd.select(F.col("w").alias("_bw"), "n1b"),
+            F.col("w") == F.col("_bw"),
+            "left",
+        )
+    )
+    i2 = F.col("i") >= 2
+    return scored.select(
+        F.col(id_col),
+        F.col("i"),
+        F.coalesce(F.col("_c"), F.lit(0)).cast("bigint").alias("cbi"),
+        F.when(i2, F.coalesce(F.col("ctxc"), F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ctxc"),
+        F.when(i2, F.coalesce(F.col("n1f"), F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n1fwd"),
+        F.coalesce(F.col("n1b"), F.lit(0)).cast("bigint").alias("n1bwd"),
+    )
+
+
+def lm_kn_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc interpolated-KN perplexity: (id, n_tokens, ppl).
+
+    The probability is ONE fixed-shape double expression over the
+    integer components — parenthesized identically in the DuckDB
+    oracle, so both engines produce the same IEEE double before the
+    repo-standard 1e-7-unit quantization (sums of unquantized doubles
+    are the order-dependent hazard; a fixed expression tree is not).
+    ``discount`` defaults to 0.75 (Chen & Goodman's robust setting;
+    exactly representable in binary, so the literal is engine-safe).
+    """
+    comp = lm_kn_components(
+        docs, train, id_col=id_col, text_col=text_col
+    )
+    b = _kn_pair_table(train, text_col=text_col).count()  # N1+(..): scalar
+    nb = (
+        F.when(F.col("n1bwd") > 0, F.col("n1bwd"))
+        .otherwise(F.lit(1))
+        .cast("double")
+    )
+    pc = nb / F.lit(float(b))
+    d = F.lit(float(discount))
+    p = F.when(
+        (F.col("i") >= 2) & (F.col("ctxc") > 0),
+        (
+            F.greatest(F.col("cbi").cast("double") - d, F.lit(0.0))
+            + (d * F.col("n1fwd").cast("double")) * pc
+        )
+        / F.col("ctxc").cast("double"),
+    ).otherwise(pc)
+    lt = F.round(F.log(p) * F.lit(1e7)).cast("long")
+    per_doc = (
+        comp.withColumn("_lt", lt)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lt").alias("_units"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.exp(-(F.col("_units") / 1e7) / F.col("n_tokens")), 3
+        ).alias("ppl"),
+    )
+
+
+def q_lm_kn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact KN components under the even-doc-trained bigram
+    model — odd docs exercise unseen-bigram, unseen-context, and OOV
+    paths."""
+    docs, train = _split(spark, sf_dir)
+    return lm_kn_components(docs, train).orderBy("doc_id", "i")
+
+
+_KN_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents),
+pos AS MATERIALIZED (
+  SELECT doc_id, i::INT AS i, a[i] AS w,
+         CASE WHEN i >= 2 THEN a[i-1] END AS v
+  FROM base, LATERAL unnest(generate_series(1, len(a))) AS t(i)),
+train AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+pairs AS MATERIALIZED (
+  SELECT v, w, count(*) AS c FROM train WHERE v IS NOT NULL
+  GROUP BY v, w),
+ctx AS (SELECT v, sum(c)::BIGINT AS ctxc, count(*) AS n1f
+        FROM pairs GROUP BY v),
+bwd AS (SELECT w, count(*) AS n1b FROM pairs GROUP BY w),
+tot AS (SELECT count(*) AS b FROM pairs),
+comp AS (
+  SELECT p.doc_id, p.i,
+         coalesce(pr.c, 0)::BIGINT AS cbi,
+         (CASE WHEN p.i >= 2 THEN coalesce(cx.ctxc, 0)
+               ELSE 0 END)::BIGINT AS ctxc,
+         (CASE WHEN p.i >= 2 THEN coalesce(cx.n1f, 0)
+               ELSE 0 END)::BIGINT AS n1fwd,
+         coalesce(b.n1b, 0)::BIGINT AS n1bwd
+  FROM pos p
+  LEFT JOIN pairs pr ON pr.v = p.v AND pr.w = p.w
+  LEFT JOIN ctx cx ON cx.v = p.v
+  LEFT JOIN bwd b ON b.w = p.w)
+"""
+
+QUERIES["lm_kn_components"] = q_lm_kn_components
+ORACLES["lm_kn_components"] = (
+    _KN_SQL
+    + "SELECT doc_id, i, cbi, ctxc, n1fwd, n1bwd FROM comp"
+    + " ORDER BY doc_id, i"
+)
+
+
+def q_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc interpolated-KN perplexity (even-doc-trained bigrams)."""
+    docs, train = _split(spark, sf_dir)
+    return lm_kn_perplexity(docs, train).orderBy("doc_id")
+
+
+QUERIES["lm_kn_perplexity"] = q_lm_kn_perplexity
+ORACLES["lm_kn_perplexity"] = f"""
+{_KN_SQL},
+terms AS (
+  SELECT doc_id,
+         CAST(round(ln(
+           CASE WHEN i >= 2 AND ctxc > 0 THEN
+             (greatest(cbi::DOUBLE - CAST(0.75 AS DOUBLE),
+                       CAST(0 AS DOUBLE))
+              + (CAST(0.75 AS DOUBLE) * n1fwd::DOUBLE)
+                * ((CASE WHEN n1bwd > 0 THEN n1bwd ELSE 1 END)::DOUBLE
+                   / b::DOUBLE)) / ctxc::DOUBLE
+           ELSE (CASE WHEN n1bwd > 0 THEN n1bwd ELSE 1 END)::DOUBLE
+                / b::DOUBLE
+           END) * 10000000) AS BIGINT) AS lt
+  FROM comp CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(exp(-(sum(lt) / 10000000.0) / count(*)), 3) AS ppl
+FROM terms GROUP BY doc_id ORDER BY doc_id
 """

@@ -138,3 +138,104 @@ def test_bucket_select_terciles(spark, sf_dir):
     assert max(by["head"]) <= max(by["middle"]) <= max(by["tail"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # thresholds are broadcast aggregates
+
+
+# -- interpolated Kneser-Ney -------------------------------------------------
+
+# KN model state from TRAIN ("a b c a b" + "a b c"), resolved by hand:
+#   pairs: (a,b):3  (b,c):2  (c,a):1
+#   ctx  : a -> (ctxc 3, n1fwd 1); b -> (2, 1); c -> (1, 1)
+#   bwd  : N1+(.b)=1  N1+(.c)=1  N1+(.a)=1
+#   B = N1+(..) = 3 bigram types
+
+
+def _kn_rows(df):
+    return {
+        (r["doc_id"], r["i"]): (r["cbi"], r["ctxc"], r["n1fwd"], r["n1bwd"])
+        for r in df.collect()
+    }
+
+
+def test_kn_components_closed_form(spark, corpora):
+    """'a b c': position 1 has no context; 2 and 3 hit seen bigrams."""
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    got = _kn_rows(lm.lm_kn_components(docs, corpora))
+    assert got == {
+        (10, 1): (0, 0, 0, 1),
+        (10, 2): (3, 3, 1, 1),
+        (10, 3): (2, 2, 1, 1),
+    }
+
+
+def test_kn_components_oov_and_unseen_context(spark, corpora):
+    """'x a q': OOV word, unseen context, and unseen continuation."""
+    docs = spark.createDataFrame([(11, "x a q")], "doc_id long, text string")
+    got = _kn_rows(lm.lm_kn_components(docs, corpora))
+    assert got == {
+        (11, 1): (0, 0, 0, 0),        # x: OOV everywhere
+        (11, 2): (0, 0, 0, 1),        # ctx x unseen; w=a has N1+(.a)=1
+        (11, 3): (0, 3, 1, 0),        # ctx a seen (3,1); w=q OOV
+    }
+
+
+def test_kn_perplexity_closed_form(spark, corpora):
+    """ppl('a b c') from the hand-resolved probabilities:
+    P(a) = 1/3 (continuation), P(b|a) = (3-.75 + .75*1*(1/3))/3,
+    P(c|b) = (2-.75 + .75*1*(1/3))/2."""
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    out = lm.lm_kn_perplexity(docs, corpora).collect()
+    ps = [
+        1 / 3,
+        (max(3 - 0.75, 0.0) + (0.75 * 1) * (1 / 3)) / 3,
+        (max(2 - 0.75, 0.0) + (0.75 * 1) * (1 / 3)) / 2,
+    ]
+    units = [round(math.log(p) * 1e7) for p in ps]
+    want = round(math.exp(-(sum(units) / 1e7) / 3), 3)
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["ppl"] == want
+
+
+def test_kn_seen_mass_sums_below_one(spark, corpora):
+    """For a seen context v, sum over SEEN continuations of P_KN(w|v)
+    plus the reserved discount mass D*N1+(v.)/c(v.) * (uncovered
+    Pcont) stays a probability: sum_w_seen P <= 1."""
+    # context 'a': only seen continuation is b
+    p_b_given_a = (max(3 - 0.75, 0.0) + (0.75 * 1) * (1 / 3)) / 3
+    assert 0 < p_b_given_a <= 1
+    # context 'c' (ctxc=1): continuation a
+    p_a_given_c = (max(1 - 0.75, 0.0) + (0.75 * 1) * (1 / 3)) / 1
+    assert 0 < p_a_given_c <= 1
+
+
+def test_kn_garbage_scores_worse(spark, sf_dir):
+    """Same monotonicity gate as stupid backoff, under KN."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 2 == 1).limit(50)
+    garbage = heldout.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.reverse(lm.whitespace_tokens(F.col("text"))), " zzqx "
+        ).alias("text"),
+    )
+    both = lm.lm_kn_perplexity(
+        heldout.select("doc_id", "text").unionByName(garbage), train
+    )
+    rows = both.collect()
+    in_dom = [r["ppl"] for r in rows if r["doc_id"] < 1_000_000]
+    garb = [r["ppl"] for r in rows if r["doc_id"] >= 1_000_000]
+    assert sum(garb) / len(garb) > 2 * sum(in_dom) / len(in_dom)
+
+
+def test_kn_no_python_in_plan(spark, corpora):
+    docs = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    plan = (
+        lm.lm_kn_perplexity(docs, corpora)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
