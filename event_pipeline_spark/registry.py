@@ -130,7 +130,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
         "extract", "lm", "lines", "dsir", "substrings", "langid",
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
-        "unicodenorm", "boilerplate", "winnow",
+        "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket",
     ):
         try:
             mod = __import__(
