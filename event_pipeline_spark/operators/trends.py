@@ -1,0 +1,127 @@
+"""Burst detection: trailing-window z-score over daily event counts.
+
+The streaming-analytics staple (a deterministic, windowed cousin of
+Kleinberg 2002's burst model, and the shape every monitoring stack
+implements): count events per (type, day), compare each day's count
+against the trailing 7-day history, and flag days whose z-score
+clears a threshold.
+
+Spark-first: one count shuffle to (event_type, day), then window
+functions PARTITIONED BY event_type — the window never crosses keys,
+so there is no global sort and the state per task is one key's
+history (contrast ``WindowExec`` with no partition, which funnels the
+table into one task; the plan audit rejects that shape).
+
+Oracle safety: the window aggregates are integer (count / sum /
+sum-of-squares over counts), so history stats are exact; variance and
+z are ONE fixed-shape double expression over those integers —
+
+    var = (n*ss - s*s) / (n*(n-1))          (sample variance)
+    z   = (c - s/n) / sqrt(var)
+
+rounded to 7 dp. Days with under ``min_history`` trailing points or
+zero variance emit NULL z and never flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def daily_bursts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_days: int = 7,
+    min_history: int = 4,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """(event_type, day, c, hist_n, hist_sum, hist_sumsq, z, burst)."""
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    hist = daily.select(
+        "k",
+        "day",
+        "c",
+        F.count("c").over(w).alias("hist_n"),
+        F.sum("c").over(w).alias("hist_sum"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("hist_sumsq"),
+    )
+    n_d = F.col("hist_n").cast("double")
+    s_d = F.col("hist_sum").cast("double")
+    ss_d = F.col("hist_sumsq").cast("double")
+    var = ((n_d * ss_d) - (s_d * s_d)) / (n_d * (n_d - F.lit(1.0)))
+    z = F.when(
+        (F.col("hist_n") >= min_history) & (var > 0),
+        F.round((F.col("c").cast("double") - (s_d / n_d)) / F.sqrt(var), 7),
+    )
+    return hist.select(
+        F.col("k").alias("event_type"),
+        "day",
+        F.col("c").cast("bigint").alias("c"),
+        F.col("hist_n").cast("bigint").alias("hist_n"),
+        F.coalesce(F.col("hist_sum"), F.lit(0))
+        .cast("bigint")
+        .alias("hist_sum"),
+        F.coalesce(F.col("hist_sumsq"), F.lit(0))
+        .cast("bigint")
+        .alias("hist_sumsq"),
+        z.alias("z"),
+        (z.isNotNull() & (z >= F.lit(threshold))).alias("burst"),
+    )
+
+
+def q_trend_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return daily_bursts(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type", "day"
+    )
+
+
+QUERIES["trend_bursts"] = q_trend_bursts
+ORACLES["trend_bursts"] = """
+WITH daily AS (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+hist AS (
+  SELECT k, day, c,
+         count(c) OVER w AS hist_n,
+         sum(c) OVER w AS hist_sum,
+         sum(c * c) OVER w AS hist_sumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY k ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+scored AS (
+  SELECT k, day, c, hist_n,
+         coalesce(hist_sum, 0) AS hist_sum,
+         coalesce(hist_sumsq, 0) AS hist_sumsq,
+         CASE WHEN hist_n >= 4
+               AND ((hist_n::DOUBLE * hist_sumsq::DOUBLE)
+                    - (hist_sum::DOUBLE * hist_sum::DOUBLE))
+                   / (hist_n::DOUBLE * (hist_n::DOUBLE - 1.0)) > 0
+              THEN round(
+                (c::DOUBLE - (hist_sum::DOUBLE / hist_n::DOUBLE))
+                / sqrt(((hist_n::DOUBLE * hist_sumsq::DOUBLE)
+                        - (hist_sum::DOUBLE * hist_sum::DOUBLE))
+                       / (hist_n::DOUBLE * (hist_n::DOUBLE - 1.0))), 7)
+              END AS z
+  FROM hist)
+SELECT k AS event_type, day, c::BIGINT AS c, hist_n::BIGINT AS hist_n,
+       hist_sum::BIGINT AS hist_sum, hist_sumsq::BIGINT AS hist_sumsq,
+       z, (z IS NOT NULL AND z >= 3.0) AS burst
+FROM scored ORDER BY event_type, day
+"""

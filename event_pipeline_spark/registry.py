@@ -130,7 +130,8 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "cdc", "fuzzy", "sketches", "validate", "bpe", "prefix", "frequent",
         "extract", "lm", "lines", "dsir", "substrings", "langid",
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
-        "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket",
+        "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
+        "trends", "centroids",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,78 @@
+"""Integer-unit PageRank (operators/graphrank.py).
+
+Model-based oracle: the exact integer recurrence replayed in pure
+Python over the same edge list.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _py_pagerank(edges, iterations=3):
+    """Reference replay of the integer-unit recurrence."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = sorted({n for e in edges for n in e})
+    r = {n: 1_000_000_000 for n in nodes}
+    for _ in range(iterations):
+        insum = defaultdict(int)
+        for s, d in edges:
+            insum[d] += r[s] // deg[s]
+        r = {
+            n: 150_000_000 + math.floor(0.85 * insum.get(n, 0))
+            for n in nodes
+        }
+    return r
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_matches_python_replay(spark):
+    from event_pipeline_spark.operators.graphrank import pagerank
+
+    # two customers, two suppliers; C1 buys from both, C2 from S1 only
+    rel = [("C1", "S1"), ("C1", "S2"), ("C2", "S1")]
+    edges = rel + [(d, s) for s, d in rel]
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(_edges_df(spark, edges), iterations=3).collect()
+    }
+    assert got == _py_pagerank(edges)
+
+
+def test_hub_outranks_leaf(spark):
+    from event_pipeline_spark.operators.graphrank import pagerank
+
+    # star: S1 connected to 5 customers, S2 to 1
+    rel = [(f"C{i}", "S1") for i in range(5)] + [("C9", "S2")]
+    edges = rel + [(d, s) for s, d in rel]
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(_edges_df(spark, edges), iterations=3).collect()
+    }
+    assert got["S1"] > got["S2"]
+    assert got == _py_pagerank(edges)
+
+
+def test_purchase_edges_bidirectional(spark):
+    from event_pipeline_spark.operators.graphrank import purchase_edges
+
+    orders = spark.createDataFrame(
+        [(1, 7)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 100, 3), (1, 200, 3)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in purchase_edges(orders, lineitem).collect()
+    }
+    # one relationship (C7, S3), deduped across lineitems, both ways
+    assert got == {("C7", "S3"), ("S3", "C7")}

@@ -1,0 +1,85 @@
+"""Trailing-window burst detection (operators/trends.py).
+
+Closed-form oracle: history stats and z resolved by hand on a
+constructed spike.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+
+def _events(spark, counts, event_type="click"):
+    """One event row per unit of count, on consecutive days."""
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 3, 1 + day, 12, 0, 0),
+                    eid % 7,
+                    event_type,
+                    1.0,
+                    "{}",
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_spike_flags_and_stats(spark):
+    from event_pipeline_spark.operators.trends import daily_bursts
+
+    counts = [5, 5, 5, 5, 50]  # flat history, then a 10x spike
+    out = {
+        r["day"]: r
+        for r in daily_bursts(_events(spark, counts)).collect()
+    }
+    assert len(out) == 5
+    spike = out["2024-03-05"]
+    assert (spike["hist_n"], spike["hist_sum"], spike["hist_sumsq"]) == (
+        4, 20, 100,
+    )
+    # var of [5,5,5,5] is 0 -> z undefined -> no flag even on a spike
+    assert spike["z"] is None and spike["burst"] is False
+
+
+def test_z_closed_form(spark):
+    from event_pipeline_spark.operators.trends import daily_bursts
+
+    counts = [4, 5, 6, 5, 30]
+    out = {
+        r["day"]: r
+        for r in daily_bursts(_events(spark, counts)).collect()
+    }
+    spike = out["2024-03-05"]
+    n, s, ss, c = 4, 20, 102, 30
+    var = (n * ss - s * s) / (n * (n - 1))
+    want = round((c - s / n) / math.sqrt(var), 7)
+    assert spike["z"] == want
+    assert spike["burst"] is True
+    # early days have too little history
+    assert out["2024-03-01"]["z"] is None
+    assert out["2024-03-03"]["hist_n"] == 2
+
+
+def test_window_is_partitioned(spark):
+    """The window must partition by event_type — a global (empty-
+    partition) window would single-task the table."""
+    from event_pipeline_spark.operators.trends import daily_bursts
+
+    plan = (
+        daily_bursts(_events(spark, [1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partitionBy" not in plan or "k#" in plan  # window keyed
+    assert "Window" in plan
