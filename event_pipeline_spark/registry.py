@@ -131,7 +131,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "extract", "lm", "lines", "dsir", "substrings", "langid",
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
-        "trends", "centroids",
+        "trends", "centroids", "rake", "concord",
     ):
         try:
             mod = __import__(
