@@ -781,3 +781,101 @@ WHERE round(d.dot::DOUBLE / (na.nrm * nb.nrm), 6) >= {_DOCSIM_THRESHOLD}
 ORDER BY id_a, id_b
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """(id, n_lists, rrf_units, rrf_score, rank): reciprocal-rank
+    fusion (Cormack, Clarke & Buettcher 2009) of R ranked lists —
+    score(d) = Σ_lists 1/(k + rank_list(d)), the standard way hybrid
+    retrieval merges a lexical ranker (BM25) with a dense/ANN ranker
+    without score calibration (rank positions are comparable where raw
+    scores never are; k=60 is the published constant).
+
+    Ranker-agnostic: each input needs only (id, rank) columns, so any
+    of this module's retrievers — or `similarity.py`'s ANN top-k
+    surfaces — can feed it.
+
+    Spark-first: each list contributes ``round(1e7/(k+rank))`` as a
+    BIGINT unit (one correctly-rounded division per row — never a
+    data-dependent double fold), the union groups by id with map-side
+    combine, and the final order is (units desc, id) — a total order.
+    The fused set is bounded by Σ top-k of the inputs, so the final
+    window is constant-size by construction. The presentation score is
+    the UNROUNDED ``units / 1e7`` (one exact-integer division —
+    re-rounding would land on half-decimal boundaries, the
+    `graphrank.py` rule).
+    """
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(F.lit(1e7) / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("_u"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("_u").cast("bigint").alias("rrf_units"),
+    )
+    w = Window.orderBy(F.desc("rrf_units"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "n_lists",
+            "rrf_units",
+            (F.col("rrf_units") / F.lit(1e7)).alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
+def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return rrf_fuse(
+        [
+            bm25_topk(docs, _BM25_TERMS),
+            ql_dirichlet_topk(docs, _QL_TERMS, mu=_QL_MU),
+        ]
+    ).orderBy("rank")
+
+
+_register(
+    "rank_rrf_fusion",
+    _q_rrf,
+    f"""
+WITH r1 AS (SELECT doc_id, rank FROM ({ORACLES["rank_bm25_topk"]})),
+r2 AS (SELECT doc_id, rank FROM ({ORACLES["rank_ql_dirichlet"]})),
+u AS (
+  SELECT doc_id, CAST(round(1e7 / (60 + rank)) AS BIGINT) AS uu FROM r1
+  UNION ALL
+  SELECT doc_id, CAST(round(1e7 / (60 + rank)) AS BIGINT) AS uu FROM r2),
+fused AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lists, sum(uu)::BIGINT AS rrf_units
+  FROM u GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, n_lists, rrf_units,
+         CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS INT)
+           AS rank
+  FROM fused)
+SELECT doc_id, n_lists, rrf_units, rrf_units / 1e7 AS rrf_score, rank
+FROM ranked WHERE rank <= 10 ORDER BY rank
+""",
+)

@@ -131,7 +131,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "extract", "lm", "lines", "dsir", "substrings", "langid",
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
-        "trends", "centroids", "rake", "concord",
+        "trends", "centroids", "rake", "concord", "profile", "attribution",
     ):
         try:
             mod = __import__(

@@ -225,3 +225,46 @@ def test_tfidf_docsim_blocking_and_exact_cosine(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
     assert pairs[(1, 2)] == 1.0  # identical docs: exact cosine 1
     assert not any(a >= 3 for a, _ in pairs), "common-bigram docs blocked"
+
+
+def test_rrf_hand_case(spark):
+    """Cormack et al. fusion on two hand lists: a doc in both lists
+    at middling ranks beats a doc topping only one list."""
+    from event_pipeline_spark.operators.ranking import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 1), (30, 2), (40, 3)], "doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    # doc 20: 1/62 + 1/61 ; doc 10: 1/61 alone ; doc 30: 1/63 + 1/62
+    assert out[20]["rrf_units"] == round(1e7 / 62) + round(1e7 / 61)
+    assert out[10]["rrf_units"] == round(1e7 / 61)
+    assert out[20]["rank"] == 1 and out[30]["rank"] == 2
+    assert out[10]["rank"] == 3 and out[40]["rank"] == 4
+    assert out[20]["n_lists"] == 2 and out[10]["n_lists"] == 1
+    assert out[20]["rrf_score"] == out[20]["rrf_units"] / 1e7
+
+
+def test_rrf_tie_breaks_on_id(spark):
+    from event_pipeline_spark.operators.ranking import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(5, 1), (3, 2)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(3, 1), (5, 2)], "doc_id long, rank int"
+    )
+    rows = rrf_fuse([r1, r2]).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [3, 5]  # equal units -> id asc
+
+
+def test_rrf_top_k_cut(spark):
+    from event_pipeline_spark.operators.ranking import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(i, i) for i in range(1, 31)], "doc_id long, rank int"
+    )
+    assert rrf_fuse([r1], top_k=5).count() == 5

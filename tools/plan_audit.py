@@ -54,6 +54,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "Exchange SinglePartition": "k-row centroid table folded to the "
         "one-row broadcast",
     },
+    "profile_orders": {
+        "Exchange SinglePartition": "ONE row of aggregate finals crosses "
+        "(multi-distinct Expand + partial agg upstream); the per-column "
+        "rows are an inline() pivot of that row",
+    },
     "sketch_theta_kmv_exact": {
         "BroadcastNestedLoopJoin": "broadcast one-row theta scalars over "
         "the <=2k retained hashes (rank_bm25 one-row-stats shape)",
@@ -94,6 +99,11 @@ ALLOWED: dict[str, dict[str, str]] = {
     "rank_ql_dirichlet": {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token total "
         "(the rank_bm25 one-row-stats shape)",
+    },
+    "rank_rrf_fusion": {
+        "BroadcastNestedLoopJoin": "inherited from the fused component "
+        "rankers (rank_bm25_topk / rank_ql_dirichlet one-row-stats "
+        "broadcasts); the fusion itself adds only a union + groupBy",
     },
     "corpus_lang_divergence": {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token "
