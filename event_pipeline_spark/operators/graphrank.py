@@ -145,3 +145,140 @@ SELECT node, r AS rank_units,
        r / CAST(1000000000 AS DOUBLE) AS rank
 FROM r3 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+_HUNIT = 1_000_000  # HITS score 1.0 in integer units
+
+
+def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
+    """(node, role, score_units, score): Kleinberg's HITS on a
+    DIRECTED edge list — hubs point, authorities are pointed at. On
+    the purchase graph the roles are the bipartite split PageRank
+    blurs: customers are hubs (good customers buy from good
+    suppliers), suppliers are authorities.
+
+    Determinism contract (the `pagerank` recipe with max-normalization
+    instead of teleport): scores live in integer 1e-6 units,
+
+        auth_raw(s) = Σ_{c→s} hub(c)          (order-free BIGINT sum)
+        auth(s)     = auth_raw * 1e6 div max(auth_raw)
+
+    and symmetrically for hubs — integer division only, so both
+    engines replay every iteration bit-for-bit. Max-normalization (the
+    standard L∞ HITS variant) keeps the arithmetic integral where the
+    L2 norm would need a data-dependent sqrt; overflow bound:
+    raw ≤ 1e6·max-degree, raw·1e6 ≤ 1e18 < 2^63 up to 1e6-degree
+    nodes.
+
+    Scale: one superstep = one equi-join (edges ⨝ scores on the
+    incident key) + one map-side-combined aggregation, mirroring
+    `pagerank`; the per-iteration max is a one-row broadcast (the
+    rank_bm25 one-row-stats shape).
+    """
+    hubs = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.lit(_HUNIT).cast("bigint").alias("h"))
+    )
+    auths = None
+    for _ in range(iterations):
+        araw = (
+            edges.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("araw"))
+        )
+        amax = araw.agg(F.max("araw").alias("amax"))
+        auths = araw.crossJoin(F.broadcast(amax)).select(
+            "dst",
+            F.expr(f"araw * {_HUNIT} div amax").cast("bigint").alias("a"),
+        )
+        hraw = (
+            edges.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("hraw"))
+        )
+        hmax = hraw.agg(F.max("hraw").alias("hmax"))
+        hubs = hraw.crossJoin(F.broadcast(hmax)).select(
+            "src",
+            F.expr(f"hraw * {_HUNIT} div hmax").cast("bigint").alias("h"),
+        )
+    return (
+        hubs.select(
+            F.col("src").alias("node"),
+            F.lit("hub").alias("role"),
+            F.col("h").alias("score_units"),
+        )
+        .unionByName(
+            auths.select(
+                F.col("dst").alias("node"),
+                F.lit("authority").alias("role"),
+                F.col("a").alias("score_units"),
+            )
+        )
+        .select(
+            "node",
+            "role",
+            "score_units",
+            (F.col("score_units") / F.lit(float(_HUNIT))).alias("score"),
+        )
+    )
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    directed = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(directed, iterations=2).orderBy("role", "node")
+
+
+def _hits_step(hub_in: str, i: int) -> str:
+    return f"""
+a{i}r AS MATERIALIZED (
+  SELECT dst, sum(h)::BIGINT AS araw
+  FROM edges JOIN {hub_in} USING (src) GROUP BY dst),
+a{i} AS MATERIALIZED (
+  SELECT dst, (araw * {_HUNIT} // (SELECT max(araw) FROM a{i}r))::BIGINT
+           AS a
+  FROM a{i}r),
+h{i}r AS MATERIALIZED (
+  SELECT src, sum(a)::BIGINT AS hraw
+  FROM edges JOIN a{i} USING (dst) GROUP BY src),
+h{i} AS MATERIALIZED (
+  SELECT src, (hraw * {_HUNIT} // (SELECT max(hraw) FROM h{i}r))::BIGINT
+           AS h
+  FROM h{i}r)"""
+
+
+QUERIES["graph_hits"] = q_graph_hits
+ORACLES["graph_hits"] = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+h0 AS (SELECT DISTINCT src, {_HUNIT}::BIGINT AS h FROM edges),
+{_hits_step("h0", 1)},
+{_hits_step("h1", 2)}
+SELECT node, role, score_units,
+       score_units / CAST({_HUNIT} AS DOUBLE) AS score
+FROM (
+  SELECT src AS node, 'hub' AS role, h AS score_units FROM h2
+  UNION ALL
+  SELECT dst AS node, 'authority' AS role, a AS score_units FROM a2)
+ORDER BY role, node
+"""

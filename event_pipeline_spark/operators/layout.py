@@ -166,3 +166,173 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering
+# ---------------------------------------------------------------------------
+
+QUERIES = {}
+ORACLES = {}
+
+
+def hilbert_value(a, b, bits: int = 8):
+    """Hilbert-curve index of two non-negative int columns (used modulo
+    2^bits) — the space-filling curve with strictly better locality
+    than the Z-curve: consecutive curve positions are ALWAYS
+    grid-adjacent (Manhattan distance 1), where the Z-curve jumps
+    across quadrant seams. Delta OPTIMIZE ZORDER's documented
+    alternative (Hilbert clustering is what Databricks' liquid
+    clustering uses) — better multi-dimension min/max pruning for the
+    same sort.
+
+    The classic xy2d loop (one reflect-rotate per bit level,
+    Wikipedia's public formulation) unrolls into pure integer bitwise
+    expressions: each level is materialized as its own projection so
+    the expression tree stays LINEAR in ``bits`` (a single nested
+    Column would re-expand the previous level's x/y at every
+    reference — the `text.bind` lesson at the expression-tree level).
+    Returns a function applied via ``DataFrame.transform`` because the
+    per-level aliases must live as real projection columns.
+    """
+    from pyspark.sql import functions as F
+
+    def apply(df: DataFrame, out_col: str = "h") -> DataFrame:
+        df = df.withColumns(
+            {
+                "_hx": a.cast("long").bitwiseAND(F.lit((1 << bits) - 1)),
+                "_hy": b.cast("long").bitwiseAND(F.lit((1 << bits) - 1)),
+                "_hd": F.lit(0).cast("long"),
+            }
+        )
+        s = 1 << (bits - 1)
+        while s > 0:
+            x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
+            rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            df = (
+                df.withColumns({"_rx": rx, "_ry": ry})
+                .withColumns(
+                    {
+                        "_hd": d
+                        + F.lit(s)
+                        * F.lit(s)
+                        * (F.col("_rx") * 3).bitwiseXOR(F.col("_ry"))
+                        .cast("long"),
+                        # ry==0: reflect when rx==1, then swap axes
+                        "_nx": F.when(
+                            F.col("_ry") == 0,
+                            F.when(
+                                F.col("_rx") == 1, F.lit(s - 1) - y
+                            ).otherwise(y),
+                        ).otherwise(x),
+                        "_ny": F.when(
+                            F.col("_ry") == 0,
+                            F.when(
+                                F.col("_rx") == 1, F.lit(s - 1) - x
+                            ).otherwise(x),
+                        ).otherwise(y),
+                    }
+                )
+                .withColumns(
+                    {"_hx": F.col("_nx"), "_hy": F.col("_ny")}
+                )
+                .drop("_rx", "_ry", "_nx", "_ny")
+            )
+            s >>= 1
+        return df.withColumn(out_col, F.col("_hd")).drop(
+            "_hx", "_hy", "_hd"
+        )
+
+    return apply
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    key_a: str,
+    key_b: str,
+    n_files: int,
+    *,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered write — `write_zordered` with the better
+    curve: sort by the Hilbert index so parquet footers carry tight
+    min/max on BOTH columns with no quadrant-seam jumps."""
+    from pyspark.sql import functions as F
+
+    clustered = df.transform(
+        hilbert_value(F.col(key_a), F.col(key_b), bits), "__h"
+    )
+    (
+        clustered.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def _q_hilbert(spark, sf_dir: str):
+    """Hilbert index over (custkey, orderkey) buckets — the clustering
+    key `write_hilbert` sorts by, emitted for oracle verification."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.transform(
+            hilbert_value(F.col("o_custkey"), F.col("o_orderkey"), 8)
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").bitwiseAND(F.lit(255)).alias("x"),
+            F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("y"),
+            F.col("h"),
+        )
+        .orderBy("h", "o_orderkey")
+    )
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """The same xy2d loop as unrolled DuckDB CTEs (one per bit level,
+    MATERIALIZED so inlining cannot re-expand the level chain)."""
+    sql = """
+WITH it0 AS MATERIALIZED (
+  SELECT o_orderkey, (o_custkey & 255) AS x, (o_orderkey & 255) AS y,
+         0::BIGINT AS d
+  FROM orders)"""
+    lvl = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        sql += f""",
+it{lvl + 1} AS MATERIALIZED (
+  SELECT o_orderkey,
+         CASE WHEN (y & {s}) = 0
+              THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN (y & {s}) = 0
+              THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s}::BIGINT *
+             xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                 CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+  FROM it{lvl})"""
+        lvl += 1
+        s >>= 1
+    sql += f"""
+SELECT o.o_orderkey, (o.o_custkey & 255)::BIGINT AS x,
+       (o.o_orderkey & 255)::BIGINT AS y, t.d::BIGINT AS h
+FROM orders o JOIN it{lvl} t USING (o_orderkey)
+ORDER BY h, o_orderkey"""
+    return sql
+
+
+QUERIES["layout_hilbert"] = _q_hilbert
+ORACLES["layout_hilbert"] = _hilbert_sql(8)

@@ -125,3 +125,86 @@ SELECT k AS event_type, day, c::BIGINT AS c, hist_n::BIGINT AS hist_n,
        z, (z IS NOT NULL AND z >= 3.0) AS burst
 FROM scored ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# exponentially-weighted rolling counts (dyadic-exact EWMA)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 10  # weights 2^0 .. 2^-10: older mass < 0.1% — truncated
+
+
+def daily_ewma(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    lags: int = _EWMA_LAGS,
+) -> DataFrame:
+    """(event_type, day, c, ewma_units, ewma): exponentially-decayed
+    daily activity — the monitoring-stack smoother (decayed counters /
+    Holt level) next to `daily_bursts`' z-score detector:
+
+        ewma_t = Σ_{j=0..lags} c_{t-j} · 2^-j
+
+    (α = 1/2 decay, truncated after ``lags`` days — the dropped tail
+    weighs < 2^-lags of the current day).
+
+    Exactness contract: α = 1/2 makes every weight a dyadic rational,
+    so computing in units of 2^lags — ``c_{t-j} · 2^(lags-j)``, pure
+    integer shifts — gives an order-free BIGINT sum; the presentation
+    double is ONE exact division by 2^lags. A general-α EWMA is a
+    data-dependent double fold that no engine pair reproduces
+    bit-for-bit; the dyadic ladder is the hash-verifiable form.
+
+    Scale: one count shuffle to (key, day), then ``lags+1`` ``lag()``
+    reads over ONE per-key window — same partitioning as
+    `daily_bursts`, no global sort.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("k").orderBy("day")
+    units = None
+    for j in range(lags + 1):
+        term = F.coalesce(F.lag("c", j).over(w), F.lit(0)).cast(
+            "bigint"
+        ) * F.lit(1 << (lags - j)).cast("bigint")
+        units = term if units is None else units + term
+    return daily.select(
+        F.col("k").alias("event_type"),
+        "day",
+        F.col("c").cast("bigint").alias("c"),
+        units.cast("bigint").alias("ewma_units"),
+        (units.cast("bigint") / F.lit(float(1 << lags))).alias("ewma"),
+    )
+
+
+def q_trend_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return daily_ewma(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type", "day"
+    )
+
+
+_EWMA_TERMS = " + ".join(
+    f"coalesce(lag(c, {j}) OVER w, 0)::BIGINT * {1 << (_EWMA_LAGS - j)}"
+    for j in range(_EWMA_LAGS + 1)
+)
+
+QUERIES["trend_ewma"] = q_trend_ewma
+ORACLES["trend_ewma"] = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
+SELECT event_type, day, c,
+       ({_EWMA_TERMS})::BIGINT AS ewma_units,
+       ({_EWMA_TERMS})::BIGINT / CAST({1 << _EWMA_LAGS} AS DOUBLE)
+         AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""

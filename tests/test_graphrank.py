@@ -76,3 +76,40 @@ def test_purchase_edges_bidirectional(spark):
     }
     # one relationship (C7, S3), deduped across lineitems, both ways
     assert got == {("C7", "S3"), ("S3", "C7")}
+
+
+def test_hits_hand_graph(spark):
+    """c1->s1, c2->s1, c2->s2: two max-normalized iterations resolved
+    by hand in integer 1e-6 units."""
+    from event_pipeline_spark.operators.graphrank import hits
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c2", "s1"), ("c2", "s2")],
+        "src string, dst string",
+    )
+    out = {
+        (r["role"], r["node"]): r["score_units"]
+        for r in hits(edges, iterations=2).collect()
+    }
+    # iter1: araw s1=2e6 s2=1e6 -> a(s1)=1e6 a(s2)=500000
+    #        hraw c1=1e6 c2=1.5e6 -> h(c1)=666666 h(c2)=1e6
+    # iter2: araw s1=1666666 s2=1e6 -> a(s1)=1e6 a(s2)=600000
+    #        hraw c1=1e6 c2=1.6e6 -> h(c1)=625000 h(c2)=1e6
+    assert out[("authority", "s1")] == 1_000_000
+    assert out[("authority", "s2")] == 600_000
+    assert out[("hub", "c1")] == 625_000
+    assert out[("hub", "c2")] == 1_000_000
+
+
+def test_hits_symmetric_graph_all_ones(spark):
+    """A complete bipartite graph: every hub and authority pegs at the
+    max-normalized ceiling."""
+    from event_pipeline_spark.operators.graphrank import hits
+
+    edges = spark.createDataFrame(
+        [(c, s) for c in ("c1", "c2") for s in ("s1", "s2")],
+        "src string, dst string",
+    )
+    rows = hits(edges, iterations=2).collect()
+    assert {r["score_units"] for r in rows} == {1_000_000}
+    assert {r["score"] for r in rows} == {1.0}

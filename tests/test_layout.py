@@ -122,3 +122,49 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     hit_b_z, totz = prunable_files(zordered, "b", 10, 40)
     assert len(hit_b_sorted) == tot_b  # a-sorted layout reads every file
     assert len(hit_b_z) < totz
+
+
+def test_hilbert_is_permutation_with_unit_steps(spark):
+    """The defining Hilbert property (Z-order lacks it): over the full
+    2^b x 2^b grid the index is a bijection AND every consecutive pair
+    of curve positions is grid-adjacent (Manhattan distance exactly 1).
+    """
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.layout import hilbert_value
+
+    bits, n = 3, 8
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = (
+        grid.transform(hilbert_value(F.col("x"), F.col("y"), bits))
+        .orderBy("h")
+        .collect()
+    )
+    assert [r["h"] for r in rows] == list(range(n * n))
+    steps = [
+        abs(a["x"] - b["x"]) + abs(a["y"] - b["y"])
+        for a, b in zip(rows, rows[1:])
+    ]
+    assert steps == [1] * (n * n - 1)
+
+
+def test_hilbert_write_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.layout import (
+        prunable_files,
+        write_hilbert,
+    )
+
+    n, files = 100_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 251).alias("a"),
+        ((F.col("id") * 7919) % 241).alias("b"),
+    )
+    dest = str(tmp_path / "hil")
+    write_hilbert(df, dest, "a", "b", files, bits=8)
+    hit_a, tot_a = prunable_files(dest, "a", 10, 40)
+    hit_b, tot_b = prunable_files(dest, "b", 10, 40)
+    assert len(hit_a) < tot_a and len(hit_b) < tot_b

@@ -83,3 +83,51 @@ def test_window_is_partitioned(spark):
     )
     assert "partitionBy" not in plan or "k#" in plan  # window keyed
     assert "Window" in plan
+
+
+def test_ewma_hand_case(spark):
+    """Two consecutive days, counts 4 then 2: day-2 EWMA = 2 + 4/2."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.trends import daily_ewma
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h), 1, "view")
+        for i, h in enumerate((1, 2, 3, 4))
+    ] + [
+        (10 + i, dt.datetime(2024, 1, 2, h), 1, "view")
+        for i, h in enumerate((1, 2))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {r["day"]: r for r in daily_ewma(ev).collect()}
+    assert out["2024-01-01"]["ewma"] == 4.0
+    assert out["2024-01-02"]["ewma"] == 4.0  # 2 + 4/2
+    assert out["2024-01-02"]["ewma_units"] == 2 * 1024 + 4 * 512
+
+
+def test_ewma_truncation_and_keys_independent(spark):
+    """Decay weights halve per lag; other event types never leak into
+    a key's window."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.trends import daily_ewma
+
+    rows = [(1, dt.datetime(2024, 1, 1, 1), 1, "view")] + [
+        (2 + d, dt.datetime(2024, 1, 1 + d, 1), 1, "click")
+        for d in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {
+        (r["event_type"], r["day"]): r for r in daily_ewma(ev).collect()
+    }
+    # view saw one day: ewma == its own count
+    assert out[("view", "2024-01-01")]["ewma"] == 1.0
+    # click day 12: 11 in-window days of c=1 -> sum_{j=0..10} 2^-j
+    exp = sum(2.0 ** -j for j in range(11))
+    assert out[("click", "2024-01-12")]["ewma"] == exp

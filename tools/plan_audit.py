@@ -100,6 +100,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token total "
         "(the rank_bm25 one-row-stats shape)",
     },
+    "graph_hits": {
+        "BroadcastNestedLoopJoin": "per-iteration max-normalization "
+        "broadcasts ONE row (the rank_bm25 one-row-stats shape); "
+        "supersteps themselves are equi-joins",
+    },
     "rank_rrf_fusion": {
         "BroadcastNestedLoopJoin": "inherited from the fused component "
         "rankers (rank_bm25_topk / rank_ql_dirichlet one-row-stats "
