@@ -208,3 +208,104 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+def daily_cusum(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    drift_units: int = 0,
+    threshold_units: int | None = None,
+) -> DataFrame:
+    """(event_type, day, c, cusum_pos, cusum_neg, alarm): Page's
+    one-sided CUSUM statistics over daily counts — the sequential
+    change-point detector (Page 1954) beside `daily_bursts`' point
+    z-score: bursts flag a single outlier day, CUSUM accumulates
+    small persistent shifts until they cross a threshold.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + x_t - k)`` is a
+    sequential fold no window aggregate expresses — but it has an
+    EXACT prefix formulation (the reflection identity):
+
+        S_t = C_t - min_{j<=t} C_j,   C_t = Σ_{i<=t} (x_i - k)
+
+    so two window reads (running sum + running min) over ONE per-key
+    partitioning replace the fold. Everything is BIGINT: x_i are
+    counts, the reference level is each key's FIRST day's count (a
+    deterministic integer pinned by ``first_value``), drift k in
+    integer units — both engines replay bit-for-bit, no quantization
+    anywhere. The negative-side statistic mirrors it with max.
+
+    Scale: one count shuffle to (key, day), three window functions on
+    the same (key, ORDER BY day) spec — no global sort, state is one
+    key's running scalars.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("k").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ref = F.first("c").over(cum)  # each key's first observed day
+    dev = F.col("c").cast("bigint") - ref - F.lit(drift_units)
+    devn = F.col("c").cast("bigint") - ref + F.lit(drift_units)
+    cpos = F.sum(dev).over(cum) - F.min(F.sum(dev).over(cum)).over(cum)
+    cneg = F.max(F.sum(devn).over(cum)).over(cum) - F.sum(devn).over(cum)
+    out = daily.select(
+        F.col("k").alias("event_type"),
+        "day",
+        F.col("c").cast("bigint").alias("c"),
+        cpos.cast("bigint").alias("cusum_pos"),
+        cneg.cast("bigint").alias("cusum_neg"),
+    )
+    if threshold_units is None:
+        return out.withColumn("alarm", F.lit(None).cast("boolean"))
+    return out.withColumn(
+        "alarm",
+        (F.col("cusum_pos") >= threshold_units)
+        | (F.col("cusum_neg") >= threshold_units),
+    )
+
+
+def q_trend_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return daily_cusum(
+        read_table(spark, sf_dir, "events"), threshold_units=50
+    ).orderBy("event_type", "day")
+
+
+QUERIES["trend_cusum"] = q_trend_cusum
+ORACLES["trend_cusum"] = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+dev AS (
+  SELECT event_type, day, c,
+         c - first_value(c) OVER w AS d
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)),
+cum AS (
+  SELECT event_type, day, c,
+         sum(d) OVER w AS cd
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_type, day, c,
+       (cd - min(cd) OVER w)::BIGINT AS cusum_pos,
+       (max(cd) OVER w - cd)::BIGINT AS cusum_neg,
+       ((cd - min(cd) OVER w) >= 50 OR (max(cd) OVER w - cd) >= 50)
+         AS alarm
+FROM cum
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_type, day
+"""

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -162,4 +162,90 @@ ORACLES["validate_orders"] = """
       FROM orders o WHERE NOT EXISTS
         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     ) ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def benford_digits(
+    df: DataFrame, col: str, *, min_value: float = 1.0
+) -> DataFrame:
+    """(digit, n, obs_frac, exp_frac, chi_units): first-significant-
+    digit distribution of ``col`` against Benford's law — the
+    forensic-accounting screen for fabricated or truncated numeric
+    columns (Nigrini 1996; a standard data-quality audit beside
+    `check_rows`' rule counts).
+
+    The first digit comes from string math (``substring`` of the
+    non-scientific rendering via ``format_number``-free integer
+    flooring): digit = floor(x / 10^floor(log10 x)) — one log10 +
+    floor per row, exact for the audited range. Expected mass is
+    log10(1 + 1/d). The chi-square contribution
+    ``n·(obs−exp)²/exp`` is quantized per digit to 1e-7 BIGINT units
+    so any cross-digit total stays an order-free integer sum.
+
+    One groupBy(digit) shuffle of 9 keys; everything else is scalar
+    expressions over the 9-row result (window total, no broadcast).
+    """
+    x = F.col(col).cast("double")
+    base = df.where(x >= min_value).select(
+        F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+        .cast("int")
+        .alias("digit")
+    )
+    per = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("n").over(w)
+    obs = F.col("n").cast("double") / total.cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi = (
+        total.cast("double")
+        * (obs - exp)
+        * (obs - exp)
+        / exp
+    )
+    return per.select(
+        "digit",
+        "n",
+        F.round(obs, 7).alias("obs_frac"),
+        F.round(exp, 7).alias("exp_frac"),
+        F.round(chi * F.lit(1e7)).cast("bigint").alias("chi_units"),
+    )
+
+
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return benford_digits(
+        read_table(spark, sf_dir, "orders"), "o_totalprice"
+    ).orderBy("digit")
+
+
+QUERIES["validate_benford"] = q_benford_totalprice
+ORACLES["validate_benford"] = """
+WITH base AS (
+  SELECT CAST(floor(o_totalprice
+                    / power(10.0, floor(log10(o_totalprice))))
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0),
+per AS (SELECT digit, count(*)::BIGINT AS n FROM base GROUP BY digit),
+tot AS (SELECT sum(n)::BIGINT AS total FROM per)
+SELECT digit, n,
+       round(n::DOUBLE / total::DOUBLE, 7) AS obs_frac,
+       round(log10(1.0 + 1.0 / digit::DOUBLE), 7) AS exp_frac,
+       CAST(round(total::DOUBLE
+                  * (n::DOUBLE / total::DOUBLE
+                     - log10(1.0 + 1.0 / digit::DOUBLE))
+                  * (n::DOUBLE / total::DOUBLE
+                     - log10(1.0 + 1.0 / digit::DOUBLE))
+                  / log10(1.0 + 1.0 / digit::DOUBLE) * 1e7)
+            AS BIGINT) AS chi_units
+FROM per, tot ORDER BY digit
 """

@@ -131,3 +131,41 @@ def test_ewma_truncation_and_keys_independent(spark):
     # click day 12: 11 in-window days of c=1 -> sum_{j=0..10} 2^-j
     exp = sum(2.0 ** -j for j in range(11))
     assert out[("click", "2024-01-12")]["ewma"] == exp
+
+
+def test_cusum_matches_recursive_fold(spark):
+    """The window reflection identity equals Page's textbook recursion
+    S_t = max(0, S_{t-1} + x_t - ref) on a hand series."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.trends import daily_cusum
+
+    counts = [10, 10, 12, 12, 12, 8, 8]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 1), 1, "view")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {
+        r["day"]: r
+        for r in daily_cusum(ev, threshold_units=5).collect()
+    }
+    ref = counts[0]
+    sp = sn = 0
+    for d, c in enumerate(counts):
+        sp = max(0, sp + c - ref)
+        sn = max(0, sn + ref - c)
+        day = f"2024-01-{1 + d:02d}"
+        assert out[day]["cusum_pos"] == sp
+        assert out[day]["cusum_neg"] == sn
+        assert out[day]["alarm"] == (sp >= 5 or sn >= 5)
+    # the persistent +2 shift alarms where a z-score on any single
+    # day would not be extreme
+    assert out["2024-01-05"]["cusum_pos"] == 6

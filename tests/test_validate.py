@@ -79,3 +79,20 @@ def test_rule_names_must_be_bare_identifiers(spark):
         check_rows(df, {"back`tick": F.col("k") > 0})
     with pytest.raises(ValueError, match="must not be empty"):
         check_rows(df, {})
+
+
+def test_benford_hand_digits(spark):
+    from event_pipeline_spark.operators.validate import benford_digits
+
+    df = spark.createDataFrame(
+        [(1.5,), (19.0,), (150.0,), (25.0,), (0.5,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert set(out) == {1, 2}  # 0.5 filtered by min_value
+    assert out[1]["n"] == 3 and out[2]["n"] == 1
+    assert out[1]["obs_frac"] == 0.75
+    import math
+
+    assert out[1]["exp_frac"] == round(math.log10(2.0), 7)
+    # chi contribution positive wherever obs != exp
+    assert out[1]["chi_units"] > 0 and out[2]["chi_units"] > 0

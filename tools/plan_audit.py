@@ -114,6 +114,17 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token "
         "total (the rank_bm25 one-row-stats shape)",
     },
+    "events_survival": {
+        "Exchange SinglePartition": "KM risk-set/survival windows run "
+        "over the distinct-duration table (bounded by the time domain, "
+        "~hundreds of rows); the per-subject reduction upstream stays "
+        "partitioned",
+    },
+    "validate_benford": {
+        "Exchange SinglePartition": "window total over the 9-row digit "
+        "table; the corpus-scale digit groupBy upstream stays "
+        "partitioned",
+    },
     "corpus_heaps_curve": {
         "Exchange SinglePartition": "cumulative sums over the bounded "
         "checkpoint domain (n_docs/bucket rows — 12 at sf0.01); the "
