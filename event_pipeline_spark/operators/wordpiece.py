@@ -1,0 +1,210 @@
+"""WordPiece tokenization (BERT-style greedy longest-match-first).
+
+The second production tokenizer family beside BPE (`operators/
+bpe.py`): a FROZEN vocabulary of word-initial pieces and ``##``-
+prefixed continuations; each word is consumed left to right, always
+taking the LONGEST vocabulary piece that matches at the cursor
+(Wu et al. 2016 §4.1; the tokenizers library's WordPiece model). A
+word that ever reaches a cursor with no matching piece is ``[UNK]``
+as a whole — greedy matching does NOT backtrack, which is observable
+behavior (a vocab containing ``ab / abc / ##cd`` maps ``abcd`` to
+``[UNK]``: greedy takes ``abc`` and dies, though ``ab + ##cd``
+exists) and is pinned by a test.
+
+Spark-first, exactness-first (the `bpe.py` architecture):
+
+- segmentation runs once per DISTINCT word (words table ≪ corpus),
+  then joins back — the memoization that makes tokenizer cost
+  vocabulary-sized, not corpus-sized;
+- the greedy loop is data-independent in TRIP COUNT (bounded by
+  ``max_pieces``), so it unrolls into pure JVM string expressions:
+  per iteration one projection computes the longest match (a
+  fixed-shape CASE over piece lengths ``LMAX..1`` with literal
+  vocabulary membership) and one advances (cursor, tokens, dead)
+  — each level materialized as real projection columns so the
+  expression tree stays linear (the `layout.hilbert_value` rule);
+- everything is integer/string — no doubles anywhere, so the DuckDB
+  oracle replays the identical unrolled loop bit-for-bit.
+
+The frozen vocabulary is pinned like ``bpe.FROZEN_MERGES`` (the
+production contract is a trained-once artifact shipped to the
+cluster, never retrained mid-pipeline). It covers the corpus's 31
+words with deliberate greedy traps: ``hash`` and ``filt`` are pieces
+even though ``ha/##sh`` and ``fil/##ter`` exist, so longest-match is
+what the oracle actually verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+#: frozen WordPiece vocabulary (word-initial and ##-continuation)
+FROZEN_VOCAB = (
+    # whole words
+    "a", "big", "hash", "join", "key", "row", "the",
+    # word-initial pieces
+    "ag", "bat", "col", "cust", "da", "du", "fa", "fil", "filt",
+    "gro", "ha", "li", "mer", "or", "par", "qu", "sc", "slo", "sm",
+    "so", "sp", "str", "ta", "val", "vec", "win",
+    # continuations
+    "##all", "##an", "##ark", "##ble", "##ch", "##der", "##dow",
+    "##eam", "##er", "##ery", "##g", "##ge", "##ne", "##om", "##p",
+    "##rt", "##sh", "##st", "##t", "##ta", "##ter", "##tor", "##ue",
+    "##umn", "##up", "##w",
+)
+
+_LMAX = 5  # longest raw piece length in FROZEN_VOCAB
+UNK = "[UNK]"
+
+
+def _longest_match(word: Column, pos: Column, vocab) -> Column:
+    """struct(p, l) of the longest vocab piece matching at pos
+    (0-based consumed chars), or NULL."""
+    m = F.lit(None).cast("struct<p:string,l:int>")
+    for length in range(1, _LMAX + 1):  # build shortest->longest
+        raw = F.substring(word, pos + 1, length)
+        piece = F.when(pos == 0, raw).otherwise(
+            F.concat(F.lit("##"), raw)
+        )
+        cond = ((F.length(word) - pos) >= length) & piece.isin(
+            list(vocab)
+        )
+        m = F.when(
+            cond, F.struct(piece.alias("p"), F.lit(length).alias("l"))
+        ).otherwise(m)
+    return m
+
+
+def wordpiece_segment(
+    words: DataFrame,
+    *,
+    word_col: str = "word",
+    vocab: tuple[str, ...] = FROZEN_VOCAB,
+    max_pieces: int = 6,
+) -> DataFrame:
+    """Input plus (pieces array<string>, n_pieces int) per word;
+    unmatchable words become the single piece ``[UNK]``."""
+    df = words.withColumns(
+        {
+            "_pos": F.lit(0),
+            "_toks": F.array().cast("array<string>"),
+            "_bad": F.lit(False),
+        }
+    )
+    for _ in range(max_pieces):
+        df = df.withColumn(
+            "_m",
+            _longest_match(F.col(word_col), F.col("_pos"), vocab),
+        )
+        active = (~F.col("_bad")) & (
+            F.col("_pos") < F.length(F.col(word_col))
+        )
+        df = df.withColumns(
+            {
+                "_bad": F.when(
+                    active & F.col("_m").isNull(), F.lit(True)
+                ).otherwise(F.col("_bad")),
+                "_toks": F.when(
+                    active & F.col("_m").isNotNull(),
+                    F.concat(F.col("_toks"), F.array(F.col("_m.p"))),
+                ).otherwise(F.col("_toks")),
+                "_pos": F.when(
+                    active & F.col("_m").isNotNull(),
+                    F.col("_pos") + F.col("_m.l"),
+                ).otherwise(F.col("_pos")),
+            }
+        ).drop("_m")
+    # unconsumed after the piece budget == dead end
+    bad = F.col("_bad") | (F.col("_pos") < F.length(F.col(word_col)))
+    return (
+        df.withColumn(
+            "pieces",
+            F.when(bad, F.array(F.lit(UNK))).otherwise(F.col("_toks")),
+        )
+        .withColumn("n_pieces", F.size("pieces"))
+        .drop("_pos", "_toks", "_bad")
+    )
+
+
+def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per distinct corpus word: occurrences and its WordPiece split."""
+    from event_pipeline_spark.operators.lm import whitespace_tokens
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(whitespace_tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    seg = wordpiece_segment(words)
+    return seg.select(
+        "word",
+        "n_occ",
+        F.array_join("pieces", " ").alias("pieces"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    ).orderBy("word")
+
+
+def _oracle_sql(vocab: tuple[str, ...], max_pieces: int) -> str:
+    in_list = ", ".join(f"'{v}'" for v in vocab)
+
+    def match_expr(col: str) -> str:
+        # longest-first CASE chain; piece = raw or '##'||raw by pos
+        whens = []
+        for length in range(_LMAX, 0, -1):
+            piece = (
+                f"(CASE WHEN pos = 0 THEN substr({col}, pos + 1, {length})"
+                f" ELSE '##' || substr({col}, pos + 1, {length}) END)"
+            )
+            whens.append(
+                f"WHEN length({col}) - pos >= {length}"
+                f" AND {piece} IN ({in_list})"
+                f" THEN struct_pack(p := {piece}, l := {length})"
+            )
+        return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+    sql = """
+WITH words AS MATERIALIZED (
+  SELECT w AS word, count(*)::BIGINT AS n_occ
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY w),
+it0 AS (
+  SELECT word, n_occ, 0 AS pos, []::VARCHAR[] AS toks, FALSE AS bad
+  FROM words)"""
+    prev = "it0"
+    for i in range(max_pieces):
+        sql += f""",
+m{i} AS MATERIALIZED (
+  SELECT word, n_occ, pos, toks, bad,
+         {match_expr('word')} AS m,
+         (NOT bad AND pos < length(word)) AS act
+  FROM {prev}),
+it{i + 1} AS MATERIALIZED (
+  SELECT word, n_occ,
+         CASE WHEN act AND m IS NOT NULL THEN pos + m.l ELSE pos END
+           AS pos,
+         CASE WHEN act AND m IS NOT NULL THEN toks || [m.p]
+              ELSE toks END AS toks,
+         CASE WHEN act AND m IS NULL THEN TRUE ELSE bad END AS bad
+  FROM m{i})"""
+        prev = f"it{i + 1}"
+    sql += f"""
+SELECT word, n_occ,
+       CASE WHEN bad OR pos < length(word) THEN '{UNK}'
+            ELSE array_to_string(toks, ' ') END AS pieces,
+       CASE WHEN bad OR pos < length(word) THEN 1
+            ELSE len(toks) END::INT AS n_pieces
+FROM {prev} ORDER BY word"""
+    return sql
+
+
+QUERIES["wordpiece_tokens"] = q_wordpiece_tokens
+ORACLES["wordpiece_tokens"] = _oracle_sql(FROZEN_VOCAB, 6)

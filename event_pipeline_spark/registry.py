@@ -132,7 +132,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
         "trends", "centroids", "rake", "concord", "profile", "attribution",
-        "layout", "survival",
+        "layout", "survival", "wordpiece", "evaluation",
     ):
         try:
             mod = __import__(
