@@ -236,3 +236,117 @@ SELECT user_id, state,
        version, (vt IS NULL) AS is_current
 FROM hist ORDER BY user_id, version
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (delta-merge aggregation)
+# ---------------------------------------------------------------------------
+
+
+def ivm_merge(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    *,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge a pre-aggregated view with a CDC delta WITHOUT rescanning
+    the base fact table — the incremental-view-maintenance identity
+    (the self-maintainable SUM/COUNT fragment of Gupta & Mumick 1995;
+    what Materialize/Delta Live Tables do for append+retract streams).
+
+    ``delta`` carries ``_sign`` = +1 (insert) / −1 (delete); an update
+    is a −1 old + +1 new pair. Merge = full-outer key join of the view
+    with the aggregated delta, adding counts and sums; keys whose
+    merged count reaches 0 vanish (the multiset is empty — keeping a
+    zero row would differ from the direct recompute).
+
+    Scale rationale: the whole point is the plan — ONE shuffle of the
+    (small) delta plus a key-partitioned join against the view, while
+    the direct recompute scans the full fact history. The registered
+    query's ORACLE IS the direct recompute, so the identity
+    ``merge(view(base), delta) == view(base ⊎ delta)`` is what the
+    differential proves.
+    """
+    sum_cols = sum_cols or []
+    dagg = delta.groupBy(*key_cols).agg(
+        F.sum("_sign").cast("bigint").alias("_dn"),
+        *[
+            F.sum(F.col(c) * F.col("_sign")).cast("bigint").alias(f"_d_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = base_agg.join(dagg, key_cols, "full_outer")
+    merged_n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("_dn"), F.lit(0)
+    )
+    out_cols = [F.col(k) for k in key_cols] + [
+        merged_n.cast("bigint").alias(count_col)
+    ]
+    for c in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias(c)
+        )
+    return joined.select(*out_cols).where(F.col(count_col) > 0)
+
+
+def q_cdc_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain (status, priority) -> (n, cents) over an order stream:
+    the view is built from 80% of orders (orderkey % 5 != 0 — a
+    deterministic integer split), then a delta applies the remaining
+    20% as inserts AND retracts every F-status order in the base (a
+    correction wave). The oracle recomputes the final state directly
+    from the fact table."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = orders.where(F.col("o_orderkey") % 5 != 0)
+    view = base.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderstatus", "o_orderpriority", "cents", F.lit(1).alias("_sign")
+    )
+    retracts = base.where(F.col("o_orderstatus") == "F").select(
+        "o_orderstatus", "o_orderpriority", "cents", F.lit(-1).alias("_sign")
+    )
+    return ivm_merge(
+        view,
+        inserts.unionByName(retracts),
+        key_cols=["o_orderstatus", "o_orderpriority"],
+        count_col="n",
+        sum_cols=["cents"],
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+QUERIES["cdc_ivm_orders"] = q_cdc_ivm_orders
+# the oracle is the DIRECT recompute over the final logical state —
+# a completely different plan, which is exactly the IVM identity
+ORACLES["cdc_ivm_orders"] = """
+WITH final_state AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 5 = 0
+     OR (o_orderkey % 5 <> 0 AND o_orderstatus <> 'F'))
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents
+FROM final_state
+GROUP BY o_orderstatus, o_orderpriority
+HAVING count(*) > 0
+ORDER BY o_orderstatus, o_orderpriority
+"""

@@ -132,7 +132,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
         "trends", "centroids", "rake", "concord", "profile", "attribution",
-        "layout", "survival", "wordpiece", "evaluation",
+        "layout", "survival", "wordpiece", "evaluation", "privacy",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,69 @@
+"""Cascade purge (operators/privacy.py) and IVM merge
+(operators/cdc.py::ivm_merge) hand cases.
+"""
+
+from __future__ import annotations
+
+
+def test_purge_cascade_hand_case(spark):
+    from event_pipeline_spark.operators.privacy import purge_cascade
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2), (13, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1), (11, 1), (11, 2), (13, 1), (99, 1)],
+        "l_orderkey long, l_linenumber long",
+    )
+    subjects = spark.createDataFrame([(2,)], "c_custkey long")
+    tables, rep = purge_cascade(subjects, customer, orders, lineitem)
+    r = {x["table_name"]: x for x in rep.collect()}
+    assert (r["customer"]["n_purged"], r["customer"]["n_after"]) == (1, 2)
+    # orders 11, 12 belong to customer 2
+    assert (r["orders"]["n_purged"], r["orders"]["n_after"]) == (2, 2)
+    # lineitems of order 11 go (two rows); order 99 is FK-orphan, kept
+    assert (r["lineitem"]["n_purged"], r["lineitem"]["n_after"]) == (2, 3)
+    # the cleaned tables contain no subject traces
+    assert tables["customer"].where("c_custkey = 2").count() == 0
+    assert tables["orders"].where("o_custkey = 2").count() == 0
+    assert tables["lineitem"].where("l_orderkey in (11, 12)").count() == 0
+
+
+def test_purge_conservation(spark, sf_dir):
+    from event_pipeline_spark.operators.privacy import q_privacy_purge
+
+    for r in q_privacy_purge(spark, sf_dir).collect():
+        assert r["n_purged"] + r["n_after"] == r["n_before"]
+        assert r["n_purged"] > 0  # the subject set is non-empty
+
+
+def test_ivm_merge_hand_case(spark):
+    """insert, delete, update-as-pair, and a key that empties."""
+    from event_pipeline_spark.operators.cdc import ivm_merge
+
+    base = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", 30, 1),    # insert into existing key
+            ("b", 50, -1),   # delete the only b row -> key vanishes
+            ("c", 7, 1),     # brand-new key
+            ("a", 100, -1),  # update pair: retract old ...
+            ("a", 110, 1),   # ... insert new
+        ],
+        "k string, s long, _sign int",
+    )
+    out = {
+        r["k"]: r
+        for r in ivm_merge(
+            base, delta, key_cols=["k"], count_col="n", sum_cols=["s"]
+        ).collect()
+    }
+    assert set(out) == {"a", "c"}  # b emptied
+    assert (out["a"]["n"], out["a"]["s"]) == (3, 140)
+    assert (out["c"]["n"], out["c"]["s"]) == (1, 7)

@@ -100,6 +100,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token total "
         "(the rank_bm25 one-row-stats shape)",
     },
+    "privacy_purge_cascade": {
+        "BroadcastNestedLoopJoin": "audit report rows pair one-row "
+        "before/after COUNT aggregates (the rank_bm25 one-row-stats "
+        "shape); the purge itself is anti/semi equi-joins",
+    },
     "graph_hits": {
         "BroadcastNestedLoopJoin": "per-iteration max-normalization "
         "broadcasts ONE row (the rank_bm25 one-row-stats shape); "
