@@ -34,7 +34,7 @@ monetary re-emerges as one exact division (``cents / 100.0``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -152,4 +152,112 @@ SELECT c_custkey, r_days, freq,
             WHEN m_score >= 4 THEN 'big_spender'
             ELSE 'regular' END AS segment
 FROM scored ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend
+# ---------------------------------------------------------------------------
+
+
+def gini_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(group, n, total, gini_num, gini): the Gini coefficient of
+    ``value_col`` per group — revenue-concentration analytics ("do 20%
+    of customers carry 80% of spend?"), the distributional complement
+    of RFM's per-customer scores.
+
+    Rank formulation over integer values:
+
+        G = (2·Σ i·x_(i) ) / (n·Σ x) − (n + 1)/n
+
+    Tie-safe determinism: tied values occupy a CONSECUTIVE rank block,
+    and Σ i over a fixed block is invariant to the order within it —
+    so any total order extending the value order yields the same G;
+    the implementation still pins (value, id) for a reproducible plan.
+    With integer values the single-denominator form
+
+        G = (2·Σ i·x − (n+1)·Σx) / (n·Σx)
+
+    keeps the numerator ``gini_num`` exact BIGINT with headroom
+    (≤ 2·n·Σx — no n² products); ``gini`` is the one final division.
+
+    Scale: ranks come from a window PARTITIONED BY group (no global
+    sort); everything after is a per-group aggregate with map-side
+    combine.
+    """
+    w = (
+        Window.partitionBy(F.col(group_col))
+        .orderBy(F.col(value_col), F.col(id_col))
+    )
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    num = F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.col("sx").alias("total"),
+        num.cast("bigint").alias("gini_num"),
+        F.when(
+            F.col("sx") > 0, num.cast("double") / den.cast("double")
+        ).alias("gini"),
+    )
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini of per-customer spend (integer cents) within each nation-
+    sized customer segment (custkey % 10 — the synthetic corpus has no
+    nation FK on customers' orders side worth a join here; the modulo
+    segment keeps group sizes meaningful at every SF)."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    seg = spend.select(
+        (F.col("cust") % 10).alias("segment"), "cents", "cust"
+    )
+    return gini_by_group(
+        seg, group_col="segment", value_col="cents", id_col="cust"
+    ).orderBy("segment")
+
+
+QUERIES["analytics_gini"] = q_gini_spend
+ORACLES["analytics_gini"] = """
+WITH spend AS (
+  SELECT o_custkey AS cust,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cust % 10 AS g, cents AS x,
+         row_number() OVER (PARTITION BY cust % 10
+                            ORDER BY cents, cust)::BIGINT AS i
+  FROM spend),
+agg AS (
+  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(i * x)::BIGINT AS six
+  FROM ranked GROUP BY g)
+SELECT g AS segment, n, sx AS total,
+       (2 * six - (n + 1) * sx)::BIGINT AS gini_num,
+       CASE WHEN sx > 0
+            THEN (2 * six - (n + 1) * sx)::DOUBLE
+                 / (n * sx)::DOUBLE END AS gini
+FROM agg ORDER BY segment
 """

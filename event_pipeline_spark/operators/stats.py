@@ -1,0 +1,279 @@
+"""Distributed bivariate statistics: Pearson r + simple OLS per group.
+
+The `profile.py` module covers univariate column statistics; this is
+the bivariate complement — per-group correlation and the least-squares
+line, computed from the five classic power sums in ONE aggregation
+pass (the textbook distributed form: every sum has a map-side partial,
+nothing is ever sorted or centered row-by-row):
+
+    r     = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    icept = (Σy − slope·Σx) / n
+
+Exactness contract: inputs are quantized per row to integer units
+(cents etc. — the `rfm.py` recipe), row-level products stay in BIGINT,
+and the five SUMS run in DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) —
+exact, order-free, and beyond-2^63-safe where a BIGINT Σx² would
+overflow at corpus scale. Each exact sum then casts to double (the
+same correctly-rounded conversion in both engines), and the statistics
+are fixed-shape double expressions rounded to 7 dp — no
+data-dependent double folds anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def corr_ols_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """(group, n, r, slope, intercept); x/y must already be integer-
+    valued columns (quantize before calling). Degenerate groups (zero
+    variance in x or y) emit NULL r/slope/intercept."""
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    dec = "decimal(38,0)"
+    agg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    ok = (var_x > 0) & (var_y > 0)
+    slope = cov_n / var_x
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.when(ok, F.round(cov_n / F.sqrt(var_x * var_y), 7)).alias("r"),
+        F.when(ok, F.round(slope, 7)).alias("slope"),
+        F.when(ok, F.round((sy - slope * sx) / n, 7)).alias("intercept"),
+    )
+
+
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity vs extended price (cents) per return flag — the
+    lineitem pair that is correlated by construction (price scales
+    with quantity), so r is discriminative, not noise."""
+    from event_pipeline_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return corr_ols_by_group(
+        li, group_col="l_returnflag", x_col="q", y_col="cents"
+    ).orderBy("l_returnflag")
+
+
+QUERIES["stats_corr_ols"] = q_stats_corr
+ORACLES["stats_corr_ols"] = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+agg AS (
+  SELECT g, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base GROUP BY g)
+SELECT g AS l_returnflag, n,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / sqrt((n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              * (n::DOUBLE * syy::DOUBLE
+                                 - sy::DOUBLE * sy::DOUBLE)), 7) END AS r,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / (n::DOUBLE * sxx::DOUBLE
+                          - sx::DOUBLE * sx::DOUBLE), 7) END AS slope,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round((sy::DOUBLE
+                        - ((n::DOUBLE * sxy::DOUBLE
+                            - sx::DOUBLE * sy::DOUBLE)
+                           / (n::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE))
+                          * sx::DOUBLE) / n::DOUBLE, 7) END AS intercept
+FROM agg ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-square test of independence
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """(row, col, observed, expected, chi_units): the χ² contingency
+    table for two categorical columns — "is event mix independent of
+    weekday" and every other association question a pipeline monitor
+    asks. Expected cell mass = row_total · col_total / N; the cell
+    contribution (o−e)²/e is quantized to 1e-7 BIGINT units so the
+    test statistic (any subset sum of cells) is an order-free integer
+    sum.
+
+    Scale: one groupBy to the |rows|×|cols| contingency cells;
+    marginals are two window totals over that bounded table (never the
+    raw corpus), so the heavy shuffle is the single cell count.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(row_col).alias("rk"), F.col(col_col).alias("ck")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.partitionBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.partitionBy("ck").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rt = F.sum("o").over(wr).cast("double")
+    ct = F.sum("o").over(wc).cast("double")
+    n = F.sum("o").over(whole).cast("double")
+    e = rt * ct / n
+    chi = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    return cells.select(
+        F.col("rk").alias(row_col),
+        F.col("ck").alias(col_col),
+        F.col("o").alias("observed"),
+        F.round(e, 7).alias("expected"),
+        F.round(chi * F.lit(1e7)).cast("bigint").alias("chi_units"),
+    )
+
+
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event type × weekday association (dow 1=Sunday..7, Spark's
+    dayofweek convention; the oracle shifts DuckDB's 0-based dow)."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    )
+    return chi2_independence(
+        ev, row_col="event_type", col_col="dow"
+    ).orderBy("event_type", "dow")
+
+
+QUERIES["stats_chi2_dow"] = q_stats_chi2
+ORACLES["stats_chi2_dow"] = """
+WITH cells AS (
+  SELECT event_type AS rk,
+         (date_part('dow', ts) + 1)::INT AS ck,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY event_type, date_part('dow', ts)),
+marg AS (
+  SELECT rk, ck, o,
+         sum(o) OVER (PARTITION BY rk)::DOUBLE AS rt,
+         sum(o) OVER (PARTITION BY ck)::DOUBLE AS ct,
+         sum(o) OVER ()::DOUBLE AS n
+  FROM cells)
+SELECT rk AS event_type, ck AS dow, o AS observed,
+       round(rt * ct / n, 7) AS expected,
+       CAST(round((o::DOUBLE - rt * ct / n)
+                  * (o::DOUBLE - rt * ct / n)
+                  / (rt * ct / n) * 1e7) AS BIGINT) AS chi_units
+FROM marg ORDER BY event_type, dow
+"""
+
+
+def q_stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(freq) on ln(rank)
+    over the word-frequency table — `corpusstats`' Zipf CURVE reduced
+    to the one-number fit a corpus monitor tracks. Logs are quantized
+    to 1e-7 integer units per row (the repo recipe), so the whole
+    regression rides `corr_ols_by_group`'s exact-decimal sums; the
+    frequency table is vocabulary-sized, never corpus-sized."""
+    from event_pipeline_spark.operators.lm import whitespace_tokens
+    from event_pipeline_spark.session import read_table
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(whitespace_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("w"))
+    pts = freq.select(
+        F.lit("corpus").alias("g"),
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e7)
+        .cast("bigint")
+        .alias("lr"),
+        F.round(F.log(F.col("f").cast("double")) * 1e7)
+        .cast("bigint")
+        .alias("lf"),
+    )
+    return corr_ols_by_group(
+        pts, group_col="g", x_col="lr", y_col="lf"
+    ).select("g", "n", "r", "slope", "intercept")
+
+
+QUERIES["stats_zipf_slope"] = q_stats_zipf_slope
+ORACLES["stats_zipf_slope"] = """
+WITH freq AS (
+  SELECT w, count(*)::BIGINT AS f
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY w),
+pts AS (
+  SELECT CAST(round(ln((row_number() OVER (ORDER BY f DESC, w))::DOUBLE)
+              * 1e7) AS BIGINT) AS x,
+         CAST(round(ln(f::DOUBLE) * 1e7) AS BIGINT) AS y
+  FROM freq),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts)
+SELECT 'corpus' AS g, n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)), 7) AS r,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 7)
+         AS slope,
+       round((sy::DOUBLE
+              - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                * sx::DOUBLE) / n::DOUBLE, 7) AS intercept
+FROM agg
+"""

@@ -309,3 +309,133 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
              ROWS UNBOUNDED PRECEDING)
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, n_days, s, var_s_units, z): the Mann–Kendall
+    monotonic-trend test over each key's daily counts — the
+    nonparametric "is this series actually trending" answer that
+    `daily_bursts` (point outliers) and `daily_cusum` (level shifts)
+    don't give:
+
+        S = Σ_{i<j} sign(c_j − c_i)
+
+    with the tie-corrected variance (Kendall 1975)
+
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    and the continuity-corrected z = (S∓1)/sqrt(Var).
+
+    Exactness: S and 18·Var(S) are pure integers (ties counted by a
+    groupBy over counts), so both engines agree exactly; z is ONE
+    fixed-shape expression over those integers, rounded to 7 dp.
+
+    Scale: the pair join is WITHIN key over the DAILY table — per-key
+    pair count is (days choose 2), bounded by the time domain squared,
+    not the corpus; the join co-partitions both sides on the key in
+    one exchange pair. Corpus-scale rows reduce to daily counts before
+    anything quadratic.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, "k")
+        .where(F.col("a.day") < F.col("b.day"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nd = daily.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("k", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    j = nd.join(s, "k").join(ties, "k")
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5)
+        - F.col("tt")
+    )
+    z = F.when(
+        var18 > 0,
+        F.round(
+            F.when(
+                F.col("s") > 0, (F.col("s") - 1).cast("double")
+            )
+            .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            / F.sqrt(var18.cast("double") / F.lit(18.0)),
+            7,
+        ),
+    )
+    return j.select(
+        F.col("k").alias("event_type"),
+        F.col("n").alias("n_days"),
+        "s",
+        var18.cast("bigint").alias("var_s_x18"),
+        z.alias("z"),
+    )
+
+
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return mann_kendall(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["trend_mann_kendall"] = q_trend_mann_kendall
+ORACLES["trend_mann_kendall"] = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+s AS (
+  SELECT a.k, sum(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day
+  GROUP BY a.k),
+nd AS (SELECT k, count(*)::BIGINT AS n FROM daily GROUP BY k),
+ties AS (
+  SELECT k, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tt
+  FROM (SELECT k, c, count(*)::BIGINT AS t FROM daily GROUP BY k, c)
+  GROUP BY k)
+SELECT nd.k AS event_type, nd.n AS n_days, s.s,
+       (nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tt)::BIGINT
+         AS var_s_x18,
+       CASE WHEN (nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tt) > 0
+            THEN round(
+              (CASE WHEN s.s > 0 THEN (s.s - 1)::DOUBLE
+                    WHEN s.s < 0 THEN (s.s + 1)::DOUBLE
+                    ELSE CAST(0 AS DOUBLE) END)
+              / sqrt((nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tt)
+                     ::DOUBLE / CAST(18 AS DOUBLE)), 7) END AS z
+FROM nd JOIN s ON s.k = nd.k JOIN ties ON ties.k = nd.k
+ORDER BY event_type
+"""

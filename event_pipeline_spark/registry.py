@@ -133,6 +133,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
         "trends", "centroids", "rake", "concord", "profile", "attribution",
         "layout", "survival", "wordpiece", "evaluation", "privacy",
+        "stats",
     ):
         try:
             mod = __import__(

@@ -77,3 +77,57 @@ def test_profile_approx_path(spark):
     out = {r["col_name"]: r for r in prof.collect()}
     # HLL++ is exact at this cardinality
     assert out["k"]["n_distinct"] == 2
+
+
+def test_corr_ols_hand_case(spark):
+    """Exact line y = 3x + 2: r = 1, slope 3, intercept 2; a noisy
+    group checked against numpy-free closed form; constant x -> NULL.
+    """
+    from event_pipeline_spark.operators.stats import corr_ols_by_group
+
+    rows = [("line", x, 3 * x + 2) for x in range(1, 6)]
+    rows += [("flat", 4, y) for y in (1, 5, 9)]
+    # hand case: x=[1,2,3], y=[2,1,4] -> n=3 sx=6 sy=7 sxx=14 syy=21
+    # sxy=16 -> cov_n=6, var_x=6, var_y=14 -> r=6/sqrt(84)
+    rows += [("noisy", 1, 2), ("noisy", 2, 1), ("noisy", 3, 4)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r
+        for r in corr_ols_by_group(
+            df, group_col="g", x_col="x", y_col="y"
+        ).collect()
+    }
+    assert out["line"]["r"] == 1.0
+    assert out["line"]["slope"] == 3.0
+    assert out["line"]["intercept"] == 2.0
+    assert out["flat"]["r"] is None and out["flat"]["slope"] is None
+    import math
+
+    assert out["noisy"]["r"] == round(6 / math.sqrt(84), 7)
+    assert out["noisy"]["slope"] == 1.0
+    assert out["noisy"]["intercept"] == round((7 - 6) / 3, 7)
+
+
+def test_chi2_hand_case(spark):
+    """2x2 contingency resolved by hand: rows a/b, cols x/y with
+    counts a,x=30 a,y=10 b,x=10 b,y=30 -> every cell |o-e|=10, e=20."""
+    from event_pipeline_spark.operators.stats import chi2_independence
+
+    rows = (
+        [("a", "x")] * 30
+        + [("a", "y")] * 10
+        + [("b", "x")] * 10
+        + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {
+        (x["r"], x["c"]): x
+        for x in chi2_independence(df, row_col="r", col_col="c").collect()
+    }
+    for cell, o in {("a", "x"): 30, ("a", "y"): 10,
+                    ("b", "x"): 10, ("b", "y"): 30}.items():
+        assert out[cell]["observed"] == o
+        assert out[cell]["expected"] == 20.0
+        assert out[cell]["chi_units"] == 5 * 10_000_000  # (10^2)/20
+    total_chi = sum(x["chi_units"] for x in out.values()) / 1e7
+    assert total_chi == 20.0  # the classic 2x2 statistic

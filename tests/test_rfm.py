@@ -53,3 +53,40 @@ def test_closed_form_scores_and_segments(spark):
     assert got[3]["segment"] == "regular"
     assert got[2]["segment"] == "hibernating"
     assert got[1]["segment"] == "hibernating"
+
+
+def test_gini_hand_cases(spark):
+    from event_pipeline_spark.operators.rfm import gini_by_group
+
+    rows = [("eq", 5, i) for i in range(4)]          # equality -> 0
+    rows += [("uneq", 0, 1), ("uneq", 0, 2),
+             ("uneq", 0, 3), ("uneq", 12, 4)]        # -> (n-1)/n
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = {
+        r["g"]: r
+        for r in gini_by_group(
+            df, group_col="g", value_col="v", id_col="id"
+        ).collect()
+    }
+    assert out["eq"]["gini"] == 0.0
+    assert out["uneq"]["gini"] == 0.75
+    assert out["uneq"]["gini_num"] == 36 and out["uneq"]["total"] == 12
+
+
+def test_gini_tie_order_invariant(spark):
+    """Shuffling ids among tied values must not change G (the
+    consecutive-rank-block invariance the docstring claims)."""
+    from event_pipeline_spark.operators.rfm import gini_by_group
+
+    vals = [3, 3, 3, 7, 7, 10]
+    a = [("g", v, i) for i, v in enumerate(vals)]
+    b = [("g", v, 100 - i) for i, v in enumerate(vals)]
+    df_a = spark.createDataFrame(a, "g string, v long, id long")
+    df_b = spark.createDataFrame(b, "g string, v long, id long")
+    ga = gini_by_group(
+        df_a, group_col="g", value_col="v", id_col="id"
+    ).collect()[0]["gini"]
+    gb = gini_by_group(
+        df_b, group_col="g", value_col="v", id_col="id"
+    ).collect()[0]["gini"]
+    assert ga == gb

@@ -169,3 +169,35 @@ def test_cusum_matches_recursive_fold(spark):
     # the persistent +2 shift alarms where a z-score on any single
     # day would not be extreme
     assert out["2024-01-05"]["cusum_pos"] == 6
+
+
+def test_mann_kendall_hand_cases(spark):
+    """Strictly increasing series: S = C(n,2), textbook z; constant
+    series: all ties, zero variance, NULL z."""
+    import datetime as dt
+    import math
+
+    from event_pipeline_spark.operators.trends import mann_kendall
+
+    rows = []
+    eid = 0
+    for d, c in enumerate([1, 2, 3, 4, 5]):  # increasing: view
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 1), 1, "view"))
+            eid += 1
+    for d in range(3):  # constant: click
+        for _ in range(2):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 1), 1, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {r["event_type"]: r for r in mann_kendall(ev).collect()}
+    v = out["view"]
+    assert (v["n_days"], v["s"]) == (5, 10)
+    assert v["var_s_x18"] == 5 * 4 * 15  # no ties
+    assert v["z"] == round(9.0 / math.sqrt(300 / 18.0), 7)
+    c = out["click"]
+    assert (c["s"], c["var_s_x18"]) == (0, 0)
+    assert c["z"] is None

@@ -119,6 +119,16 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token "
         "total (the rank_bm25 one-row-stats shape)",
     },
+    "stats_chi2_dow": {
+        "Exchange SinglePartition": "marginal/total windows over the "
+        "|types|x|weekdays| contingency table (35 rows); the corpus "
+        "cell count upstream stays partitioned",
+    },
+    "stats_zipf_slope": {
+        "Exchange SinglePartition": "log-log rank points over the "
+        "vocabulary-sized frequency table (31 rows at every SF); the "
+        "corpus token groupBy upstream stays partitioned",
+    },
     "events_survival": {
         "Exchange SinglePartition": "KM risk-set/survival windows run "
         "over the distinct-duration table (bounded by the time domain, "
