@@ -350,3 +350,135 @@ GROUP BY o_orderstatus, o_orderpriority
 HAVING count(*) > 0
 ORDER BY o_orderstatus, o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join against SCD2 versions
+# ---------------------------------------------------------------------------
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    version_col: str = "version",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Attach to every fact row the dimension version that was valid
+    AT the fact's timestamp — the point-in-time-correctness join every
+    feature store guarantees (training must see the feature value as
+    of the label's event time, never a later backfill; Feast/Tecton's
+    core semantic). A fact earlier than all versions gets NULL.
+
+    Rule: the version with the greatest (valid_from, version) ≤
+    (ts, ∞) — equal timestamps resolve to the LATEST version at that
+    instant, deterministic because versions are totally ordered.
+    ``inclusive=False`` switches to the STRICT bound (valid_from < ts)
+    — the state just BEFORE the instant, which is the right convention
+    when the facts are themselves part of the stream that drives the
+    dimension (otherwise every fact trivially sees its own change).
+
+    Plan: one equi-join on the key (both sides co-partition in a
+    single exchange pair), the validity filter on the co-located
+    rows, then a per-fact argmax window — the `interval_join` shape;
+    per-key version counts bound the fan-out, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = dim.select(
+        F.col(key_col).alias("_k"),
+        F.col(valid_from_col).alias("_vf"),
+        F.col(version_col).alias("_ver"),
+        *[
+            F.col(c)
+            for c in dim.columns
+            if c not in (key_col, valid_from_col, version_col)
+        ],
+    )
+    # the validity bound lives IN the join: a fact predating every
+    # version must survive with NULLs (a post-join filter would
+    # silently drop it)
+    bound = (
+        d["_vf"] <= facts[ts_col]
+        if inclusive
+        else d["_vf"] < facts[ts_col]
+    )
+    j = facts.join(d, (facts[key_col] == d["_k"]) & bound, "left")
+    w = Window.partitionBy(*[facts[c] for c in facts.columns]).orderBy(
+        F.desc("_vf"), F.desc("_ver")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_k")
+        .withColumnRenamed("_vf", valid_from_col)
+        .withColumnRenamed("_ver", version_col)
+    )
+
+
+def q_cdc_pit_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the user's SCD2 state version
+    valid strictly BEFORE the purchase instant (the state stream is
+    the same event log, so the inclusive bound would trivially see
+    the purchase itself — pinned by tests); a user's first-ever event
+    being the purchase yields NULL state."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev,
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select("user_id", "event_type", "valid_from", "version")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = pit_join(
+        facts,
+        dim.withColumnRenamed("event_type", "state"),
+        key_col="user_id",
+        ts_col="ts",
+        inclusive=False,
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "state",
+        "version",
+    ).orderBy("user_id", "event_id")
+
+
+QUERIES["cdc_pit_purchases"] = q_cdc_pit_purchases
+ORACLES["cdc_pit_purchases"] = """
+WITH w AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)::BIGINT AS version
+  FROM w WHERE prev IS NULL OR prev <> event_type),
+facts AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase'),
+joined AS (
+  SELECT f.user_id, f.event_id, f.ts, c.state, c.version,
+         row_number() OVER (PARTITION BY f.user_id, f.event_id
+                            ORDER BY c.valid_from DESC, c.version DESC)
+           AS rn
+  FROM facts f
+  LEFT JOIN changes c
+    ON c.user_id = f.user_id AND c.valid_from < f.ts)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, state, version
+FROM joined WHERE rn = 1 ORDER BY user_id, event_id
+"""

@@ -67,3 +67,62 @@ def test_ivm_merge_hand_case(spark):
     assert set(out) == {"a", "c"}  # b emptied
     assert (out["a"]["n"], out["a"]["s"]) == (3, 140)
     assert (out["c"]["n"], out["c"]["s"]) == (1, 7)
+
+
+def test_pit_join_hand_case(spark):
+    """Versions v1@t1, v2@t3 for user 1: facts at t0 (before all ->
+    NULL), t2 (sees v1), t3 (equal ts -> sees v2), t9 (sees v2)."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.cdc import pit_join
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    dim = spark.createDataFrame(
+        [(1, "bronze", t(1), 1), (1, "gold", t(3), 2)],
+        "user_id long, state string, valid_from timestamp_ntz,"
+        " version long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 100, t(0)), (1, 101, t(2)), (1, 102, t(3)), (1, 103, t(9))],
+        "user_id long, event_id long, ts timestamp_ntz",
+    )
+    out = {
+        r["event_id"]: r
+        for r in pit_join(
+            facts, dim, key_col="user_id", ts_col="ts"
+        ).collect()
+    }
+    assert out[100]["state"] is None and out[100]["version"] is None
+    assert (out[101]["state"], out[101]["version"]) == ("bronze", 1)
+    assert (out[102]["state"], out[102]["version"]) == ("gold", 2)
+    assert (out[103]["state"], out[103]["version"]) == ("gold", 2)
+
+    # strict bound: the t3 fact now sees the state just BEFORE t3
+    from event_pipeline_spark.operators.cdc import pit_join as pj
+
+    strict = {
+        r["event_id"]: r
+        for r in pj(
+            facts, dim, key_col="user_id", ts_col="ts", inclusive=False
+        ).collect()
+    }
+    assert (strict[102]["state"], strict[102]["version"]) == ("bronze", 1)
+    assert (strict[103]["state"], strict[103]["version"]) == ("gold", 2)
+
+
+def test_pit_join_never_sees_the_future(spark, sf_dir):
+    """Point-in-time correctness over the real log: every attached
+    version starts at or before its fact's timestamp."""
+    from event_pipeline_spark.operators.cdc import q_cdc_pit_purchases
+
+    rows = q_cdc_pit_purchases(spark, sf_dir).collect()
+    assert rows
+    # strict bound: the state is what held BEFORE the purchase, so the
+    # column discriminates (an inclusive bound would pin every row to
+    # 'purchase' — the purchase is its own change point)
+    states = {r["state"] for r in rows}
+    assert len(states - {None}) > 1
+    # 'purchase' appears only via a preceding purchase run
+    assert any(r["state"] != "purchase" for r in rows if r["state"])
