@@ -277,3 +277,118 @@ SELECT 'corpus' AS g, n,
                 * sx::DOUBLE) / n::DOUBLE, 7) AS intercept
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    bucket_col: str,
+    success_col: str,
+) -> DataFrame:
+    """One row: (n_a, conv_a, n_b, conv_b, rate_a, rate_b, z): the
+    pooled two-proportion z-test — the experiment readout every
+    event-analytics stack ships. Buckets must be exactly two values
+    0/1 (hash-bucketed units, the industry assignment mechanism);
+    ``success_col`` is a 0/1 per-unit outcome.
+
+        z = (p_a − p_b) / sqrt( p̂(1−p̂) (1/n_a + 1/n_b) ),
+        p̂ = (c_a + c_b) / (n_a + n_b)
+
+    Exactness: unit counts and conversions are integers; rates and z
+    are fixed-shape double expressions over them, rounded to 7 dp —
+    no data-dependent folds. Plan: per-unit reduction (groupBy unit,
+    max success) then a two-key aggregate; the final one-row pivot is
+    a keyless aggregate (constant-size partials).
+    """
+    per_unit = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max(F.col(bucket_col)).cast("int").alias("b"),
+        F.max(F.col(success_col)).cast("long").alias("s"),
+    )
+    agg = per_unit.agg(
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("b") == 0, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("b") == 1, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (1 / na + 1 / nb))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(pa, 7).alias("rate_a"),
+        F.round(pb, 7).alias("rate_b"),
+        F.when(ok, F.round((pa - pb) / se, 7)).alias("z"),
+    )
+
+
+def q_stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does bucket assignment (user_id % 2 — the hash-bucket
+    mechanism) move purchase conversion? Null by construction in the
+    synthetic log, so z should hover near 0 — which is itself the
+    A/A-test sanity a real experimentation stack must pass."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("bucket"),
+        (F.col("event_type") == "purchase").cast("int").alias("success"),
+    )
+    return ab_test_proportions(
+        ev, unit_col="user_id", bucket_col="bucket", success_col="success"
+    )
+
+
+QUERIES["stats_ab_test"] = q_stats_ab_test
+ORACLES["stats_ab_test"] = """
+WITH per_unit AS (
+  SELECT user_id,
+         max(user_id % 2)::INT AS b,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS s
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN b = 0 THEN s ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN b = 1 THEN s ELSE 0 END)::BIGINT AS conv_b
+  FROM per_unit)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(conv_a::DOUBLE / n_a::DOUBLE, 7) AS rate_a,
+       round(conv_b::DOUBLE / n_b::DOUBLE, 7) AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+                 sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                      * (CAST(1 AS DOUBLE)
+                         - (conv_a + conv_b)::DOUBLE
+                           / (n_a + n_b)::DOUBLE)
+                      * (1 / n_a::DOUBLE + 1 / n_b::DOUBLE)) > 0
+            THEN round((conv_a::DOUBLE / n_a::DOUBLE
+                        - conv_b::DOUBLE / n_b::DOUBLE)
+                       / sqrt(((conv_a + conv_b)::DOUBLE
+                               / (n_a + n_b)::DOUBLE)
+                              * (CAST(1 AS DOUBLE)
+                                 - (conv_a + conv_b)::DOUBLE
+                                   / (n_a + n_b)::DOUBLE)
+                              * (1 / n_a::DOUBLE + 1 / n_b::DOUBLE)), 7)
+       END AS z
+FROM agg
+"""

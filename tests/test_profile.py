@@ -131,3 +131,39 @@ def test_chi2_hand_case(spark):
         assert out[cell]["chi_units"] == 5 * 10_000_000  # (10^2)/20
     total_chi = sum(x["chi_units"] for x in out.values()) / 1e7
     assert total_chi == 20.0  # the classic 2x2 statistic
+
+
+def test_ab_test_hand_case(spark):
+    """A: 2/4 convert, B: 1/4 -> z resolved by the textbook pooled
+    formula; units counted once no matter how many events they emit."""
+    import math
+
+    from event_pipeline_spark.operators.stats import ab_test_proportions
+
+    rows = []
+    for u in range(4):  # bucket 0 users 0..3, users 0,1 convert
+        rows.append((u, 0, 1 if u < 2 else 0))
+        rows.append((u, 0, 0))  # extra event must not double-count
+    for u in range(10, 14):  # bucket 1, one converter
+        rows.append((u, 1, 1 if u == 10 else 0))
+    df = spark.createDataFrame(rows, "u long, b int, s int")
+    r = ab_test_proportions(
+        df, unit_col="u", bucket_col="b", success_col="s"
+    ).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (4, 2, 4, 1)
+    assert (r["rate_a"], r["rate_b"]) == (0.5, 0.25)
+    pool = 3 / 8
+    se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+    assert r["z"] == round(0.25 / se, 7)
+
+
+def test_ab_test_degenerate_zero_se(spark):
+    from event_pipeline_spark.operators.stats import ab_test_proportions
+
+    df = spark.createDataFrame(
+        [(1, 0, 1), (2, 1, 1)], "u long, b int, s int"
+    )  # everyone converts -> pooled variance 0 -> NULL z
+    r = ab_test_proportions(
+        df, unit_col="u", bucket_col="b", success_col="s"
+    ).collect()[0]
+    assert r["z"] is None
