@@ -63,6 +63,16 @@ GRADE_FIRST_OPERATORS = [
     # vs the 3-way diff); dedup_minhash_pairs -> fp_winnow_pairs
     # (deterministic MOSS fingerprinting joins the graded dedup mix;
     # probabilistic pair-dedup stays represented by dedup_ngram_jaccard).
+    #
+    # Final session-7 rotation (rotated-out names stay registered and
+    # differential-checked): rank_bm25_topk -> rank_rrf_fusion (the
+    # fusion oracle embeds BM25's ENTIRE oracle verbatim plus the
+    # QL-Dirichlet ranking plus the fusion arithmetic — strictly more
+    # verified per slot); cdc_scd2_users -> cdc_pit_purchases (the PIT
+    # oracle recomputes the same change-point CTE AND the as-of argmax
+    # on top); interval_join -> wordpiece_tokens (temporal joins stay
+    # represented by asof_join; the tokenizer family gains its second
+    # production contract beside the BPE pair).
     "extract_html_text",
     "langid_score",
     "rank_phrase_search",
@@ -75,12 +85,12 @@ GRADE_FIRST_OPERATORS = [
     "dedup_ngram_jaccard",
     "decontam_semantic",
     "sketch_theta_kmv_exact",
-    "interval_join",
+    "wordpiece_tokens",
     "text_segments_udtf",
     "dsir_sample",
     "curate_funnel",
-    "rank_bm25_topk",
-    "cdc_scd2_users",
+    "rank_rrf_fusion",
+    "cdc_pit_purchases",
     "skew_salted_agg",
     "asof_join",
     "mm_image_neardup",
