@@ -508,3 +508,146 @@ QUERIES["sketch_theta_kmv_exact"] = q_sketch_theta_kmv_exact
 ORACLES["sketch_theta_kmv_exact"] = _KMV_ORACLE
 QUERIES["sketch_hll_md5_exact"] = q_sketch_hll_md5_exact
 ORACLES["sketch_hll_md5_exact"] = _HLL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (md5 rows, externally recomputable)
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 32
+CMS_DEPTH = 4
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """(row, bucket, counter): the Count-Min sketch of ``value_col``
+    (Cormode & Muthukrishnan 2005) — depth salted md5 rows × width
+    buckets of additive counters. The classic mergeable frequency
+    sketch: counters sum across partitions/streams, point estimates
+    only ever OVER-count (collisions add, never subtract).
+
+    Determinism: bucket = md5_low64(salt ‖ value) mod width, the
+    repo's cross-engine hash (== DuckDB ``md5_number_lower``), so the
+    ENTIRE sketch — not just its estimates — is recomputable by the
+    oracle. Build = one groupBy over (row, bucket): depth narrow rows
+    per input, map-side combined; sketch size depth×width regardless
+    of corpus.
+    """
+    rows = [
+        df.select(
+            F.lit(s).alias("row"),
+            F.pmod(
+                _md5_low64_col(
+                    F.concat(
+                        F.lit(f"cms{s}|"), F.col(value_col).cast("string")
+                    )
+                ),
+                F.lit(width),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        for s in range(depth)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("counter")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """(key, estimate): CM point estimate = min over rows of the
+    key's counter. Missing counters read as 0 (an empty bucket)."""
+    probes = None
+    for s in range(depth):
+        p = keys.select(
+            F.col(key_col).alias("k"),
+            F.lit(s).alias("row"),
+            F.pmod(
+                _md5_low64_col(
+                    F.concat(F.lit(f"cms{s}|"), F.col(key_col).cast("string"))
+                ),
+                F.lit(width),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    j = probes.join(sketch, ["row", "bucket"], "left")
+    return j.groupBy("k").agg(
+        F.min(F.coalesce(F.col("counter"), F.lit(0)))
+        .cast("bigint")
+        .alias("estimate")
+    )
+
+
+def q_sketch_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS over event types: per type the true count, the sketch
+    estimate, and the (always non-negative) overestimate."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    est = cms_estimate(sketch, keys, "event_type")
+    true = ev.groupBy(F.col("event_type").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return (
+        true.join(est, "k")
+        .select(
+            F.col("k").alias("event_type"),
+            "true_count",
+            "estimate",
+            (F.col("estimate") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["sketch_cms_events"] = q_sketch_cms_events
+ORACLES["sketch_cms_events"] = f"""
+WITH hashed AS (
+  SELECT s.s AS row, event_type,
+         (md5_number_lower('cms' || s.s || '|' || event_type)::HUGEINT
+          % {CMS_WIDTH})::INT AS bucket
+  FROM events, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS s)
+       s),
+sketch AS (
+  SELECT row, bucket, count(*)::BIGINT AS counter
+  FROM hashed GROUP BY row, bucket),
+keys AS (SELECT DISTINCT event_type FROM events),
+probes AS (
+  SELECT k.event_type, s.s AS row,
+         (md5_number_lower('cms' || s.s || '|' || k.event_type)::HUGEINT
+          % {CMS_WIDTH})::INT AS bucket
+  FROM keys k,
+       (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS s) s),
+est AS (
+  SELECT p.event_type,
+         min(coalesce(sk.counter, 0))::BIGINT AS estimate
+  FROM probes p
+  LEFT JOIN sketch sk ON sk.row = p.row AND sk.bucket = p.bucket
+  GROUP BY p.event_type),
+true_c AS (
+  SELECT event_type, count(*)::BIGINT AS true_count
+  FROM events GROUP BY event_type)
+SELECT t.event_type, t.true_count, e.estimate,
+       (e.estimate - t.true_count)::BIGINT AS overcount
+FROM true_c t JOIN est e USING (event_type)
+ORDER BY event_type
+"""

@@ -265,3 +265,56 @@ def test_hll_md5_linear_branch_formula(spark, sf_dir):
     v = HLL_M - row["nz"]
     expect = round(HLL_M * round(math.log(HLL_M / v), 7), 3)
     assert row["est"] == expect
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """The CM guarantee: estimate >= true count for EVERY key; and the
+    sketch is mergeable — building on two halves and summing counters
+    equals building once."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 37}",) for i in range(1000)], "v string"
+    )
+    sketch = cms_build(df, "v")
+    keys = df.select("v").distinct()
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(sketch, keys, "v").collect()
+    }
+    true = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()
+    }
+    assert all(est[k] >= c for k, c in true.items())
+
+    a = df.where(F.length("v") == 2)   # k0..k9
+    b = df.where(F.length("v") == 3)   # k10..k36
+    merged = (
+        cms_build(a, "v")
+        .unionByName(cms_build(b, "v"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("counter").cast("bigint").alias("counter"))
+    )
+    est_m = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(merged, keys, "v").collect()
+    }
+    assert est_m == est
+
+
+def test_cms_unseen_key_reads_its_collisions_only(spark):
+    from event_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("x",)] * 5, "v string")
+    keys = spark.createDataFrame([("never",)], "v string")
+    est = cms_estimate(cms_build(df, "v"), keys, "v").collect()[0]
+    assert 0 <= est["estimate"] <= 5
