@@ -143,7 +143,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
         "trends", "centroids", "rake", "concord", "profile", "attribution",
         "layout", "survival", "wordpiece", "evaluation", "privacy",
-        "stats",
+        "stats", "folds",
     ):
         try:
             mod = __import__(
