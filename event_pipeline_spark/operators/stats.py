@@ -392,3 +392,124 @@ SELECT n_a, conv_a, n_b, conv_b,
        END AS z
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (two-sample means)
+# ---------------------------------------------------------------------------
+
+
+def welch_t_test(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One row: (n_a, n_b, mean_a, mean_b, t, df): Welch's unequal-
+    variance t-test between bucket 0 and bucket 1 — the MEANS
+    complement of `ab_test_proportions` (revenue-per-user experiments
+    where the outcome is an amount, not a conversion). Values must be
+    pre-quantized integers (cents — the `rfm.py` recipe).
+
+    Exactness: per-bucket (n, Σx, Σx²) run in DECIMAL(38,0) ≡ HUGEINT
+    (the `corr_ols_by_group` contract); means, sample variances
+
+        s² = (n·Σx² − (Σx)²) / (n·(n−1))
+
+    t, and the Welch–Satterthwaite df are fixed-shape double
+    expressions over those exact sums, rounded to 7 dp.
+    """
+    x = F.col(value_col).cast("bigint")
+    dec = "decimal(38,0)"
+    agg = df.groupBy(
+        F.col(bucket_col).cast("int").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+    )
+    a = agg.where(F.col("b") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = agg.where(F.col("b") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.crossJoin(b)  # two one-row sides
+
+    def stats(n, sx, sxx):
+        nd = F.col(n).cast("double")
+        sxd = F.col(sx).cast("double")
+        sxxd = F.col(sxx).cast("double")
+        mean = sxd / nd
+        var = (nd * sxxd - sxd * sxd) / (nd * (nd - F.lit(1.0)))
+        return mean, var / nd  # (mean, s^2/n)
+
+    ma, va = stats("n_a", "sx_a", "sxx_a")
+    mb, vb = stats("n_b", "sx_b", "sxx_b")
+    se2 = va + vb
+    t = (ma - mb) / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        va * va / (F.col("n_a").cast("double") - 1)
+        + vb * vb / (F.col("n_b").cast("double") - 1)
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 7).alias("mean_a"),
+        F.round(mb, 7).alias("mean_b"),
+        F.when(ok, F.round(t, 7)).alias("t"),
+        F.when(ok, F.round(dfree, 7)).alias("df"),
+    )
+
+
+def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does hash-bucket assignment (orderkey % 2) move order value?
+    An A/A test on spend — t should hover near 0."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return welch_t_test(orders, bucket_col="bucket", value_col="cents")
+
+
+QUERIES["stats_welch_ttest"] = q_stats_welch
+ORACLES["stats_welch_ttest"] = """
+WITH base AS (
+  SELECT (o_orderkey % 2)::INT AS b,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+agg AS (
+  SELECT b, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM base GROUP BY b),
+j AS (
+  SELECT a.n AS n_a, a.sx::DOUBLE AS sxa, a.sxx::DOUBLE AS sxxa,
+         b.n AS n_b, b.sx::DOUBLE AS sxb, b.sxx::DOUBLE AS sxxb
+  FROM (SELECT * FROM agg WHERE b = 0) a,
+       (SELECT * FROM agg WHERE b = 1) b),
+c AS (
+  SELECT n_a, n_b, sxa / n_a::DOUBLE AS ma, sxb / n_b::DOUBLE AS mb,
+         ((n_a::DOUBLE * sxxa - sxa * sxa)
+          / (n_a::DOUBLE * (n_a::DOUBLE - CAST(1 AS DOUBLE))))
+           / n_a::DOUBLE AS va,
+         ((n_b::DOUBLE * sxxb - sxb * sxb)
+          / (n_b::DOUBLE * (n_b::DOUBLE - CAST(1 AS DOUBLE))))
+           / n_b::DOUBLE AS vb
+  FROM j)
+SELECT n_a, n_b, round(ma, 7) AS mean_a, round(mb, 7) AS mean_b,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (va + vb) > 0
+            THEN round((ma - mb) / sqrt(va + vb), 7) END AS t,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (va + vb) > 0
+            THEN round((va + vb) * (va + vb)
+                       / (va * va / (n_a::DOUBLE - 1)
+                          + vb * vb / (n_b::DOUBLE - 1)), 7) END AS df
+FROM c
+"""

@@ -165,3 +165,58 @@ def test_salted_plan_is_hash_join_on_compound_key(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_hand_case(spark):
+    """Window w=2 over one block: each record pairs with up to two
+    sort-order predecessors; only close names survive the verify."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "anna"),
+        (2, "anne"),   # dist 1 to anna
+        (3, "annex"),  # dist 1 to anne, 2 to anna
+        (4, "zzzzz"),  # sorts last, far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in sorted_neighborhood_pairs(
+            df,
+            id_col="id",
+            sort_col="name",
+            block_col=F.lit(0),
+            window=2,
+            max_dist=2,
+        ).collect()
+    }
+    assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    """w=1 only pairs adjacent records: the (1,3) pair disappears."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "anna"), (2, "anne"), (3, "annex")], "id long, name string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df,
+            id_col="id",
+            sort_col="name",
+            block_col=F.lit(0),
+            window=1,
+            max_dist=2,
+        ).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}

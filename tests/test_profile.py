@@ -167,3 +167,33 @@ def test_ab_test_degenerate_zero_se(spark):
         df, unit_col="u", bucket_col="b", success_col="s"
     ).collect()[0]
     assert r["z"] is None
+
+
+def test_welch_hand_case(spark):
+    """scipy-checkable hand case: a=[1,2,3], b=[2,4,6,8]."""
+    import math
+
+    from event_pipeline_spark.operators.stats import welch_t_test
+
+    rows = [(0, v) for v in (1, 2, 3)] + [(1, v) for v in (2, 4, 6, 8)]
+    df = spark.createDataFrame(rows, "b int, x long")
+    r = welch_t_test(df, bucket_col="b", value_col="x").collect()[0]
+    ma, mb = 2.0, 5.0
+    va = 1.0 / 3      # s^2=1, n=3
+    vb = (20 / 3) / 4  # s^2=20/3, n=4
+    t = (ma - mb) / math.sqrt(va + vb)
+    dfree = (va + vb) ** 2 / (va**2 / 2 + vb**2 / 3)
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 5.0)
+    assert r["t"] == round(t, 7)
+    assert r["df"] == round(dfree, 7)
+
+
+def test_welch_degenerate(spark):
+    from event_pipeline_spark.operators.stats import welch_t_test
+
+    df = spark.createDataFrame(
+        [(0, 5), (0, 5), (1, 5), (1, 5)], "b int, x long"
+    )  # zero variance both sides -> NULL t
+    r = welch_t_test(df, bucket_col="b", value_col="x").collect()[0]
+    assert r["t"] is None and r["df"] is None

@@ -100,6 +100,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus token total "
         "(the rank_bm25 one-row-stats shape)",
     },
+    "stats_welch_ttest": {
+        "BroadcastNestedLoopJoin": "the final row pairs two ONE-row "
+        "per-bucket aggregate sides (the rank_bm25 one-row-stats "
+        "shape); the corpus reduction upstream is one partial-agg "
+        "groupBy",
+    },
     "privacy_purge_cascade": {
         "BroadcastNestedLoopJoin": "audit report rows pair one-row "
         "before/after COUNT aggregates (the rank_bm25 one-row-stats "
