@@ -1718,3 +1718,122 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     # accumulates the +3/+4 shift from batch 1
     view4 = [g for g in got if g[0] == "view" and g[1] == "2024-01-04"]
     assert view4 and view4[0][3] == 7 and view4[0][5]
+
+
+def test_streaming_frequent_guarantee_and_carry(spark, tmp_path):
+    """Two micro-batches of items: per shard the latest summary obeys
+    the Misra-Gries bound (never overcounts, undercount <=
+    n_shard // (cap+1)), state carries across batches, and with
+    capacity >= distinct items the counts are EXACT."""
+    from collections import Counter
+
+    from event_pipeline_spark.streaming.frequent import (
+        streaming_frequent,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    b1 = [f"k{i % 7}" for i in range(300)] + ["hot"] * 100
+    b2 = [f"k{i % 11}" for i in range(200)] + ["hot"] * 150
+    true = Counter(b1) + Counter(b2)
+
+    src = f"file://{tmp_path}/mg_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(
+        [(v,) for v in b1], "item string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(v,) for v in b2], "item string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    collected: list = []
+    q = (
+        streaming_frequent(
+            read_parquet_stream(spark, src, max_files_per_trigger=1),
+            "item",
+            shards=4,
+            capacity=16,
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/mg_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    # latest emission per shard = the one with max n
+    latest: dict = {}
+    for r in collected:
+        if r["shard"] not in latest or r["n"] > latest[r["shard"]][0]["n"]:
+            latest[r["shard"]] = []
+        if not latest[r["shard"]] or r["n"] == latest[r["shard"]][0]["n"]:
+            latest[r["shard"]].append(r)
+    est = {
+        r["item"]: r["est"] for rows in latest.values() for r in rows
+    }
+    shard_n = {s: rows[0]["n"] for s, rows in latest.items()}
+    shard_of = {
+        r["item"]: r["shard"] for rows in latest.values() for r in rows
+    }
+    # capacity 16 >= distinct items per shard -> exact, incl. the
+    # cross-batch 'hot' accumulation (100 + 150)
+    assert est["hot"] == 250
+    for item, e in est.items():
+        assert e <= true[item]
+        assert true[item] - e <= shard_n[shard_of[item]] // 17
+    # every sufficiently heavy item survives
+    for item, c in true.items():
+        if any(c > n // 17 for n in shard_n.values()):
+            assert item in est or c <= max(shard_n.values()) // 17
+
+
+def test_streaming_frequent_eviction_path(spark, tmp_path):
+    """capacity far below the distinct-item count: decrement-all
+    eviction fires, the table never exceeds capacity, and the bound
+    still holds for the surviving heavy item."""
+    from collections import Counter
+
+    from event_pipeline_spark.streaming.frequent import (
+        streaming_frequent,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    items = [f"rare{i}" for i in range(60)] + ["heavy"] * 120
+    true = Counter(items)
+    src = f"file://{tmp_path}/mg2_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(
+        [(v,) for v in items], "item string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    collected: list = []
+    q = (
+        streaming_frequent(
+            read_parquet_stream(spark, src, max_files_per_trigger=1),
+            "item",
+            shards=2,
+            capacity=4,
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/mg2_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    per_shard = Counter(r["shard"] for r in collected)
+    assert all(c <= 4 for c in per_shard.values())
+    est = {r["item"]: (r["est"], r["n"]) for r in collected}
+    assert "heavy" in est  # 120 occurrences >> n_shard/5
+    e, n = est["heavy"]
+    assert e <= 120 and 120 - e <= n // 5
