@@ -754,3 +754,110 @@ SELECT from_type, to_type, n,
        round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
 FROM counts ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival time statistics
+# ---------------------------------------------------------------------------
+
+
+def interarrival_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(key, n_gaps, mean_us, var_us, cv): per-key inter-arrival gap
+    statistics — the arrival-process profile (is this stream Poisson?
+    cv ≈ 1 — bursty? cv > 1) that capacity planning and anomaly
+    baselines start from.
+
+    Exactness: gaps are integer microseconds (``unix_micros``, one
+    ``lag`` over the per-key ordered window); (n, Σg, Σg²) run in
+    DECIMAL(38,0) ≡ HUGEINT (gaps² overflow BIGINT at day-scale gaps
+    — the `stats.py` contract); mean/variance/cv are fixed-shape
+    expressions rounded to 7 dp. One key-partitioned window + one
+    map-side-combinable aggregate; no global sort.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    gaps = (
+        events.select(F.col(key_col).alias("k"), us.alias("t"))
+        .withColumn("g", F.col("t") - F.lag("t").over(
+            Window.partitionBy("k").orderBy("t")
+        ))
+        .where(F.col("g").isNotNull())
+    )
+    _ = w  # the simple per-key (t) order is total: t ties keep g >= 0
+    dec = "decimal(38,0)"
+    agg = gaps.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("g").cast(dec)).alias("sg"),
+        # cast BEFORE squaring: day-scale gaps in µs overflow BIGINT
+        # when squared row-level
+        F.sum(F.col("g").cast(dec) * F.col("g").cast(dec)).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("sg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    mean = sg / n
+    var = (n * sgg - sg * sg) / (n * (n - F.lit(1.0)))
+    ok = (F.col("n_gaps") > 1) & (var > 0)
+    # UNROUNDED emission: every statistic is the same fixed-shape
+    # double expression over identical exact-decimal sums in both
+    # engines, so the doubles already match bit-for-bit — round(x, 7)
+    # at var's 1e20 magnitude is where engines diverge (Spark rounds
+    # via BigDecimal of the exact double expansion, DuckDB in double),
+    # caught by the sf0.1 differential
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_gaps",
+        mean.alias("mean_us"),
+        F.when(ok, var).alias("var_us"),
+        F.when(ok, F.sqrt(var) / mean).alias("cv"),
+    )
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return interarrival_stats(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["events_interarrival"] = q_events_interarrival
+ORACLES["events_interarrival"] = """
+WITH gaps AS (
+  SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t) AS g
+  FROM (SELECT event_type AS k, epoch_us(ts) AS t FROM events)),
+agg AS (
+  SELECT k, count(*)::BIGINT AS n_gaps, sum(g) AS sg,
+         sum(g::HUGEINT * g::HUGEINT) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY k)
+SELECT k AS event_type, n_gaps,
+       sg::DOUBLE / n_gaps::DOUBLE AS mean_us,
+       CASE WHEN n_gaps > 1 AND
+                 (n_gaps::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE)
+                 / (n_gaps::DOUBLE * (n_gaps::DOUBLE
+                                      - CAST(1 AS DOUBLE))) > 0
+            THEN (n_gaps::DOUBLE * sgg::DOUBLE
+                  - sg::DOUBLE * sg::DOUBLE)
+                 / (n_gaps::DOUBLE
+                    * (n_gaps::DOUBLE - CAST(1 AS DOUBLE)))
+       END AS var_us,
+       CASE WHEN n_gaps > 1 AND
+                 (n_gaps::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE)
+                 / (n_gaps::DOUBLE * (n_gaps::DOUBLE
+                                      - CAST(1 AS DOUBLE))) > 0
+            THEN sqrt((n_gaps::DOUBLE * sgg::DOUBLE
+                       - sg::DOUBLE * sg::DOUBLE)
+                      / (n_gaps::DOUBLE
+                         * (n_gaps::DOUBLE - CAST(1 AS DOUBLE))))
+                 / (sg::DOUBLE / n_gaps::DOUBLE)
+       END AS cv
+FROM agg ORDER BY event_type
+"""

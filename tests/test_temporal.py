@@ -439,3 +439,40 @@ def test_events_transitions_counts_and_rows(spark):
     assert out[("click", "view")]["n"] == 1  # within u1 only
     # total transitions = events - users-with-events (one less per user)
     assert sum(r["n"] for r in out.values()) == 7 - 3
+
+
+def test_interarrival_hand_case(spark):
+    """Gaps 1h, 3h for one type: mean 2h, var 2h^2 (sample), cv
+    resolved by hand; a single-event type yields no row; a two-event
+    type has one gap and NULL var/cv."""
+    import datetime as dt
+    import math
+
+    from event_pipeline_spark.operators.temporal import (
+        interarrival_stats,
+    )
+
+    h = 3_600_000_000  # µs
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "view"),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "view"),
+        (3, dt.datetime(2024, 1, 1, 4), 1, "view"),
+        (4, dt.datetime(2024, 1, 1, 0), 1, "click"),   # single event
+        (5, dt.datetime(2024, 1, 1, 0), 1, "error"),
+        (6, dt.datetime(2024, 1, 1, 2), 1, "error"),   # one gap
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {r["event_type"]: r for r in interarrival_stats(ev).collect()}
+    assert set(out) == {"view", "error"}
+    v = out["view"]
+    assert v["n_gaps"] == 2
+    assert v["mean_us"] == 2.0 * h
+    # sample variance of {1h, 3h} = 2 h^2 (unrounded emission)
+    assert v["var_us"] == 2.0 * h * h
+    assert v["cv"] == math.sqrt(2.0 * h * h) / (2.0 * h)
+    e = out["error"]
+    assert (e["n_gaps"], e["var_us"], e["cv"]) == (1, None, None)
+    assert e["mean_us"] == 2.0 * h
