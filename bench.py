@@ -242,6 +242,37 @@ def _scale_section(spark, sf_dir: str) -> dict:
     }
     spark.catalog.clearCache()
 
+    # what the max_bucket cap is FOR: a boilerplate flood (B identical
+    # docs) fills whole LSH buckets, and the band self-join's OUTPUT is
+    # B(B-1)/2 candidate pairs per bucket — AQE skew-split redistributes
+    # that work but cannot shrink it; only dropping the bucket does.
+    # Candidates must collapse from ~quadratic-in-B to the organic count
+    # and the join must get faster, not slower, on the dirty corpus.
+    from event_pipeline_spark.operators.dedup import minhash_candidate_pairs
+
+    flood_b = 2000
+    flood = spark.range(10_000_000, 10_000_000 + flood_b).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate footer text repeated everywhere "
+            "on every page of this site"
+        ).alias("text"),
+    )
+    dirty = docs.select("doc_id", "text").unionByName(flood)
+    uncapped_plan = minhash_candidate_pairs(dirty)
+    capped_plan = minhash_candidate_pairs(dirty, max_bucket=100)
+    u_pairs = uncapped_plan.count()
+    c_pairs = capped_plan.count()
+    ut = _time_once(uncapped_plan)
+    ct = _time_once(capped_plan)
+    out["minhash_hot_bucket"] = {
+        "flood_docs": flood_b,
+        "uncapped_pairs": u_pairs, "capped_pairs": c_pairs,
+        "uncapped_sec": ut, "capped_sec": ct,
+        "speedup": round(ut / max(ct, 1e-9), 2),
+    }
+    spark.catalog.clearCache()
+
     def docs_same_vocab_at(m: int):
         # BM25 growth mode: same vocabulary, m× documents — postings
         # per query term grow with the corpus (the realistic shape)

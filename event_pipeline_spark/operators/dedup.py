@@ -183,6 +183,58 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop every (band, bh) bucket holding more than ``max_bucket``
+    docs — the MOSS-style noise rule for LSH banding. A bucket's
+    candidate OUTPUT is quadratic in its size, so at 100 TB one
+    boilerplate-heavy bucket with millions of docs produces ~10^12
+    pairs that AQE's skew-join split can redistribute but never
+    shrink; ultra-common band hashes are boilerplate by definition
+    (the same argument as ``winnow_pairs`` max_df). The count window
+    partitions by exactly the downstream join key, so it reuses the
+    join's own hash exchange — capping adds no extra shuffle."""
+    if max_bucket is None:
+        return banded
+    from pyspark.sql import Window
+
+    return (
+        banded.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+        )
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """The REPORT half of the cap's drop-or-report semantics:
+    (band, bh, n_docs) for every bucket the cap would drop, so an
+    operator can audit what boilerplate mass was excluded before
+    trusting the capped pair list."""
+    banded = _banded_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     *,
@@ -191,15 +243,20 @@ def minhash_candidate_pairs(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band_hash) bucket become
     candidate pairs. Returns distinct (id_a, id_b).
 
     Scale shape: explode emits ``bands`` rows per doc of (band_id,
     64-bit hash, id) — the self-join shuffles ONLY those ~24-byte rows;
-    text and shingle sets never move. Bucket skew (boilerplate docs) is
-    AQE's skew-join case; for pathological buckets cap with a per-bucket
-    limit upstream.
+    text and shingle sets never move. Moderate bucket skew is AQE's
+    skew-join case; pathological buckets (boilerplate corpora put
+    millions of docs in one bucket, whose candidate OUTPUT is quadratic
+    in bucket size) are dropped by ``max_bucket`` — see
+    :func:`_cap_buckets` for why the cap is the only thing that bounds
+    that cardinality, and :func:`minhash_hot_buckets` for the audit
+    report of what a given cap excludes.
     """
     rows = num_hashes // bands
     sig = df.select(
@@ -231,6 +288,7 @@ def minhash_candidate_pairs(
             )
         ).alias("_bucket"),
     ).select("_id", "_bucket.band", "_bucket.bh")
+    banded = _cap_buckets(banded, max_bucket)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -255,13 +313,15 @@ def minhash_near_duplicates(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs verified by exact Jaccard >= threshold.
 
     Shingle sets are computed ONLY for docs that appear in a candidate
     pair (semi-join first): at near-dup rates of a few percent this
     touches a small fraction of the corpus, and the wide shingle arrays
-    shuffle only for that fraction.
+    shuffle only for that fraction. ``max_bucket`` bounds per-bucket
+    candidate cardinality (see :func:`minhash_candidate_pairs`).
     """
     pairs = minhash_candidate_pairs(
         df,
@@ -270,6 +330,7 @@ def minhash_near_duplicates(
         k_shingle=k_shingle,
         num_hashes=num_hashes,
         bands=bands,
+        max_bucket=max_bucket,
     )
     # the pair list is consumed three times (both legs of the candidate-id
     # union + the final join); without pinning it, the whole signature +
@@ -425,8 +486,16 @@ _register(
 )
 
 
+#: hot-bucket cap for the registered near-dup query — generous enough
+#: that no organic sf0.01/sf0.1 bucket is near it, small enough that a
+#: boilerplate flood is bounded; the oracle recomputes the same cap.
+MINHASH_MAX_BUCKET = 100
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_near_duplicates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), max_bucket=MINHASH_MAX_BUCKET
+    ).orderBy("id_a", "id_b")
 
 
 def _minhash_pair_ctes(
@@ -435,18 +504,26 @@ def _minhash_pair_ctes(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> str:
     """CTE chain recomputing the EXACT MinHash-LSH pipeline in DuckDB:
     same shingles, same md5-low-64 base hash (``md5_number_lower``), the
     same 64 affine permutations (seed-42 constants embedded as
-    literals), the same banding keys, the same Jaccard verify. Ends in a
-    CTE ``verified(id_a, id_b, jaccard)`` — not an approximate
-    reference: bit-for-bit the sketch the Spark side computes."""
+    literals), the same banding keys (with the same ``max_bucket``
+    hot-bucket drop when set — a QUALIFY count window over the bucket
+    key), the same Jaccard verify. Ends in a CTE
+    ``verified(id_a, id_b, jaccard)`` — not an approximate reference:
+    bit-for-bit the sketch the Spark side computes."""
     a, b = _affine_params(num_hashes)
     rows = num_hashes // bands
     params = ",\n                ".join(
         f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
         for i in range(num_hashes)
+    )
+    cap_clause = (
+        ""
+        if max_bucket is None
+        else f"QUALIFY count(*) OVER (PARTITION BY bi, bh) <= {max_bucket}"
     )
     return f"""WITH params(i, a, b) AS (VALUES {params}),
        toks AS (SELECT doc_id,
@@ -468,7 +545,8 @@ def _minhash_pair_ctes(
                          md5(array_to_string(
                              s[bnd.bi*{rows}+1 : bnd.bi*{rows}+{rows}], ',')) AS bh
                   FROM sig CROSS JOIN
-                       (SELECT unnest(generate_series(0, {bands - 1})) AS bi) bnd),
+                       (SELECT unnest(generate_series(0, {bands - 1})) AS bi) bnd
+                  {cap_clause}),
        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
                 FROM banded l JOIN banded r
                   ON l.bi = r.bi AND l.bh = r.bh AND l.doc_id < r.doc_id),
@@ -484,7 +562,7 @@ def _minhash_pair_ctes(
 
 def _minhash_oracle_sql() -> str:
     return (
-        _minhash_pair_ctes()
+        _minhash_pair_ctes(max_bucket=MINHASH_MAX_BUCKET)
         + """
        SELECT id_a, id_b, jaccard FROM verified
        WHERE jaccard >= 0.7 ORDER BY id_a, id_b"""
@@ -879,6 +957,7 @@ def build_minhash_index(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable corpus-side artifacts for incremental near-dup:
     ``(banded_index, shingle_table)``.
@@ -889,14 +968,22 @@ def build_minhash_index(
     by ``band``), appends each accepted batch's rows, and feeds them
     back into :func:`minhash_cross_near_duplicates` via
     ``corpus_index=`` / ``corpus_shingles=`` — so per-ingest cost is
-    proportional to the batch, not the standing corpus."""
-    banded = _banded_signatures(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        k_shingle=k_shingle,
-        num_hashes=num_hashes,
-        bands=bands,
+    proportional to the batch, not the standing corpus.
+
+    ``max_bucket`` applies the hot-bucket cap at BUILD time — the right
+    place for the incremental flow, since capping a stored index once
+    is O(index) while capping inside every ingest's join would rescan
+    the standing corpus per batch."""
+    banded = _cap_buckets(
+        _banded_signatures(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            k_shingle=k_shingle,
+            num_hashes=num_hashes,
+            bands=bands,
+        ),
+        max_bucket,
     )
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -917,6 +1004,7 @@ def minhash_cross_near_duplicates(
     bands: int = 16,
     corpus_index: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN a new batch and an existing corpus —
     the incremental-ingestion flow: band both sides, join band keys
@@ -933,6 +1021,12 @@ def minhash_cross_near_duplicates(
       parquet. This is the scaling path — the standing corpus is never
       re-shingled; each ingest shuffles only the new batch's
       ``(band, hash, id)`` rows against the stored index.
+
+    ``max_bucket`` caps the NEW side's buckets here; the corpus side is
+    capped once at :func:`build_minhash_index` time (re-capping the
+    standing index per ingest would defeat the incremental flow). When
+    ``corpus_df`` is given, the cap is forwarded to the index build so
+    both sides are bounded.
 
     Pairs are normalized to ``id_a < id_b``."""
     kw = dict(
@@ -954,8 +1048,9 @@ def minhash_cross_near_duplicates(
             k_shingle=k_shingle,
             num_hashes=num_hashes,
             bands=bands,
+            max_bucket=max_bucket,
         )
-    bn = _banded_signatures(new_df, **kw).alias("n")
+    bn = _cap_buckets(_banded_signatures(new_df, **kw), max_bucket).alias("n")
     bc = corpus_index.alias("c")
     cand = (
         bn.join(

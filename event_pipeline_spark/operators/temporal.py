@@ -766,7 +766,6 @@ def interarrival_stats(
     *,
     key_col: str = "event_type",
     ts_col: str = "ts",
-    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """(key, n_gaps, mean_us, var_us, cv): per-key inter-arrival gap
     statistics — the arrival-process profile (is this stream Poisson?
@@ -774,16 +773,22 @@ def interarrival_stats(
     baselines start from.
 
     Exactness: gaps are integer microseconds (``unix_micros``, one
-    ``lag`` over the per-key ordered window); (n, Σg, Σg²) run in
+    ``lag`` over the per-key ``(t)`` window — that order is enough:
+    timestamp ties produce the same gap multiset regardless of
+    tiebreak, so no secondary sort key is taken); (n, Σg, Σg²) run in
     DECIMAL(38,0) ≡ HUGEINT (gaps² overflow BIGINT at day-scale gaps
-    — the `stats.py` contract); mean/variance/cv are fixed-shape
-    expressions rounded to 7 dp. One key-partitioned window + one
-    map-side-combinable aggregate; no global sort.
+    — the `stats.py` contract). The variance NUMERATOR n·Σg² − (Σg)²
+    and DENOMINATOR n·(n−1) are also computed exactly in decimal, so
+    every emitted double is a SINGLE correctly-rounded IEEE op over
+    exact integers (one division for mean and var; sqrt + division
+    for cv) — bit-identical across engines with no reliance on
+    matching double-fold or FMA-contraction behavior. One
+    key-partitioned window + one map-side-combinable aggregate; no
+    global sort.
     """
     from pyspark.sql import Window
 
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gaps = (
         events.select(F.col(key_col).alias("k"), us.alias("t"))
         .withColumn("g", F.col("t") - F.lag("t").over(
@@ -791,7 +796,6 @@ def interarrival_stats(
         ))
         .where(F.col("g").isNotNull())
     )
-    _ = w  # the simple per-key (t) order is total: t ties keep g >= 0
     dec = "decimal(38,0)"
     agg = gaps.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
@@ -800,18 +804,14 @@ def interarrival_stats(
         # when squared row-level
         F.sum(F.col("g").cast(dec) * F.col("g").cast(dec)).alias("sgg"),
     )
-    n = F.col("n_gaps").cast("double")
-    sg = F.col("sg").cast("double")
-    sgg = F.col("sgg").cast("double")
-    mean = sg / n
-    var = (n * sgg - sg * sg) / (n * (n - F.lit(1.0)))
+    nd = F.col("n_gaps").cast(dec)
+    # exact-decimal numerator/denominator: Σg ≤ ~1e17 → (Σg)² ≤ 1e34
+    # and n·Σg² ≤ ~1e34, both inside DECIMAL(38,0) ≡ HUGEINT
+    var_num = (nd * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+    var_den = (nd * (nd - F.lit(1).cast(dec))).cast("double")
+    mean = F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+    var = var_num / var_den
     ok = (F.col("n_gaps") > 1) & (var > 0)
-    # UNROUNDED emission: every statistic is the same fixed-shape
-    # double expression over identical exact-decimal sums in both
-    # engines, so the doubles already match bit-for-bit — round(x, 7)
-    # at var's 1e20 magnitude is where engines diverge (Spark rounds
-    # via BigDecimal of the exact double expansion, DuckDB in double),
-    # caught by the sf0.1 differential
     return agg.select(
         F.col("k").alias(key_col),
         "n_gaps",
@@ -835,29 +835,20 @@ WITH gaps AS (
   SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t) AS g
   FROM (SELECT event_type AS k, epoch_us(ts) AS t FROM events)),
 agg AS (
-  SELECT k, count(*)::BIGINT AS n_gaps, sum(g) AS sg,
-         sum(g::HUGEINT * g::HUGEINT) AS sgg
-  FROM gaps WHERE g IS NOT NULL GROUP BY k)
-SELECT k AS event_type, n_gaps,
-       sg::DOUBLE / n_gaps::DOUBLE AS mean_us,
-       CASE WHEN n_gaps > 1 AND
-                 (n_gaps::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE)
-                 / (n_gaps::DOUBLE * (n_gaps::DOUBLE
-                                      - CAST(1 AS DOUBLE))) > 0
-            THEN (n_gaps::DOUBLE * sgg::DOUBLE
-                  - sg::DOUBLE * sg::DOUBLE)
-                 / (n_gaps::DOUBLE
-                    * (n_gaps::DOUBLE - CAST(1 AS DOUBLE)))
-       END AS var_us,
-       CASE WHEN n_gaps > 1 AND
-                 (n_gaps::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE)
-                 / (n_gaps::DOUBLE * (n_gaps::DOUBLE
-                                      - CAST(1 AS DOUBLE))) > 0
-            THEN sqrt((n_gaps::DOUBLE * sgg::DOUBLE
-                       - sg::DOUBLE * sg::DOUBLE)
-                      / (n_gaps::DOUBLE
-                         * (n_gaps::DOUBLE - CAST(1 AS DOUBLE))))
-                 / (sg::DOUBLE / n_gaps::DOUBLE)
+  SELECT k, count(*)::BIGINT AS n_gaps, sum(g)::HUGEINT AS sg,
+         sum(g::HUGEINT * g::HUGEINT)::HUGEINT AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY k),
+stat AS (
+  -- exact integer numerator/denominator, then a SINGLE double
+  -- division per statistic (correctly-rounded, engine-stable)
+  SELECT k, n_gaps,
+         sg::DOUBLE / n_gaps::DOUBLE AS mean_us,
+         (n_gaps::HUGEINT * sgg - sg * sg)::DOUBLE
+           / (n_gaps::HUGEINT * (n_gaps::HUGEINT - 1))::DOUBLE AS var
+  FROM agg)
+SELECT k AS event_type, n_gaps, mean_us,
+       CASE WHEN n_gaps > 1 AND var > 0 THEN var END AS var_us,
+       CASE WHEN n_gaps > 1 AND var > 0 THEN sqrt(var) / mean_us
        END AS cv
-FROM agg ORDER BY event_type
+FROM stat ORDER BY event_type
 """

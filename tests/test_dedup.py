@@ -70,6 +70,49 @@ def test_minhash_recall_and_precision(docs):
         assert recall >= 0.9, f"minhash recall {recall} over {len(truth)} pairs"
 
 
+def test_minhash_max_bucket_drops_hot_bucket_only(docs, spark):
+    """A boilerplate flood (60 identical docs) fills whole LSH buckets;
+    max_bucket must drop exactly those buckets' pairs (the flood's
+    ~1770 intra-pairs) while organic near-dup pairs from the untouched
+    corpus survive — the MOSS noise rule, drop side."""
+    from event_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_hot_buckets,
+    )
+
+    flood = spark.range(1_000_000, 1_000_060).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated everywhere "
+              "on every page of this site").alias("text"),
+    )
+    mixed = docs.select("doc_id", "text").unionByName(flood)
+
+    organic = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, max_bucket=50).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(mixed, max_bucket=50).collect()
+    }
+    # every flood intra-pair is gone...
+    assert not any(a >= 1_000_000 and b >= 1_000_000 for a, b in capped)
+    # ...and the organic pairs are exactly preserved (the flood's
+    # buckets contain only flood docs — identical texts — so capping
+    # them cannot remove an organic pair)
+    assert capped == organic
+    # report half: the hot buckets are enumerable, all of flood size,
+    # across all 16 bands (identical docs share every band hash)
+    hot = minhash_hot_buckets(mixed, max_bucket=50).collect()
+    assert len(hot) == 16
+    assert all(r["n_docs"] == 60 for r in hot)
+    # uncapped, the flood would contribute 60*59/2 = 1770 pairs
+    uncapped = minhash_candidate_pairs(mixed).where(
+        (F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)
+    )
+    assert uncapped.count() == 1770
+
+
 def test_simhash_pairs_are_close(docs, spark):
     pairs = simhash_near_duplicates(docs, max_hamming=3)
     rows = pairs.collect()
