@@ -152,7 +152,13 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
-def _oracle_sql(vocab: tuple[str, ...], max_pieces: int) -> str:
+def _ctes(
+    vocab: tuple[str, ...], max_pieces: int, prefix: str = ""
+) -> tuple[str, str]:
+    """(cte_fragment, final_cte_name) replaying the greedy loop, every
+    CTE name ``prefix``-ed so the chain composes into multi-tokenizer
+    oracles (the fertility triad) without name collisions. The final
+    CTE exposes (word, n_occ, pos, toks, bad)."""
     in_list = ", ".join(f"'{v}'" for v in vocab)
 
     def match_expr(col: str) -> str:
@@ -170,40 +176,45 @@ def _oracle_sql(vocab: tuple[str, ...], max_pieces: int) -> str:
             )
         return "CASE " + " ".join(whens) + " ELSE NULL END"
 
-    sql = """
-WITH words AS MATERIALIZED (
+    p = prefix
+    sql = f"""{p}words AS MATERIALIZED (
   SELECT w AS word, count(*)::BIGINT AS n_occ
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
         FROM documents)
   GROUP BY w),
-it0 AS (
+{p}it0 AS (
   SELECT word, n_occ, 0 AS pos, []::VARCHAR[] AS toks, FALSE AS bad
-  FROM words)"""
-    prev = "it0"
+  FROM {p}words)"""
+    prev = f"{p}it0"
     for i in range(max_pieces):
         sql += f""",
-m{i} AS MATERIALIZED (
+{p}m{i} AS MATERIALIZED (
   SELECT word, n_occ, pos, toks, bad,
          {match_expr('word')} AS m,
          (NOT bad AND pos < length(word)) AS act
   FROM {prev}),
-it{i + 1} AS MATERIALIZED (
+{p}it{i + 1} AS MATERIALIZED (
   SELECT word, n_occ,
          CASE WHEN act AND m IS NOT NULL THEN pos + m.l ELSE pos END
            AS pos,
          CASE WHEN act AND m IS NOT NULL THEN toks || [m.p]
               ELSE toks END AS toks,
          CASE WHEN act AND m IS NULL THEN TRUE ELSE bad END AS bad
-  FROM m{i})"""
-        prev = f"it{i + 1}"
-    sql += f"""
+  FROM {p}m{i})"""
+        prev = f"{p}it{i + 1}"
+    return sql, prev
+
+
+def _oracle_sql(vocab: tuple[str, ...], max_pieces: int) -> str:
+    ctes, final = _ctes(vocab, max_pieces)
+    return f"""
+WITH {ctes}
 SELECT word, n_occ,
        CASE WHEN bad OR pos < length(word) THEN '{UNK}'
             ELSE array_to_string(toks, ' ') END AS pieces,
        CASE WHEN bad OR pos < length(word) THEN 1
             ELSE len(toks) END::INT AS n_pieces
-FROM {prev} ORDER BY word"""
-    return sql
+FROM {final} ORDER BY word"""
 
 
 QUERIES["wordpiece_tokens"] = q_wordpiece_tokens

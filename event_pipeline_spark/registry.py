@@ -142,8 +142,8 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "imagededup", "audiodedup", "corpusstats", "mojibake", "curate",
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
         "trends", "centroids", "rake", "concord", "profile", "attribution",
-        "layout", "survival", "wordpiece", "evaluation", "privacy",
-        "stats", "folds",
+        "layout", "survival", "wordpiece", "unigram", "evaluation",
+        "privacy", "stats", "folds",
     ):
         try:
             mod = __import__(

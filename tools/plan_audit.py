@@ -38,6 +38,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "rank_bm25_topk": {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus stats (N, avgdl)",
     },
+    "tok_fertility_triad": {
+        "BroadcastNestedLoopJoin": "broadcast one-row n_words total "
+        "crossed with each tokenizer's one-row token total",
+    },
     "rank_tfidf_topterms": {
         "BroadcastNestedLoopJoin": "broadcast one-row doc-count for idf",
     },
