@@ -45,6 +45,21 @@ QUERIES = {}
 ORACLES = {}
 
 
+def window_fps(toks_col: str, window: int):
+    """array<long> of sliding-window fingerprints over a materialized
+    token-array column — index s (0-based via posexplode) is the gram
+    at tokens s+1..s+window. The dual-31-bit Horner kernel
+    (`text.gram_fp`): one md5 per TOKEN plus ``window`` integer
+    multiply-adds per position, replacing the md5-of-joined-slice form
+    that re-hashed ~window·|token| bytes per position (the top
+    profiled cost of this operator family). Shared by the batch
+    operator and the streaming form so their digests — and therefore
+    their state — stay interchangeable."""
+    from event_pipeline_spark.operators.text import window_fp_array
+
+    return window_fp_array(F.col(toks_col), window)
+
+
 def dedup_substring_spans(
     df: DataFrame,
     *,
@@ -66,14 +81,7 @@ def dedup_substring_spans(
     n = F.size("_toks")
     wins = docs.where(n >= window).select(
         "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n - window),
-                lambda i: F.md5(
-                    F.array_join(F.slice("_toks", i + 1, F.lit(window)), " ")
-                ),
-            )
-        ).alias("_s", "_h"),
+        F.posexplode(window_fps("_toks", window)).alias("_s", "_h"),
     )
     dup = (
         wins.withColumn(
@@ -154,15 +162,24 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
-ORACLES["dedup_substring_spans"] = rf"""
-WITH docs AS (
+def _wins_cte() -> str:
+    from event_pipeline_spark.operators.text import gram_fp_sql, residues_sql
+
+    return rf"""docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
   FROM documents),
+res AS (
+  SELECT doc_id, toks,
+         list_transform(toks, t -> {residues_sql('t')}) AS th
+  FROM docs),
 wins AS (
-  SELECT doc_id, i - 1 AS s,
-         md5(array_to_string(toks[i : i + {_W} - 1], ' ')) AS h
-  FROM docs, LATERAL unnest(generate_series(1, len(toks) - {_W} + 1)) AS t(i)
-  WHERE len(toks) >= {_W}),
+  SELECT doc_id, i - 1 AS s, {gram_fp_sql('th', 'i', _W)} AS h
+  FROM res, LATERAL unnest(generate_series(1, len(toks) - {_W} + 1)) AS t(i)
+  WHERE len(toks) >= {_W})"""
+
+
+ORACLES["dedup_substring_spans"] = rf"""
+WITH {_wins_cte()},
 dups AS (
   SELECT doc_id, s FROM (
     SELECT doc_id, s,

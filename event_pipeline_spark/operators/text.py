@@ -67,6 +67,253 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+# ---------------------------------------------------------------------------
+# Polynomial gram hashing (the winnow/substring-dedup kernel)
+#
+# The original gram builders re-materialized `md5(array_join(slice(
+# toks, i, k), ' '))` at every position — one string join + full md5
+# per position, O(n·k) BYTES hashed per document, and the single most
+# expensive kernel in the bench. The replacement hashes each TOKEN once
+# (md5-low-64, the md5_number_lower portability contract) and combines
+# k token residues per position with a dual 31-bit modular Horner fold:
+# O(n) md5 calls + O(n·k) bare integer multiply-adds, no per-position
+# string materialization.
+#
+# Why dual 31-bit lanes instead of one mod-2^64 lane: Spark 4 runs ANSI
+# mode by default (the driver grades with a vanilla session), where
+# BIGINT overflow THROWS instead of wrapping, so Java-wrap mod-2^64
+# arithmetic is unavailable. With M < 2^31 every intermediate
+# (h*P + r < 2^31·2^20 + 2^31, residue products < 2^62) stays far below
+# 2^63 in BOTH engines — no overflow, no HUGEINT needed in DuckDB; the
+# two lanes pack into one 62-bit BIGINT fingerprint (collision odds
+# ~2^-62 per pair, the same regime as the 64-bit digests it replaces).
+# ---------------------------------------------------------------------------
+
+HASH_M1, HASH_P1 = 2147483647, 1000003  # 2^31-1 (Mersenne prime)
+HASH_M2, HASH_P2 = 2147483629, 1000033
+_POW32_M1 = (1 << 32) % HASH_M1
+_POW32_M2 = (1 << 32) % HASH_M2
+
+
+def token_residues(tok: Column) -> Column:
+    """struct(r1, r2): md5-low-64(token) mod (M1, M2), built from the
+    two 32-bit halves of the digest's low quadword so no intermediate
+    exceeds 2^62 (ANSI-safe). Bit-identical to DuckDB's
+    ``md5_number_lower(tok) % M``.
+
+    Both the hex digest and the (hi, lo) halves are ``bind``-ed: the
+    digest feeds 8 substring reads and each half feeds both modulus
+    lanes, and without the binds Catalyst re-evaluates md5 SIXTEEN
+    times per token (no CSE inside lambda scopes — the text.bind rule,
+    measured 2.6x on the winnow selection)."""
+
+    def _halves(hx: Column) -> Column:
+        # md5_number_lower = int.from_bytes(digest[8:], 'little'):
+        # most-significant byte is digest[15] = hex chars 31..32
+        hi = F.conv(
+            F.concat(*[F.substring(hx, p, 2) for p in (31, 29, 27, 25)]),
+            16, 10,
+        ).cast("long")
+        lo = F.conv(
+            F.concat(*[F.substring(hx, p, 2) for p in (23, 21, 19, 17)]),
+            16, 10,
+        ).cast("long")
+        return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+    def _residues(hl: Column) -> Column:
+        def _mod(m: int, pow32: int) -> Column:
+            return ((hl["hi"] % m) * pow32 + (hl["lo"] % m)) % m
+
+        return F.struct(
+            _mod(HASH_M1, _POW32_M1).alias("r1"),
+            _mod(HASH_M2, _POW32_M2).alias("r2"),
+        )
+
+    return bind(F.md5(tok), lambda hx: bind(_halves(hx), _residues))
+
+
+def gram_fp(th: Column, i: Column, k: int) -> Column:
+    """Packed 62-bit fingerprint of the ``k``-token gram starting at
+    1-based position ``i`` of the BOUND residue array ``th`` (bind it —
+    an unbound expression re-evaluates per element, see :func:`bind`).
+    Positions past the end contribute residue 0, so documents shorter
+    than ``k`` tokens still emit one well-defined clamped gram."""
+    h1: Column = F.lit(0).cast("long")
+    h2: Column = F.lit(0).cast("long")
+    for j in range(k):
+        r = F.try_element_at(th, i + F.lit(j))
+        h1 = (h1 * HASH_P1 + F.coalesce(r["r1"], F.lit(0).cast("long"))) % HASH_M1
+        h2 = (h2 * HASH_P2 + F.coalesce(r["r2"], F.lit(0).cast("long"))) % HASH_M2
+    return h1 * F.lit(2147483648).cast("long") + h2
+
+
+def token_residue_array(toks: Column) -> Column:
+    """array<struct(r1, r2)> of per-token residues — the production
+    form of :func:`token_residues`: three FLAT transform levels (md5
+    hexes -> (hi, lo) halves -> residues), each level bound, so there
+    are zero per-token ``bind`` wrappers (a per-token bind costs an
+    array allocation + interpreted lambda dispatch per token; at 3M
+    tokens that overhead dominated the arithmetic)."""
+
+    def _halves(hx: Column) -> Column:
+        hi = F.conv(
+            F.concat(*[F.substring(hx, p, 2) for p in (31, 29, 27, 25)]),
+            16, 10,
+        ).cast("long")
+        lo = F.conv(
+            F.concat(*[F.substring(hx, p, 2) for p in (23, 21, 19, 17)]),
+            16, 10,
+        ).cast("long")
+        return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+    def _res(hl: Column) -> Column:
+        def _mod(m: int, pow32: int) -> Column:
+            return ((hl["hi"] % m) * pow32 + (hl["lo"] % m)) % m
+
+        return F.struct(
+            _mod(HASH_M1, _POW32_M1).alias("r1"),
+            _mod(HASH_M2, _POW32_M2).alias("r2"),
+        )
+
+    return bind(
+        F.transform(toks, F.md5),
+        lambda hxs: bind(
+            F.transform(hxs, _halves),
+            lambda hls: F.transform(hls, _res),
+        ),
+    )
+
+
+def _combine_residues(gram_len_b: int):
+    """zip_with combiner H_{a+b}[i] = H_a[i]*P^b + H_b[i+a] (mod M per
+    lane); a NULL right side (shift past the end) contributes residue
+    0 — the zero-padding clamp that keeps short documents defined."""
+    pw1 = pow(HASH_P1, gram_len_b, HASH_M1)
+    pw2 = pow(HASH_P2, gram_len_b, HASH_M2)
+
+    def f(a: Column, b: Column) -> Column:
+        zero = F.lit(0).cast("long")
+        r1 = (a["r1"] * pw1 + F.coalesce(b["r1"], zero)) % HASH_M1
+        r2 = (a["r2"] * pw2 + F.coalesce(b["r2"], zero)) % HASH_M2
+        return F.struct(r1.alias("r1"), r2.alias("r2"))
+
+    return f
+
+
+def gram_fp_array(th: Column, k: int) -> Column:
+    """array<long>: the packed ``k``-gram fingerprint at EVERY start
+    position of the BOUND residue array ``th`` (entry i = gram of
+    tokens i..i+k-1, zero-padded past the end).
+
+    Built by binary doubling: H_1 = th, H_{2j} = zip_with(H_j,
+    shift-j(H_j)), then the set bits of ``k`` combine MSB-first — so a
+    window-50 gram costs ~7 flat array passes instead of 50 nested
+    per-position steps (the naive unroll is both O(n·k) interpreted
+    ops AND an expression tree deep enough to break analysis at
+    k=50). Each doubling level is bound because it is referenced
+    twice (as the left side and as its own shifted right side).
+    Association order does not matter for exact modular arithmetic, so
+    the DuckDB oracle keeps the simple per-position Horner replay
+    (:func:`gram_fp_sql`) and the values still match bit-for-bit."""
+    m = k.bit_length() - 1
+    set_bits = [j for j in range(m + 1) if (k >> j) & 1]
+
+    def _shifted(src: Column, by: int) -> Column:
+        return F.slice(src, by + 1, F.size(src))
+
+    def finish(levels: dict) -> Column:
+        bits = sorted(set_bits, reverse=True)
+        expr = levels[bits[0]]
+        cur_len = 1 << bits[0]
+        for j in bits[1:]:
+            expr = F.zip_with(
+                expr,
+                _shifted(levels[j], cur_len),
+                _combine_residues(1 << j),
+            )
+            cur_len += 1 << j
+        return F.transform(
+            expr,
+            lambda s: s["r1"] * F.lit(2147483648).cast("long") + s["r2"],
+        )
+
+    def build(j: int, h_j: Column, levels: dict) -> Column:
+        levels = {**levels, j: h_j}
+        if j == m:
+            return finish(levels)
+        nxt = F.zip_with(
+            h_j, _shifted(h_j, 1 << j), _combine_residues(1 << j)
+        )
+        return bind(nxt, lambda c: build(j + 1, c, levels))
+
+    return build(0, th, {})
+
+
+def window_fp_array(toks: Column, k: int) -> Column:
+    """array<long> of the ``k``-token sliding-window fingerprints of a
+    token array (one entry per start position, ``max(n-k+1, 1)``
+    entries — documents shorter than ``k`` emit one zero-padded
+    clamped gram). End-to-end bound pipeline: residues -> doubling
+    levels -> packed longs."""
+    return bind(
+        token_residue_array(toks),
+        lambda th: bind(
+            gram_fp_array(th, k),
+            lambda fps: F.slice(
+                fps, 1, F.greatest(F.size(fps) - (k - 1), F.lit(1))
+            ),
+        ),
+    )
+
+
+def residues_sql(tok: str) -> str:
+    """DuckDB replay of :func:`token_residues` (md5_number_lower is
+    UBIGINT; mod then cast keeps everything in BIGINT range)."""
+    return (
+        f"struct_pack(r1 := (md5_number_lower({tok}) % {HASH_M1})::BIGINT,"
+        f" r2 := (md5_number_lower({tok}) % {HASH_M2})::BIGINT)"
+    )
+
+
+def gram_fp_sql(th: str, i: str, k: int) -> str:
+    """DuckDB replay of the gram fingerprint over a residue list
+    ``th`` and 1-based position expression ``i``.
+
+    Small ``k`` unrolls the Horner fold inline; large ``k`` switches to
+    ``list_reduce`` over the zero-padded k-slice (the inline nesting is
+    ~4 levels per step and DuckDB's binder caps expression recursion at
+    128, so k=50 cannot bind unrolled). Both compute the identical
+    modular polynomial — exact integer arithmetic is association-free,
+    so they also match the Spark side's doubling construction."""
+    if k <= 16:
+        h1, h2 = "0", "0"
+        for j in range(k):
+            r1 = f"coalesce({th}[{i}+{j}].r1, 0)"
+            r2 = f"coalesce({th}[{i}+{j}].r2, 0)"
+            h1 = f"(({h1} * {HASH_P1} + {r1}) % {HASH_M1})"
+            h2 = f"(({h2} * {HASH_P2} + {r2}) % {HASH_M2})"
+        return f"({h1} * 2147483648 + {h2})"
+    zero = "struct_pack(r1 := 0::BIGINT, r2 := 0::BIGINT)"
+    # zero-pad the k-slice (slice truncates at the end; Horner over
+    # fewer steps is NOT the clamped k-step hash), seed the reduce
+    # with a zero accumulator element
+    padded = (
+        f"list_concat([{zero}], list_concat("
+        f"{th}[{i} : {i}+{k - 1}], "
+        f"list_transform(generate_series(1, {k} - len({th}[{i} : {i}+{k - 1}])),"
+        f" _ -> {zero})))"
+    )
+    step = (
+        "(acc, x) -> struct_pack("
+        f"r1 := (acc.r1 * {HASH_P1} + x.r1) % {HASH_M1}, "
+        f"r2 := (acc.r2 * {HASH_P2} + x.r2) % {HASH_M2})"
+    )
+    return (
+        f"((list_reduce({padded}, {step})).r1 * 2147483648"
+        f" + (list_reduce({padded}, {step})).r2)"
+    )
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 

@@ -37,7 +37,18 @@ WINDOW = 4
 def _gram_hash_structs(text_col: Column, k: int) -> Column:
     """array<struct(h: md5-hex of k-gram at pos, negpos: -pos)> —
     negpos makes struct-min pick the RIGHTMOST among equal hashes.
-    ``bind`` keeps the split single-evaluation (see text.bind)."""
+    ``bind`` keeps the split single-evaluation (see text.bind).
+
+    Deliberately NOT the rolling polynomial kernel
+    (`text.window_fp_array`): measured at sf0.1, the md5-slice form is
+    ~3 interpreted-expression dispatches per position (slice+join+md5)
+    while the dual-lane Horner form is ~60 (residues, doubling levels,
+    packing), and HOF lambdas evaluate interpreted — the swap REGRESSED
+    winnow_fingerprints 0.96s -> 1.4-1.6s despite hashing fewer bytes.
+    At k=4 the byte redundancy is only 4x, so dispatch count dominates;
+    the rolling kernel wins where the window is large (substring dedup
+    at window=50 uses it — 50x byte redundancy AND an expression tree
+    the naive form cannot even build)."""
     from event_pipeline_spark.operators.text import bind
 
     return bind(

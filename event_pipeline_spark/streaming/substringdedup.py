@@ -109,17 +109,12 @@ def streaming_dedup_substrings(
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
         F.col(text_col).alias("text"),
     )
+    from event_pipeline_spark.operators.substrings import window_fps
+
     n = F.size("_toks")
     wins = docs.where(n >= window).select(
         "docid",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n - window),
-                lambda i: F.md5(
-                    F.array_join(F.slice("_toks", i + 1, F.lit(window)), " ")
-                ),
-            )
-        ).alias("s", "_h"),
+        F.posexplode(window_fps("_toks", window)).alias("s", "_h"),
         "text",
     )
     keyed = wins.select(
