@@ -96,7 +96,31 @@ GRADE_FIRST_OPERATORS = [
     "mm_image_neardup",
     "pack_sequences_bpe",
     "select_token_budget_bpe",
+    # Round-8 rotation: the r7-verdict task-4 five (all judge-green
+    # last round, now driver-graded) plus the round-8 headliners
+    # (Unigram Viterbi tokenizer and the three-family fertility triad
+    # whose oracle embeds all three tokenizer chains). Seven core
+    # lookup-DSL/set-op one-liners defer to make room (see
+    # GRADE_DEFER_CORE below) — they stay registered and
+    # differential-checked every round; the lookup-DSL family remains
+    # graded through q3 (exact/gt conjunction) and q9 (discard-anti).
+    "stats_welch_ttest",
+    "fuzzy_sorted_neighborhood",
+    "events_interarrival",
+    "sketch_cms_events",
+    "ml_rolling_folds",
+    "unigram_tokens",
+    "tok_fertility_triad",
 ]
+
+#: Core q-entries deferred OUT of the graded prefix (round-8 rotation):
+#: long-stable single-operator lookup-DSL forms (q4 __contains, q5
+#: __startswith/__icontains, q6 __in/__isnull, q10 __contains__ semi,
+#: q11 first()) and set-ops covered by near-identical graded siblings
+#: (q8 union-merge, q24 intersect — q9's anti-join keeps the family).
+#: All stay registered and are differential-checked by
+#: tools/check_oracles.py at both SFs every round.
+GRADE_DEFER_CORE = {"q4", "q5", "q6", "q8", "q10", "q11", "q24"}
 
 
 def _auto_release(fn: QueryFn) -> QueryFn:
@@ -121,7 +145,11 @@ def _auto_release(fn: QueryFn) -> QueryFn:
 
 
 def _grade_order(qs: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    core_first = [f"q{i}" for i in range(1, 28) if f"q{i}" in qs]
+    core_first = [
+        f"q{i}"
+        for i in range(1, 28)
+        if f"q{i}" in qs and f"q{i}" not in GRADE_DEFER_CORE
+    ]
     prefix = core_first + [n for n in GRADE_FIRST_OPERATORS if n in qs]
     rest = [n for n in qs if n not in set(prefix)]
     return {n: _auto_release(qs[n]) for n in prefix + rest}
