@@ -136,45 +136,97 @@ def get_session(
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def read_table(
-    spark: SparkSession, sf_dir: str, name: str, *, cached: bool = True
-) -> DataFrame:
-    """Read one benchmark table as a DataFrame (lazy parquet scan).
+#: detection order for read_table: parquet is the benchmark's native
+#: format; JSONL/CSV are the arrival formats of real corpus drops.
+_TABLE_FORMATS = (
+    ("parquet", ".parquet"),
+    ("json", ".jsonl"),
+    ("json", ".json"),
+    ("csv", ".csv"),
+)
 
-    The ``events`` table's ``ts`` has shipped under three physical parquet
-    encodings across testdata generations; normalize all of them to
-    TIMESTAMP_NTZ (UTC wall-clock) so every downstream operator sees one
-    type and renders identically to the DuckDB oracle (naive isoformat):
 
-    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
-      TIMESTAMP_NTZ directly (current testdata) — no-op.
-    - TIMESTAMP(NANOS) → Spark's vectorized reader rejects it; read nanos
-      as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
-      integer arithmetic (``ts div 1000`` — double division would lose
-      precision above 2^53 ns), then strip the UTC zone. Exercised by a
-      fixture in tests/test_oracles.py so the branch can't rot silently.
-    - TIMESTAMP(MICROS, adjusted) → Spark reads zoned TIMESTAMP; cast to
-      NTZ (session tz is UTC, so the wall clock is unchanged).
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize every physical encoding of the events ``ts`` column to
+    TIMESTAMP_NTZ (UTC wall-clock) — the single-type contract every
+    downstream operator and the DuckDB oracle comparison rely on.
+
+    - TIMESTAMP_NTZ → no-op (current parquet testdata).
+    - bigint → parquet TIMESTAMP(NANOS) read via nanosAsLong; convert
+      with integer arithmetic (``ts div 1000`` — double division loses
+      precision above 2^53 ns).
+    - zoned TIMESTAMP → cast (session tz is UTC: wall clock unchanged).
+    - string → JSONL/CSV arrival without an explicit schema; cast
+      parses ISO-8601 as naive wall-clock.
     """
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # parquet TIMESTAMP(NANOS)
+        return df.withColumn(
+            "ts",
+            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+        )
+    if ts_type in ("timestamp", "string"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    cached: bool = True,
+    schema=None,
+) -> DataFrame:
+    """Read one benchmark table as a lazy DataFrame scan.
+
+    Format is detected by file extension — ``{name}.parquet`` first (the
+    benchmark's native format), then ``.jsonl``/``.json``/``.csv`` (how
+    real corpus drops arrive). The normalization contract is
+    format-independent: the ``events`` table's ``ts`` lands as
+    TIMESTAMP_NTZ whatever the physical encoding was (three parquet
+    encodings across testdata generations, zoned timestamps, or
+    JSONL/CSV strings — see :func:`_normalize_events_ts`), so a pipeline
+    written against the parquet tables runs unchanged on a JSONL drop.
+
+    For JSONL/CSV pass ``schema`` (a DDL string or StructType) to pin
+    exact column types — the production posture, since inference samples
+    data and can flip types between drops; without it, inference is used
+    and integral columns arrive as BIGINT (matching the parquet tables'
+    key columns).
+    """
+    for fmt, ext in _TABLE_FORMATS:
+        path = os.path.join(sf_dir, f"{name}{ext}")
+        if os.path.exists(path):
+            break
+    else:
+        raise FileNotFoundError(
+            f"no table file for {name!r} in {sf_dir} "
+            f"(tried {', '.join(e for _, e in _TABLE_FORMATS)})"
+        )
     key = (spark.sparkContext.applicationId, os.path.abspath(path))
     if cached and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if fmt == "parquet":
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":  # parquet TIMESTAMP(NANOS)
-            df = df.withColumn(
-                "ts",
-                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
-            )
-        elif ts_type == "timestamp":  # zoned micros
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     else:
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt == "json":
+            df = reader.json(path)
+        else:
+            df = (
+                reader.option("header", "true")
+                .option("inferSchema", schema is None)
+                .csv(path)
+            )
+    if name == "events":
+        df = _normalize_events_ts(df)
     if cached:
         _TABLE_CACHE[key] = df
     return df
@@ -193,8 +245,10 @@ def load_tables(
     """
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
+        if not any(
+            os.path.exists(os.path.join(sf_dir, f"{name}{ext}"))
+            for _, ext in _TABLE_FORMATS
+        ):
             continue
         df = read_table(spark, sf_dir, name)
         tables[name] = df

@@ -87,6 +87,65 @@ def test_read_table_normalizes_every_ts_encoding(spark, sf_dir, tmp_path):
         assert got == want, label
 
 
+def test_read_table_jsonl_and_csv_parity(spark, sf_dir, tmp_path):
+    """Non-parquet ingest parity (real corpus drops arrive as
+    JSONL/CSV): read_table detects the format by extension and the
+    TIMESTAMP_NTZ normalization contract extends to string timestamps —
+    the same table read from parquet, JSONL (explicit schema and
+    inferred), and CSV must produce identical values."""
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in events.schema
+    )
+    want = {
+        r["event_id"]: r.asDict()
+        for r in events.limit(300).collect()
+    }
+    sample = events.limit(300)
+
+    # writers default to millisecond timestampNTZFormat — a real drop
+    # carries full microseconds, so the fixtures must too
+    ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    jd = tmp_path / "jsonl"
+    sample.coalesce(1).write.option(
+        "timestampNTZFormat", ntz_fmt
+    ).json(str(jd / "tmp"))
+    jsonl = next((jd / "tmp").glob("part-*.json"))
+    jsonl.rename(jd / "events.jsonl")
+
+    cd = tmp_path / "csv"
+    sample.coalesce(1).write.option("header", "true").option(
+        "timestampNTZFormat", ntz_fmt
+    ).csv(str(cd / "tmp"))
+    csvf = next((cd / "tmp").glob("part-*.csv"))
+    csvf.rename(cd / "events.csv")
+
+    for label, df in (
+        ("jsonl_schema", read_table(
+            spark, str(jd), "events", cached=False, schema=schema_ddl)),
+        ("jsonl_inferred", read_table(
+            spark, str(jd), "events", cached=False)),
+        ("csv_inferred", read_table(
+            spark, str(cd), "events", cached=False)),
+    ):
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz", label
+        got = {r["event_id"]: r.asDict() for r in df.collect()}
+        assert set(got) == set(want), label
+        for k in want:
+            g, w = got[k], want[k]
+            assert g["ts"] == w["ts"], (label, k)
+            assert g["event_type"] == w["event_type"], (label, k)
+            assert g["user_id"] == w["user_id"], (label, k)
+
+    # missing table file is a clear error, not a parquet stacktrace
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no table file"):
+        read_table(spark, str(tmp_path), "nope", cached=False)
+
+
 def test_q37_approx_within_bounds(spark, sf_dir):
     """HLL++ cardinality within rsd bounds of exact; approx percentiles
     within the accuracy window of the exact rank statistics."""
