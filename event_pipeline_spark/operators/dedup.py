@@ -244,9 +244,18 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int | None = None,
+    bbit: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band_hash) bucket become
     candidate pairs. Returns distinct (id_a, id_b).
+
+    ``bbit`` enables b-bit minhash (Li & König 2010): each minhash
+    value is masked to its low ``bbit`` bits before band-hashing, so a
+    persisted sketch shrinks ~64/b× while the banding keys stay
+    equi-join keys. A full-width band match implies a b-bit band match,
+    so the candidate set is a SUPERSET of the full-width one (recall
+    can only improve; the extra false positives cost only exact-verify
+    work downstream) — pinned by a test.
 
     Scale shape: explode emits ``bands`` rows per doc of (band_id,
     64-bit hash, id) — the self-join shuffles ONLY those ~24-byte rows;
@@ -263,6 +272,11 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, k_shingle).alias("_sig"),
     )
+    if bbit is not None:
+        sig = sig.withColumn(
+            "_sig",
+            F.transform("_sig", lambda x: x.bitwiseAND(F.lit((1 << bbit) - 1))),
+        )
 
     banded = sig.select(
         "_id",
@@ -314,6 +328,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int | None = None,
+    bbit: int | None = None,
 ) -> DataFrame:
     """Candidate pairs verified by exact Jaccard >= threshold.
 
@@ -331,6 +346,7 @@ def minhash_near_duplicates(
         num_hashes=num_hashes,
         bands=bands,
         max_bucket=max_bucket,
+        bbit=bbit,
     )
     # the pair list is consumed three times (both legs of the candidate-id
     # union + the final join); without pinning it, the whole signature +
@@ -505,6 +521,7 @@ def _minhash_pair_ctes(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int | None = None,
+    bbit: int | None = None,
 ) -> str:
     """CTE chain recomputing the EXACT MinHash-LSH pipeline in DuckDB:
     same shingles, same md5-low-64 base hash (``md5_number_lower``), the
@@ -540,7 +557,8 @@ def _minhash_pair_ctes(
                        MIN(((p.a * h + p.b) % 18446744073709551616::HUGEINT)
                            % 2305843009213693952)::BIGINT AS m
                 FROM hx CROSS JOIN params p GROUP BY doc_id, p.i),
-       sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM sigv GROUP BY doc_id),
+       sig AS (SELECT doc_id, list({"m" if bbit is None else f"m % {1 << bbit}"} ORDER BY i) AS s
+               FROM sigv GROUP BY doc_id),
        banded AS (SELECT doc_id, bnd.bi,
                          md5(array_to_string(
                              s[bnd.bi*{rows}+1 : bnd.bi*{rows}+{rows}], ',')) AS bh
@@ -570,6 +588,27 @@ def _minhash_oracle_sql() -> str:
 
 
 _register("dedup_minhash_pairs", q_dedup_minhash, _minhash_oracle_sql())
+
+
+def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash near-dup (b=8): the banding runs on 8-bit masked
+    minhash values — the persisted sketch is 8x smaller (64 bytes/doc
+    instead of 512 at K=64) for identical verified output here, since
+    candidates are a superset and the exact-Jaccard verify is shared.
+    Li & König 2010."""
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), max_bucket=MINHASH_MAX_BUCKET, bbit=8
+    ).orderBy("id_a", "id_b")
+
+
+_register(
+    "dedup_minhash_bbit",
+    q_dedup_minhash_bbit,
+    _minhash_pair_ctes(max_bucket=MINHASH_MAX_BUCKET, bbit=8)
+    + """
+       SELECT id_a, id_b, jaccard FROM verified
+       WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

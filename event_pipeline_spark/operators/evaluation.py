@@ -131,3 +131,329 @@ SELECT g AS source, n_pos, n_neg,
                  / (2 * n_pos * n_neg)::DOUBLE END AS auc
 FROM agg ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval metrics: nDCG@k and MRR over the BM25 ranker
+#
+# The ranking stack (BM25 / QL-Dirichlet / RRF in operators/ranking.py)
+# produces rankings; this harness grades them — the loop every search
+# or RAG pipeline closes before shipping a ranker change. Graded
+# relevance is derived deterministically from the corpus (rel(doc) =
+# number of distinct query terms present), so the whole evaluation is
+# recomputable by the oracle.
+#
+# Exactness: the DCG discount 1/log2(rank+1) is transcendental, but the
+# rank domain is the fixed set 1..k — so the k discount constants are
+# precomputed in PYTHON as 1e-7-unit integer literals and embedded in
+# BOTH engines (a rank -> units map). DCG/IDCG are then pure BIGINT
+# sums of gain * discount_units (gain = 2^rel - 1, integral), and
+# ndcg = dcg_units / idcg_units is ONE correctly-rounded division.
+# MRR likewise: first_rank is an integer, rr = 1/first_rank.
+# IDCG@k uses the corpus-wide ideal: the k highest relevance grades of
+# ANY judged document, not just retrieved ones (the standard
+# definition — a ranker that misses every relevant doc scores 0, not
+# NULL).
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: (query_id, term list) — fixed literal queries, the bm25 registered
+#: query's term set first
+EVAL_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_spark", ["spark", "table", "shuffle", "join"]),
+    ("q_stream", ["data", "stream"]),
+    ("q_sortmerge", ["query", "sort", "merge"]),
+]
+
+EVAL_K = 10
+
+#: rank -> round(1e7 / log2(rank+1)) — identical literals both engines
+DISCOUNT_UNITS: dict[int, int] = {
+    r: round(1e7 / _math.log2(r + 1)) for r in range(1, EVAL_K + 1)
+}
+
+
+def _rel_counts(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, rel): distinct query terms occurring AT LEAST TWICE in
+    the document (rel = 0 rows dropped — unjudged). The tf >= 2 bar
+    makes the judgment strictly harder than term presence — BM25
+    optimizes tf-weighted presence, so the two disagree on real
+    rankings and the metric discriminates (with presence-relevance
+    every query here scored a saturated 1.0). One filtered explode —
+    corpus tokens for non-query terms never shuffle (the bm25_topk
+    shape)."""
+    from event_pipeline_spark.operators.ranking import corpus_tokens
+
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(corpus_tokens(F.col("text"))).alias("token"),
+        )
+        .where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .where(F.col("tf") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("rel"))
+    )
+
+
+def ndcg_mrr(
+    docs: DataFrame,
+    query_id: str,
+    terms: list[str],
+    *,
+    k: int = EVAL_K,
+) -> DataFrame:
+    """One row: (query_id, n_rel, dcg_units, idcg_units, ndcg_at_k,
+    first_rel_rank, rr) for the BM25 top-k ranking of ``terms``."""
+    from event_pipeline_spark.operators.ranking import bm25_topk
+
+    discount = F.create_map(
+        *[
+            c
+            for r in range(1, k + 1)
+            for c in (F.lit(r), F.lit(DISCOUNT_UNITS[r]).cast("long"))
+        ]
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")).cast("long") - F.lit(1)
+
+    ranked = bm25_topk(docs, terms, top_k=k)
+    rel = _rel_counts(docs, terms)
+    hits = ranked.join(rel, "doc_id", "left").select(
+        "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    dcg = hits.select(
+        F.sum(gain * F.element_at(discount, F.col("rank")))
+        .cast("bigint")
+        .alias("dcg_units"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+    )
+    # ideal: the k highest corpus-wide grades (tie order irrelevant —
+    # the gain multiset determines IDCG; doc_id tiebreak keeps the
+    # plan deterministic anyway)
+    iw = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        rel.withColumn("rank", F.row_number().over(iw))
+        .where(F.col("rank") <= k)
+        .select(
+            F.sum(gain * F.element_at(discount, F.col("rank")))
+            .cast("bigint")
+            .alias("idcg_units"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rel_topk"),
+        )
+    )
+    n_rel = rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    return (
+        dcg.crossJoin(ideal)
+        .crossJoin(n_rel)
+        .select(
+            F.lit(query_id).alias("query_id"),
+            "n_rel",
+            F.coalesce("dcg_units", F.lit(0)).alias("dcg_units"),
+            F.coalesce("idcg_units", F.lit(0)).alias("idcg_units"),
+            F.when(
+                F.col("idcg_units") > 0,
+                F.col("dcg_units").cast("double")
+                / F.col("idcg_units").cast("double"),
+            ).alias("ndcg_at_k"),
+            F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            ).alias("rr"),
+        )
+    )
+
+
+def q_eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = None
+    for qid, terms in EVAL_QUERIES:
+        part = ndcg_mrr(docs, qid, terms)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("query_id")
+
+
+def _ndcg_oracle_sql() -> str:
+    from event_pipeline_spark.operators.ranking import _TOKS_SQL, bm25_ctes
+
+    discount_rows = ", ".join(
+        f"({r}, {DISCOUNT_UNITS[r]}::BIGINT)" for r in range(1, EVAL_K + 1)
+    )
+    chains, selects = [], []
+    for idx, (qid, terms) in enumerate(EVAL_QUERIES):
+        p = f"e{idx}_"
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        chains.append(bm25_ctes(terms, top_k=EVAL_K, prefix=p))
+        chains.append(f"""{p}rel AS (
+  SELECT doc_id, count(*)::INT AS rel
+  FROM (SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+              FROM documents)
+        WHERE token IN ({in_list})
+        GROUP BY doc_id, token)
+  WHERE tf >= 2
+  GROUP BY doc_id),
+{p}hits AS (
+  SELECT r.rank, coalesce(l.rel, 0) AS rel
+  FROM {p}ranked r LEFT JOIN {p}rel l USING (doc_id)),
+{p}dcg AS (
+  SELECT sum(((2 ** rel)::BIGINT - 1) * d.u)::BIGINT AS dcg_units,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
+  FROM {p}hits JOIN disc d ON d.r = {p}hits.rank),
+{p}ideal AS (
+  SELECT sum(((2 ** rel)::BIGINT - 1) * d.u)::BIGINT AS idcg_units
+  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+        FROM {p}rel QUALIFY rank <= {EVAL_K}) i
+  JOIN disc d ON d.r = i.rank),
+{p}nrel AS (SELECT count(*)::BIGINT AS n_rel FROM {p}rel)""")
+        selects.append(f"""SELECT '{qid}' AS query_id, n_rel,
+       coalesce(dcg_units, 0) AS dcg_units,
+       coalesce(idcg_units, 0) AS idcg_units,
+       CASE WHEN idcg_units > 0
+            THEN dcg_units::DOUBLE / idcg_units::DOUBLE END AS ndcg_at_k,
+       first_rel_rank::INT AS first_rel_rank,
+       CASE WHEN first_rel_rank IS NOT NULL
+            THEN CAST(1 AS DOUBLE) / first_rel_rank::DOUBLE END AS rr
+FROM {p}dcg, {p}ideal, {p}nrel""")
+    return (
+        f"WITH disc(r, u) AS (VALUES {discount_rows}),\n"
+        + ",\n".join(chains)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY query_id"
+    )
+
+
+QUERIES["eval_ndcg_mrr"] = q_eval_ndcg_mrr
+ORACLES["eval_ndcg_mrr"] = _ndcg_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Calibration: reliability bins + Brier components
+#
+# The companion to AUC: AUC grades a scorer's ORDERING, calibration
+# grades whether its probabilities mean what they say (a quality
+# classifier that says 0.9 should be right ~90% of the time — data
+# pipelines threshold on these scores, so miscalibration silently
+# shifts every acceptance rate). Standard reliability-diagram
+# decomposition: equal-width probability bins, per bin the mean
+# predicted probability vs the empirical positive rate, plus the
+# bin's Brier contribution.
+#
+# Exactness: probabilities are quantized per row to 1e-7 units
+# (BIGINT), so every per-bin aggregate (n, sum of units, positives,
+# Brier numerator Σ(p_units − y·1e7)² in DECIMAL(38,0)) is exact
+# integer arithmetic in both engines; mean_p / frac_pos / gap / the
+# bin Brier are single correctly-rounded divisions. The score under
+# test is interchangeable (here the eval_auc convention: a capped
+# linear length score predicting lang == 'en').
+# ---------------------------------------------------------------------------
+
+#: probability quantization (1e-7 units) and bin count
+_P_ONE = 10**7
+N_BINS = 10
+
+
+def calibration_bins(
+    df: DataFrame,
+    *,
+    p_units_col: str,
+    label_col: str,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """(bin, p_lo, n, sum_p_units, n_pos, brier_num, mean_p, frac_pos,
+    gap, brier): equal-width reliability bins over a probability
+    column given in 1e-7 integer units (callers quantize once per row
+    — the float-oracle contract). The top edge (p = 1.0) folds into
+    the last bin."""
+    width = _P_ONE // n_bins
+    p = F.col(p_units_col).cast("long")
+    y = F.col(label_col).cast("long")
+    b = F.least(
+        F.floor(p / F.lit(width)).cast("int"), F.lit(n_bins - 1)
+    )
+    dec = "decimal(38,0)"
+    res = (p - y * F.lit(_P_ONE)).cast(dec)
+    agg = (
+        df.select(b.alias("bin"), p.alias("p"), y.alias("y"), res.alias("r"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("p").cast("bigint").alias("sum_p_units"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(F.col("r") * F.col("r")).cast(dec).alias("brier_num"),
+        )
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("bin"),
+        (F.col("bin") * width).cast("bigint").alias("p_lo"),
+        "n",
+        "sum_p_units",
+        "n_pos",
+        F.col("brier_num").cast("decimal(38,0)").cast("string").alias(
+            "brier_num"
+        ),
+        (F.col("sum_p_units").cast("double") / (n * _P_ONE)).alias("mean_p"),
+        (F.col("n_pos").cast("double") / n).alias("frac_pos"),
+        (
+            (
+                F.col("sum_p_units").cast(dec)
+                - F.col("n_pos").cast(dec) * F.lit(_P_ONE)
+            ).cast("double")
+            / (n * _P_ONE)
+        ).alias("gap"),
+        (
+            F.col("brier_num").cast("double")
+            / (n * F.lit(float(_P_ONE)) * F.lit(float(_P_ONE)))
+        ).alias("brier"),
+    )
+
+
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins of the capped length score predicting
+    lang == 'en' (the eval_auc scorer, now graded for calibration)."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.least(
+            F.col("n_chars").cast("long") * 10000, F.lit(_P_ONE)
+        ).alias("p_units"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(
+        docs, p_units_col="p_units", label_col="label"
+    ).orderBy("bin")
+
+
+QUERIES["eval_calibration"] = q_eval_calibration
+ORACLES["eval_calibration"] = f"""
+WITH base AS (
+  SELECT least(n_chars::BIGINT * 10000, {_P_ONE}) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+binned AS (
+  SELECT least((p // {_P_ONE // N_BINS})::INT, {N_BINS - 1}) AS bin,
+         p, y, (p - y * {_P_ONE})::HUGEINT AS r
+  FROM base),
+agg AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(p)::BIGINT AS sum_p_units,
+         sum(y)::BIGINT AS n_pos, sum(r * r)::HUGEINT AS brier_num
+  FROM binned GROUP BY bin)
+SELECT bin, (bin * {_P_ONE // N_BINS})::BIGINT AS p_lo, n, sum_p_units,
+       n_pos, brier_num::VARCHAR AS brier_num,
+       sum_p_units::DOUBLE / (n::DOUBLE * {_P_ONE}) AS mean_p,
+       n_pos::DOUBLE / n::DOUBLE AS frac_pos,
+       (sum_p_units::HUGEINT - n_pos::HUGEINT * {_P_ONE})::DOUBLE
+         / (n::DOUBLE * {_P_ONE}) AS gap,
+       brier_num::DOUBLE
+         / (n::DOUBLE * {_P_ONE}.0 * {_P_ONE}.0) AS brier
+FROM agg ORDER BY bin
+"""

@@ -336,6 +336,42 @@ _register(
 _BM25_TERMS = ["spark", "table", "shuffle", "join"]
 
 
+def bm25_ctes(terms: list[str], *, top_k: int = 10, prefix: str = "") -> str:
+    """DuckDB CTE chain replaying :func:`bm25_topk` for ``terms``,
+    ``prefix``-ed so multiple query chains compose into one oracle
+    (the retrieval-metrics harness embeds one chain per query). The
+    final CTE ``{prefix}ranked`` exposes (doc_id, score, rank)."""
+    p = prefix
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""{p}toks AS (SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl,
+                             unnest({_TOKS_SQL}) AS token
+                      FROM documents),
+       {p}qt AS (SELECT doc_id, dl, token, COUNT(*)::BIGINT AS tf
+              FROM {p}toks
+              WHERE token IN ({in_list})
+              GROUP BY doc_id, dl, token),
+       {p}dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
+                 FROM {p}toks
+                 WHERE token IN ({in_list})
+                 GROUP BY token),
+       {p}stats AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                        AVG(len({_TOKS_SQL})) AS avgdl
+                 FROM documents),
+       {p}contrib AS (
+         SELECT qt.doc_id,
+                ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * (qt.tf * 2.2)
+                  / (qt.tf + 1.2 * (0.25 + 0.75 * qt.dl / s.avgdl)) AS c
+         FROM {p}qt qt JOIN {p}dfreq d USING (token) CROSS JOIN {p}stats s),
+       {p}scored AS (SELECT doc_id, ROUND(SUM(c), 6) AS score
+                  FROM {p}contrib GROUP BY doc_id),
+       {p}ranked AS (SELECT doc_id, score,
+                         CAST(ROW_NUMBER() OVER
+                              (ORDER BY score DESC, doc_id) AS INT) AS rank
+                  FROM {p}scored
+                  QUALIFY rank <= {top_k})"""
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS).orderBy("rank")
 
@@ -343,33 +379,8 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "rank_bm25_topk",
     _q_bm25,
-    f"""WITH toks AS (SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl,
-                             unnest({_TOKS_SQL}) AS token
-                      FROM documents),
-       qt AS (SELECT doc_id, dl, token, COUNT(*)::BIGINT AS tf
-              FROM toks
-              WHERE token IN ('spark', 'table', 'shuffle', 'join')
-              GROUP BY doc_id, dl, token),
-       dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
-                 FROM toks
-                 WHERE token IN ('spark', 'table', 'shuffle', 'join')
-                 GROUP BY token),
-       stats AS (SELECT COUNT(*)::BIGINT AS n_docs,
-                        AVG(len({_TOKS_SQL})) AS avgdl
-                 FROM documents),
-       contrib AS (
-         SELECT qt.doc_id,
-                ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                  * (qt.tf * 2.2)
-                  / (qt.tf + 1.2 * (0.25 + 0.75 * qt.dl / s.avgdl)) AS c
-         FROM qt JOIN dfreq d USING (token) CROSS JOIN stats s),
-       scored AS (SELECT doc_id, ROUND(SUM(c), 6) AS score
-                  FROM contrib GROUP BY doc_id),
-       ranked AS (SELECT doc_id, score,
-                         CAST(ROW_NUMBER() OVER
-                              (ORDER BY score DESC, doc_id) AS INT) AS rank
-                  FROM scored)
-       SELECT doc_id, score, rank FROM ranked WHERE rank <= 10 ORDER BY rank""",
+    f"""WITH {bm25_ctes(_BM25_TERMS)}
+       SELECT doc_id, score, rank FROM ranked ORDER BY rank""",
 )
 
 

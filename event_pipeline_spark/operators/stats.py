@@ -513,3 +513,129 @@ SELECT n_a, n_b, round(ma, 7) AS mean_a, round(mb, 7) AS mean_b,
                           + vb * vb / (n_b::DOUBLE - 1)), 7) END AS df
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: per-key median / MAD and the Iglewicz–Hoaglin flag
+#
+# Mean/stddev outlier rules break exactly when you need them (the
+# outliers inflate the stddev that is supposed to catch them); the
+# robust baseline is the median absolute deviation. The modified
+# z-score rule (Iglewicz & Hoaglin 1993): flag x when
+# 0.6745·|x − median| / MAD > 3.5 — rearranged to the EXACT integer
+# inequality 6745·|x − med| > 35000·MAD, so no transcendental or
+# double arithmetic anywhere.
+#
+# Exactness: values quantize to integer cents (floor(v·100 + 0.5),
+# the driver-weight recipe); the median is the LOWER median (the
+# element at ascending rank (n+1)//2 — a deterministic rank pick both
+# engines replay, no averaging of middle pairs); MAD is the lower
+# median of |x − med|. Everything is BIGINT.
+#
+# Scale shape: two key-partitioned windows (rank for the median, rank
+# for the MAD) and one aggregate — no global sort, no self-join; the
+# windows reuse the same hash partitioning on the key.
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """(key, n, median_cents, mad_cents, n_outliers): per-key robust
+    location/scale in integer cents and the count of modified-z
+    outliers (6745·|x − med| > 35000·MAD). ``order_col`` totalizes the
+    rank order among equal values — the picked VALUE is unaffected,
+    but a total order keeps both engines deterministic."""
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"), v.alias("v"), F.col(order_col).alias("o")
+    )
+    n_per = base.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wv = Window.partitionBy("k").orderBy("v", "o")
+    # lower median: the element at ascending rank (n+1)//2
+    med = (
+        base.withColumn("rn", F.row_number().over(wv))
+        .join(n_per, "k")
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+        .select("k", F.col("v").alias("med"))
+    )
+    d = base.join(med, "k").withColumn("d", F.abs(F.col("v") - F.col("med")))
+    wd = Window.partitionBy("k").orderBy("d", "o")
+    mad = (
+        d.withColumn("rn", F.row_number().over(wd))
+        .join(n_per, "k")
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+        .select("k", F.col("d").alias("mad"))
+    )
+    return (
+        d.join(mad, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("med").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.lit(6745) * F.col("d") > F.lit(35000) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+        )
+    )
+
+
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier profile of the value column."""
+    from event_pipeline_spark.session import read_table
+
+    return mad_outliers(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["stats_mad_outliers"] = q_stats_mad
+ORACLES["stats_mad_outliers"] = """
+WITH base AS (
+  SELECT event_type AS k, floor(value * 100 + 0.5)::BIGINT AS v,
+         event_id AS o
+  FROM events),
+np AS (SELECT k, count(*)::BIGINT AS n FROM base GROUP BY k),
+med AS (
+  SELECT k, v AS med FROM (
+    SELECT b.k, b.v,
+           row_number() OVER (PARTITION BY b.k ORDER BY b.v, b.o) AS rn,
+           np.n
+    FROM base b JOIN np USING (k))
+  WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT b.k, b.o, abs(b.v - m.med) AS d, m.med
+  FROM base b JOIN med m USING (k)),
+mad AS (
+  SELECT k, d AS mad FROM (
+    SELECT d.k, d.d,
+           row_number() OVER (PARTITION BY d.k ORDER BY d.d, d.o) AS rn,
+           np.n
+    FROM d JOIN np USING (k))
+  WHERE rn = (n + 1) // 2)
+SELECT d.k AS event_type, count(*)::BIGINT AS n,
+       min(d.med)::BIGINT AS median_cents,
+       min(mad.mad)::BIGINT AS mad_cents,
+       sum(CASE WHEN 6745 * d.d > 35000 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM d JOIN mad USING (k)
+GROUP BY d.k ORDER BY event_type
+"""

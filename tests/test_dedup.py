@@ -350,3 +350,29 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert cont[0]["containment"] == 1.0
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []
+
+
+def test_bbit_candidates_superset_and_same_verified_pairs(docs):
+    """b-bit banding candidates must be a SUPERSET of full-width
+    candidates (masking can only merge buckets), and after the exact
+    Jaccard verify the pair sets coincide."""
+    from event_pipeline_spark.operators.dedup import minhash_candidate_pairs
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    bbit = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, bbit=8).collect()
+    }
+    assert bbit >= full
+    verified_full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(docs).collect()
+    }
+    verified_bbit = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(docs, bbit=8).collect()
+    }
+    assert verified_bbit >= verified_full  # superset recall, exact precision

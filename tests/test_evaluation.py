@@ -75,3 +75,97 @@ def test_auc_one_class_group_is_null(spark):
     out = _auc(spark, [("o", 1.0, 1), ("o", 2.0, 1)])
     assert out["o"]["auc"] is None
     assert out["o"]["n_neg"] == 0
+
+
+# -- retrieval metrics (nDCG@k / MRR) ----------------------------------------
+
+
+def _py_ndcg(rels_retrieved, rels_all, k=10):
+    import math
+
+    disc = {r: round(1e7 / math.log2(r + 1)) for r in range(1, k + 1)}
+    dcg = sum(
+        (2 ** rel - 1) * disc[i + 1]
+        for i, rel in enumerate(rels_retrieved[:k])
+    )
+    ideal = sorted(rels_all, reverse=True)[:k]
+    idcg = sum((2 ** rel - 1) * disc[i + 1] for i, rel in enumerate(ideal))
+    return dcg / idcg if idcg else None
+
+
+def test_ndcg_matches_python_reference(spark):
+    """nDCG@k and MRR over a small corpus must equal a sequential
+    Python computation with the same tf>=2 graded relevance and the
+    same BM25 ranking."""
+    from event_pipeline_spark.operators.evaluation import ndcg_mrr
+    from event_pipeline_spark.operators.ranking import bm25_topk
+
+    terms = ["alpha", "beta"]
+    docs = spark.createDataFrame(
+        [
+            # rel 2: both terms twice
+            (1, "alpha alpha beta beta filler"),
+            # rel 1: alpha twice, beta once
+            (2, "alpha alpha beta filler filler"),
+            # rel 0 but retrievable (terms present once)
+            (3, "alpha beta filler filler filler"),
+            # rel 1: beta twice
+            (4, "beta beta filler filler filler"),
+            # unjudged, irrelevant
+            (5, "gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    row = ndcg_mrr(docs, "q", terms, k=10).collect()[0]
+
+    ranked = bm25_topk(docs, terms, top_k=10).orderBy("rank").collect()
+    rel_by_doc = {1: 2, 2: 1, 4: 1}
+    rels_retrieved = [rel_by_doc.get(r["doc_id"], 0) for r in ranked]
+    want = _py_ndcg(rels_retrieved, list(rel_by_doc.values()))
+    assert row["n_rel"] == 3
+    assert abs(row["ndcg_at_k"] - want) < 1e-12
+    first = next(
+        i + 1 for i, r in enumerate(ranked) if rel_by_doc.get(r["doc_id"], 0)
+    )
+    assert row["first_rel_rank"] == first
+    assert row["rr"] == 1.0 / first
+
+
+def test_ndcg_no_relevant_docs_is_zero_idcg(spark):
+    from event_pipeline_spark.operators.evaluation import ndcg_mrr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha filler"), (2, "beta filler")],  # no tf>=2 anywhere
+        "doc_id long, text string",
+    )
+    row = ndcg_mrr(docs, "q", ["alpha", "beta"], k=10).collect()[0]
+    assert row["n_rel"] == 0
+    assert row["idcg_units"] == 0
+    assert row["ndcg_at_k"] is None
+    assert row["first_rel_rank"] is None and row["rr"] is None
+
+
+def test_calibration_bins_exact_small_case(spark):
+    """Hand-computed reliability bins: perfectly calibrated bin vs a
+    maximally miscalibrated one, plus Brier arithmetic."""
+    from event_pipeline_spark.operators.evaluation import calibration_bins
+
+    P = 10**7
+    rows = (
+        # bin 2 (p=0.25): 4 rows, 1 positive -> frac 0.25, gap 0
+        [(int(0.25 * P), 1)] + [(int(0.25 * P), 0)] * 3
+        # bin 9 (p=0.95): 2 rows, 0 positives -> gap +0.95
+        + [(int(0.95 * P), 0)] * 2
+        # p=1.0 folds into bin 9
+        + [(P, 1)]
+    )
+    df = spark.createDataFrame(rows, "p_units long, label int")
+    out = {r["bin"]: r for r in calibration_bins(
+        df, p_units_col="p_units", label_col="label").collect()}
+    b2, b9 = out[2], out[9]
+    assert b2["n"] == 4 and b2["n_pos"] == 1
+    assert abs(b2["mean_p"] - 0.25) < 1e-12 and b2["gap"] == 0.0
+    # Brier for bin 2: (0.25-1)^2 + 3*(0.25-0)^2 over 4 = 0.75^2/4*... 
+    assert abs(b2["brier"] - ((0.75**2 + 3 * 0.25**2) / 4)) < 1e-12
+    assert b9["n"] == 3 and b9["n_pos"] == 1  # includes folded p=1.0
+    assert abs(b9["mean_p"] - (0.95 * 2 + 1.0) / 3) < 1e-12

@@ -1,0 +1,19 @@
+
+
+def test_mad_outliers_hand_case(spark):
+    """Hand-computed lower-median/MAD and the exact integer
+    Iglewicz–Hoaglin flag (6745*d > 35000*MAD)."""
+    from event_pipeline_spark.operators.stats import mad_outliers
+
+    # values: 1,2,3,4,100 -> med=3 (rank 3 of 5); d=2,1,0,1,97 ->
+    # sorted 0,1,1,2,97, MAD = 1 (rank 3); outlier iff 6745*d > 35000
+    # -> d >= 6 -> only 97
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    # even-n key: 1,2,3,4 -> lower median = 2 (rank 2 of 4);
+    # d = 1,0,1,2 -> sorted 0,1,1,2 -> MAD = 1 (rank 2); no outliers
+    rows += [(10 + i, "b", float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_type"]: r for r in mad_outliers(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["median_cents"], a["mad_cents"], a["n_outliers"]) == (300, 100, 1)
+    assert (b["median_cents"], b["mad_cents"], b["n_outliers"]) == (200, 100, 0)

@@ -38,6 +38,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "rank_bm25_topk": {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus stats (N, avgdl)",
     },
+    "eval_ndcg_mrr": {
+        "BroadcastNestedLoopJoin": "broadcast one-row DCG/IDCG/n_rel "
+        "aggregates crossed per query (rank_bm25 one-row-stats shape)",
+    },
     "tok_fertility_triad": {
         "BroadcastNestedLoopJoin": "broadcast one-row n_words total "
         "crossed with each tokenizer's one-row token total",
