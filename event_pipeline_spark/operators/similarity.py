@@ -2096,3 +2096,181 @@ SELECT pos.anchor, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos
 FROM pos JOIN neg USING (anchor) ORDER BY anchor
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact PCA power iteration (round 8): the top principal direction of
+# the embedding cloud, trained with fully engine-portable arithmetic —
+# the kmeans_exact treatment extended to dimensionality reduction (the
+# step real pipelines run before ANN indexing: project to the leading
+# components, then bucket).
+#
+# Power iteration never materializes the d×d covariance: each round is
+# two data passes computing C·w = Σ_rows (x−μ)·((x−μ)ᵀw):
+#
+# - coordinates and μ quantize once to integer 1e-7 units (μ = one
+#   round(sum/count) per dim — the single-division rule);
+# - the per-row dot (x−μ)ᵀw is an exact BIGINT (|xu−μu| ≲ 1.1e7,
+#   |wu| ≤ 1e7, 64 dims → ≤ 7e15);
+# - the per-dim accumulation Σ (xu−μu)·dot runs in DECIMAL(38,0) ≡
+#   HUGEINT (≤ ~4e26 at sf0.1 — no overflow, no doubles);
+# - normalization is L∞, not L2: power iteration converges under ANY
+#   per-round rescaling, and max|y| is exact where an L2 norm would
+#   need a sum-of-squares beyond 128 bits and a transcendental sqrt.
+#   w_next_d = round(y_d·1e7 / max|y|) — one correctly-rounded
+#   division per element on identical integers in both engines;
+# - deterministic ±1 literal init ⇒ no sign indeterminacy.
+#
+# Scale shape per round: the dot is a map against ONE broadcast 64-int
+# row; the update is a posexplode into d map-side-combinable cells.
+# Rounds unroll into one lazy plan (no driver collect). The registered
+# query emits the exact integer projection of every vector onto the
+# learned direction.
+# ---------------------------------------------------------------------------
+
+#: ±1 literal init direction (units = ±1e7) for the exact PCA
+PCA_EXACT_INIT: list[float] = _pm1_matrix(1, seed=20260818)[0]
+
+_PCA_ITERS = 3
+
+
+def pca_project_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[float] | None = None,
+    iters: int = _PCA_ITERS,
+) -> DataFrame:
+    """(id, proj_units): exact integer projection (units²) of each
+    centered vector onto the L∞-normalized leading direction after
+    ``iters`` power-iteration rounds from the literal init.
+
+    ``init`` must match the embedding dimension (zip_with pads a
+    shorter side with NULLs, which would silently null every dot) —
+    the default is the 64-dim literal matching the benchmark table.
+    """
+    dec = "decimal(38,0)"
+    u = df.select(
+        F.col(id_col).alias("_id"), _km_units(vec_col).alias("_u")
+    )
+    # per-dim mean in units: BIGINT sum / count, ONE round
+    mu = (
+        u.select(F.posexplode("_u").alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(F.round(F.sum("_v") / F.count(F.lit(1))).cast("long").alias("_m"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_d", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_mu")
+        )
+    )
+    centered = u.join(F.broadcast(mu), how="cross").select(
+        "_id",
+        F.zip_with("_u", "_mu", lambda a, b: a - b).alias("_c"),
+    )
+
+    w0 = [int(x) * _KM_UNITS for x in (PCA_EXACT_INIT if init is None else init)]
+    spark = df.sparkSession
+    w_df = spark.createDataFrame([(w0,)], "w array<long>")
+    for _ in range(iters):
+        dots = centered.join(F.broadcast(w_df), how="cross").select(
+            "_id",
+            "_c",
+            F.aggregate(
+                F.zip_with("_c", "w", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_dot"),
+        )
+        y = (
+            dots.select(F.posexplode("_c").alias("_d", "_cv"), "_dot")
+            .groupBy("_d")
+            .agg(
+                F.sum(F.col("_cv").cast(dec) * F.col("_dot").cast(dec))
+                .cast(dec)
+                .alias("_y")
+            )
+        )
+        w_df = (
+            y.groupBy()
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_d", "_y"))),
+                    lambda s: s["_y"],
+                ).alias("_ys"),
+                F.max(F.abs(F.col("_y"))).cast(dec).alias("_mx"),
+            )
+            .select(
+                F.transform(
+                    "_ys",
+                    lambda yd: F.round(
+                        (yd.cast(dec) * F.lit(_KM_UNITS).cast(dec)).cast(
+                            "double"
+                        )
+                        / F.col("_mx").cast("double")
+                    ).cast("long"),
+                ).alias("w")
+            )
+        )
+    return centered.join(F.broadcast(w_df), how="cross").select(
+        F.col("_id").alias(id_col),
+        F.aggregate(
+            F.zip_with("_c", "w", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("proj_units"),
+    )
+
+
+def q_sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_project_exact(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+def _pca_oracle_sql(iters: int = _PCA_ITERS) -> str:
+    w0 = ", ".join(str(int(x) * _KM_UNITS) for x in PCA_EXACT_INIT)
+    sql = f"""
+WITH u AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {_KM_UNITS}) AS BIGINT)) AS u
+  FROM embeddings),
+mu AS (
+  SELECT list(m ORDER BY d) AS mu FROM (
+    SELECT t.i AS d,
+           CAST(round(sum(u[t.i])::BIGINT / count(*)::BIGINT) AS BIGINT) AS m
+    FROM u, LATERAL unnest(generate_series(1, len(u))) AS t(i)
+    GROUP BY t.i)),
+centered AS (
+  SELECT id, list_transform(list_zip(u.u, mu.mu), p -> p[1] - p[2]) AS c
+  FROM u, mu),
+w0(w) AS (VALUES ([{w0}]::BIGINT[]))"""
+    prev = "w0"
+    for t in range(1, iters + 1):
+        sql += f""",
+dot{t} AS (
+  SELECT id, c,
+         list_sum(list_transform(list_zip(c, w.w),
+                                 p -> p[1] * p[2]))::BIGINT AS dot
+  FROM centered, {prev} w),
+y{t} AS (
+  SELECT t.i AS d, sum(c[t.i]::HUGEINT * dot::HUGEINT)::HUGEINT AS y
+  FROM dot{t}, LATERAL unnest(generate_series(1, len(c))) AS t(i)
+  GROUP BY t.i),
+w{t}(w) AS (
+  SELECT list(CAST(round((y * {_KM_UNITS})::DOUBLE
+                         / mx::DOUBLE) AS BIGINT) ORDER BY d)
+  FROM y{t}, (SELECT max(abs(y))::HUGEINT AS mx FROM y{t}) m)"""
+        prev = f"w{t}"
+    sql += f"""
+SELECT id AS vec_id,
+       list_sum(list_transform(list_zip(c, w.w),
+                               p -> p[1] * p[2]))::BIGINT AS proj_units
+FROM centered, {prev} w ORDER BY vec_id"""
+    return sql
+
+
+QUERIES["sim_pca_project_exact"] = q_sim_pca_project
+ORACLES["sim_pca_project_exact"] = _pca_oracle_sql()

@@ -801,3 +801,41 @@ def test_contrastive_triplets_pos_above_neg_below_threshold(spark):
     assert out[1]["pos_cos"] > out[1]["neg_cos"]
     # anchor 3 has no positive (both neighbors < .9) -> dropped
     assert 3 not in out
+
+
+def test_pca_power_iteration_finds_top_component(spark):
+    """On data with one dominant direction, the exact power iteration's
+    projections must align with numpy's top principal component
+    (|correlation| > 0.999) — the L-infinity per-round normalization
+    changes the scale, never the limit direction."""
+    import numpy as np
+
+    from event_pipeline_spark.operators.similarity import (
+        _pm1_matrix,
+        pca_project_exact,
+    )
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 400
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    # dominant component stdev 0.2, isotropic noise 0.02, scaled into
+    # the embedding-like [-0.6, 0.6] value range
+    data = np.outer(rng.randn(n) * 0.2, direction) + rng.randn(n, d) * 0.02
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["proj_units"]
+        for r in pca_project_exact(
+            df, iters=6, init=_pm1_matrix(1, seed=3, dim=d)[0]
+        ).collect()
+    }
+    proj = np.array([got[i] for i in range(n)], dtype=float)
+
+    centered = data - data.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    want = centered @ vt[0]
+    corr = np.corrcoef(proj, want)[0, 1]
+    assert abs(corr) > 0.999, corr

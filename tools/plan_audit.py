@@ -55,6 +55,13 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sketch_theta_overlap": {
         "Exchange SinglePartition": "one-row sketch aggregates",
     },
+    "sim_pca_project_exact": {
+        "BroadcastNestedLoopJoin": "broadcast ONE row holding the "
+        "64-int mean / direction vector per power-iteration round "
+        "(the sim_kmeans_exact one-row-stats shape)",
+        "Exchange SinglePartition": "64-cell per-dim aggregates folded "
+        "to the one-row broadcast direction",
+    },
     "sim_kmeans_exact": {
         "BroadcastNestedLoopJoin": "broadcast ONE row holding all k "
         "centroid arrays per assignment round (rank_bm25 one-row-stats "
