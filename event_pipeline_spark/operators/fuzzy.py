@@ -316,3 +316,144 @@ FROM cands
 WHERE id_a IS NOT NULL AND levenshtein(name_a, name_b) <= 2
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage (1969): the scoring layer
+# over blocked candidate pairs that turns per-field agreements into a
+# calibrated match decision — the classical model every entity-
+# resolution system (Splink, dedupe.io) implements. Completes the
+# entity-resolution family: fuzzy_pairs / sorted-neighborhood generate
+# candidates; this scores them.
+#
+# Per field i with match/unmatch agreement probabilities (m_i, u_i),
+# an agreeing pair contributes ln(m_i/u_i), a disagreeing one
+# ln((1−m_i)/(1−u_i)); the total log-odds score classifies into
+# match / possible / nonmatch by two thresholds.
+#
+# Exactness: the four weights per field are FROZEN literals computed in
+# Python as 1e-7-nat integer units (the unigram/log-discount recipe —
+# no transcendental runs in either engine); agreements are integer/
+# string comparisons; the score is a BIGINT sum; thresholds are integer
+# literals. The whole query is replayed by the oracle.
+#
+# Scale shape: candidates come from the bounded compound block
+# (nation × name digit-prefix — p99 block size constant as the corpus
+# grows); the scoring itself is a pure projection on the pair rows.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: frozen (m, u) per field — the trained-once artifact of FS linkage
+FS_PARAMS: dict[str, tuple[float, float]] = {
+    "name": (0.95, 0.01),   # levenshtein(name) <= 2 within the block
+    "seg": (0.90, 0.20),    # same market segment
+    "bal": (0.80, 0.05),    # account balance within 5.00
+}
+
+#: field -> (agree_units, disagree_units), 1e-7-nat integer literals
+FS_WEIGHTS: dict[str, tuple[int, int]] = {
+    f: (
+        round(_math.log(m / u) * 10**7),
+        round(_math.log((1 - m) / (1 - u)) * 10**7),
+    )
+    for f, (m, u) in FS_PARAMS.items()
+}
+
+#: decision thresholds in the same units
+FS_MATCH_UNITS = 40_000_000      # >= 4.0 nats of evidence
+FS_POSSIBLE_UNITS = 0
+
+
+def fellegi_sunter_pairs(
+    cust: DataFrame,
+    *,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    block_col: str = "c_nationkey",
+    seg_col: str = "c_mktsegment",
+    bal_col: str = "c_acctbal",
+) -> DataFrame:
+    """(id_a, id_b, name_agree, seg_agree, bal_agree, score_units,
+    decision) for every candidate pair in the bounded compound block
+    (block_col × name digit-prefix)."""
+
+    def w(field: str, agree: Column) -> Column:
+        a, d = FS_WEIGHTS[field]
+        return F.when(agree, F.lit(a)).otherwise(F.lit(d)).cast("long")
+
+    base = cust.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.col(block_col).alias("blk"),
+        F.substring(name_col, 10, 4).alias("pfx"),
+        F.col(seg_col).alias("seg"),
+        F.floor(F.col(bal_col) * 100 + F.lit(0.5)).cast("long").alias("bal"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    name_agree = F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2
+    seg_agree = F.col("a.seg") == F.col("b.seg")
+    bal_agree = F.abs(F.col("a.bal") - F.col("b.bal")) <= 500
+    score = (
+        w("name", name_agree) + w("seg", seg_agree) + w("bal", bal_agree)
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        name_agree.alias("name_agree"),
+        seg_agree.alias("seg_agree"),
+        bal_agree.alias("bal_agree"),
+        score.alias("score_units"),
+        F.when(score >= FS_MATCH_UNITS, F.lit("match"))
+        .when(score >= FS_POSSIBLE_UNITS, F.lit("possible"))
+        .otherwise(F.lit("nonmatch"))
+        .alias("decision"),
+    )
+
+
+def q_fuzzy_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fellegi_sunter_pairs(_customer(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _fs_oracle_sql() -> str:
+    na, nd = FS_WEIGHTS["name"]
+    sa, sd = FS_WEIGHTS["seg"]
+    ba, bd = FS_WEIGHTS["bal"]
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk,
+         substr(c_name, 10, 4) AS pfx, c_mktsegment AS seg,
+         floor(c_acctbal * 100 + 0.5)::BIGINT AS bal
+  FROM customer),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         levenshtein(a.name, b.name) <= 2 AS name_agree,
+         a.seg = b.seg AS seg_agree,
+         abs(a.bal - b.bal) <= 500 AS bal_agree
+  FROM base a JOIN base b
+    ON a.blk = b.blk AND a.pfx = b.pfx AND a.id < b.id),
+scored AS (
+  SELECT *,
+         (CASE WHEN name_agree THEN {na} ELSE {nd} END
+          + CASE WHEN seg_agree THEN {sa} ELSE {sd} END
+          + CASE WHEN bal_agree THEN {ba} ELSE {bd} END)::BIGINT
+           AS score_units
+  FROM pairs)
+SELECT id_a, id_b, name_agree, seg_agree, bal_agree, score_units,
+       CASE WHEN score_units >= {FS_MATCH_UNITS} THEN 'match'
+            WHEN score_units >= {FS_POSSIBLE_UNITS} THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM scored ORDER BY id_a, id_b
+"""
+
+
+QUERIES["fuzzy_fs_linkage"] = q_fuzzy_fs_linkage
+ORACLES["fuzzy_fs_linkage"] = _fs_oracle_sql()

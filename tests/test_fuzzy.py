@@ -220,3 +220,40 @@ def test_sorted_neighborhood_window_bounds_candidates(spark):
         ).collect()
     }
     assert pairs == {(1, 2), (2, 3)}
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    """Hand-built pairs hit every agreement pattern; scores must equal
+    the frozen integer weights and decisions must follow the
+    thresholds."""
+    from event_pipeline_spark.operators.fuzzy import (
+        FS_MATCH_UNITS,
+        FS_WEIGHTS,
+        fellegi_sunter_pairs,
+    )
+
+    rows = [
+        # block 1, same prefix 'XYZ1' at chars 10..13
+        (1, "Customer#XYZ1aaaa", 1, "AUTO", 100.00),
+        (2, "Customer#XYZ1aaab", 1, "AUTO", 102.00),   # all agree
+        (3, "Customer#XYZ1zzzz", 1, "FURN", 900.00),   # all disagree
+        # different block: never paired
+        (4, "Customer#XYZ1aaaa", 2, "AUTO", 100.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_mktsegment string, c_acctbal double",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter_pairs(df).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    full_agree = sum(w[0] for w in FS_WEIGHTS.values())
+    full_dis = sum(w[1] for w in FS_WEIGHTS.values())
+    assert out[(1, 2)]["score_units"] == full_agree
+    assert out[(1, 2)]["decision"] == "match"
+    assert full_agree >= FS_MATCH_UNITS
+    assert out[(1, 3)]["score_units"] == full_dis
+    assert out[(1, 3)]["decision"] == "nonmatch"
