@@ -639,3 +639,87 @@ SELECT d.k AS event_type, count(*)::BIGINT AS n,
 FROM d JOIN mad USING (k)
 GROUP BY d.k ORDER BY event_type
 """
+
+
+def percentiles_exact(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(key, n, p50_cents, p90_cents, p99_cents): EXACT per-key order
+    statistics in integer cents — the SLO profile (what did p99
+    actually equal, not what a sketch thinks it equals). The q-th
+    percentile is the element at ascending rank ceil(q·n) (the
+    nearest-rank definition — a deterministic pick both engines
+    replay, no interpolation of neighbors and therefore no double
+    arithmetic at all).
+
+    Scale shape: ONE key-partitioned rank window + one aggregate — the
+    conditional-min-at-rank trick turns all requested quantiles into a
+    single pass (no per-quantile self-join); no global sort. The
+    approximate siblings (q37 / KLL) answer the same question at
+    sketch cost when exactness isn't required.
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"), v.alias("v"), F.col(order_col).alias("o")
+    )
+    wv = Window.partitionBy("k").orderBy("v", "o")
+    wn = Window.partitionBy("k")
+    ranked = base.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for q in quantiles:
+        # ceil(q*n) on integers: (n * q_num + q_den - 1) div q_den with
+        # q as an exact rational over 100 — no double rank arithmetic
+        q_num = round(q * 100)
+        rank_q = F.floor(
+            (F.col("n") * q_num + F.lit(99)) / F.lit(100)
+        ).cast("bigint")
+        aggs.append(
+            F.min(F.when(F.col("rn") == rank_q, F.col("v")))
+            .cast("bigint")
+            .alias(f"p{q_num}_cents")
+        )
+    return (
+        ranked.groupBy("k")
+        .agg(*aggs)
+        .select(F.col("k").alias(key_col), *[c for c in (
+            "n", *[f"p{round(q * 100)}_cents" for q in quantiles])])
+    )
+
+
+def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return percentiles_exact(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["stats_percentiles_exact"] = q_stats_percentiles
+ORACLES["stats_percentiles_exact"] = """
+WITH base AS (
+  SELECT event_type AS k, floor(value * 100 + 0.5)::BIGINT AS v,
+         event_id AS o
+  FROM events),
+ranked AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v, o) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM base)
+SELECT k AS event_type, count(*)::BIGINT AS n,
+       min(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END)::BIGINT
+         AS p50_cents,
+       min(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END)::BIGINT
+         AS p90_cents,
+       min(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END)::BIGINT
+         AS p99_cents
+FROM ranked GROUP BY k ORDER BY event_type
+"""

@@ -17,3 +17,19 @@ def test_mad_outliers_hand_case(spark):
     a, b = out["a"], out["b"]
     assert (a["median_cents"], a["mad_cents"], a["n_outliers"]) == (300, 100, 1)
     assert (b["median_cents"], b["mad_cents"], b["n_outliers"]) == (200, 100, 0)
+
+
+def test_percentiles_exact_nearest_rank(spark):
+    """Nearest-rank definition on a hand case: 10 values 1..10 ->
+    p50 = rank ceil(5) = 5, p90 = rank 9, p99 = rank ceil(9.9) = 10."""
+    from event_pipeline_spark.operators.stats import percentiles_exact
+
+    rows = [(i, "a", float(v)) for i, v in enumerate(range(1, 11))]
+    rows += [(100, "b", 42.0)]  # n=1: every percentile = the element
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in percentiles_exact(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["p50_cents"], a["p90_cents"], a["p99_cents"]) == (500, 900, 1000)
+    assert (b["p50_cents"], b["p90_cents"], b["p99_cents"]) == (4200,) * 3

@@ -1837,3 +1837,74 @@ def test_streaming_frequent_eviction_path(spark, tmp_path):
     assert "heavy" in est  # 120 occurrences >> n_shard/5
     e, n = est["heavy"]
     assert e <= 120 and 120 - e <= n // 5
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path):
+    """Two micro-batches of daily counts: the live dyadic-EWMA emission
+    equals the batch lag-window rebuild row-for-row, with the bounded
+    count history carried across the batch boundary."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.trends import daily_ewma
+    from event_pipeline_spark.streaming.ewma import streaming_ewma
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    counts = {"view": [10, 4, 13, 2, 9, 7], "click": [5, 1, 8, 5, 2, 6]}
+    rows, eid = [], 0
+    for k, series in counts.items():
+        for d, c in enumerate(series):
+            for _ in range(c):
+                rows.append((eid, datetime(2024, 1, 1 + d, 1), 1, k))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    expected = sorted(
+        (r["event_type"], r["day"], r["c"], r["ewma_units"], r["ewma"])
+        for r in daily_ewma(ev).collect()
+    )
+
+    def day_rows(lo, hi):
+        return [
+            (k, f"2024-01-{1 + d:02d}", series[d])
+            for k, series in counts.items()
+            for d in range(lo, hi)
+        ]
+
+    schema = "event_type string, day string, c long"
+    src = f"file://{tmp_path}/ewma_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(day_rows(0, 3), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(day_rows(3, 6), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    collected: list = []
+    q = (
+        streaming_ewma(
+            read_parquet_stream(spark, src, max_files_per_trigger=1)
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ewma_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        (r["key"], r["day"], r["c"], r["ewma_units"], r["ewma"])
+        for r in collected
+    )
+    assert got == expected
+    # the carry mattered: day 4's units include day 1-3 history
+    v4 = [g for g in got if g[0] == "view" and g[1] == "2024-01-04"][0]
+    assert v4[3] == (2 << 10) + (13 << 9) + (4 << 8) + (10 << 7)
