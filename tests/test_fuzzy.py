@@ -233,12 +233,12 @@ def test_fellegi_sunter_weights_and_decisions(spark):
     )
 
     rows = [
-        # block 1, same prefix 'XYZ1' at chars 10..13
+        # ids 1..3 share block 0 (id div 50)
         (1, "Customer#XYZ1aaaa", 1, "AUTO", 100.00),
-        (2, "Customer#XYZ1aaab", 1, "AUTO", 102.00),   # all agree
-        (3, "Customer#XYZ1zzzz", 1, "FURN", 900.00),   # all disagree
-        # different block: never paired
-        (4, "Customer#XYZ1aaaa", 2, "AUTO", 100.00),
+        (2, "Customer#XYZ1aaab", 1, "AUTO", 102.00),   # all agree vs 1
+        (3, "Customer#XYZ1zzzz", 1, "FURN", 900.00),   # all disagree vs 1
+        # different range block: never paired
+        (60, "Customer#XYZ1aaaa", 2, "AUTO", 100.00),
     ]
     df = spark.createDataFrame(
         rows,
