@@ -72,6 +72,13 @@ OPERATORS = [
     "fp_winnow_pairs",
     "curate_funnel",
     "rank_tfidf_docsim",
+    # round-8 additions: the kernel-flipped substring dedup, the
+    # Viterbi tokenizer, linear-blocked FS linkage, and the iterative
+    # PCA — the new shapes most worth watching at scale
+    "dedup_substring_spans",
+    "unigram_tokens",
+    "fuzzy_fs_linkage",
+    "sim_pca_project_exact",
 ]
 
 

@@ -890,3 +890,99 @@ SELECT doc_id, n_lists, rrf_units, rrf_units / 1e7 AS rrf_score, rank
 FROM ranked WHERE rank <= 10 ORDER BY rank
 """,
 )
+
+
+def expand_query_prf(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fb_k: int = 10,
+    top_terms: int = 5,
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio/RM1-lite): take the BM25
+    top-``fb_k`` documents as the feedback set and rank candidate
+    expansion terms by feedback-frequency x idf. Returns
+    (token, tf_fb, df, score, rank) for the ``top_terms`` best new
+    terms (query terms excluded).
+
+    Scale shape: the feedback set is ``fb_k`` rows (a broadcast
+    semi-join against the corpus); candidate counting explodes ONLY
+    the feedback documents' tokens; document frequency reuses the
+    corpus-wide aggregation (vocabulary-sized). The idf ln() is a
+    single correctly-rounded transcendental per distinct term — the
+    rank_tfidf contract."""
+    fb = bm25_topk(
+        df, query_terms, id_col=id_col, text_col=text_col, top_k=fb_k
+    ).select(id_col)
+    fbtoks = (
+        df.join(F.broadcast(fb), id_col)
+        .select(F.explode(corpus_tokens(F.col(text_col))).alias("token"))
+        .where(~F.col("token").isin(query_terms))
+    )
+    cand = fbtoks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_fb")
+    )
+    dfreq = (
+        df.select(
+            F.explode(F.array_distinct(corpus_tokens(F.col(text_col)))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        cand.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "tf_fb",
+            "df",
+            F.round(
+                F.col("tf_fb")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_terms)
+    )
+
+
+def _q_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return expand_query_prf(_docs(spark, sf_dir), _BM25_TERMS).orderBy("rank")
+
+
+_register(
+    "rank_query_expansion",
+    _q_prf,
+    f"""WITH {bm25_ctes(_BM25_TERMS, top_k=10, prefix="fb_")},
+       fbtoks AS (
+         SELECT d.doc_id, unnest({_TOKS_SQL}) AS token
+         FROM documents d JOIN fb_ranked r ON r.doc_id = d.doc_id),
+       cand AS (
+         SELECT token, count(*)::BIGINT AS tf_fb
+         FROM fbtoks
+         WHERE token NOT IN ('spark', 'table', 'shuffle', 'join')
+         GROUP BY token),
+       dfreq AS (
+         SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+         FROM (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token
+               FROM documents)
+         GROUP BY token),
+       n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       scored AS (
+         SELECT c.token, c.tf_fb, d.df,
+                round(c.tf_fb * ln(n.n_docs::DOUBLE / d.df), 6) AS score
+         FROM cand c JOIN dfreq d USING (token) CROSS JOIN n)
+       SELECT token, tf_fb, df, score,
+              CAST(row_number() OVER (ORDER BY score DESC, token) AS INT)
+                AS rank
+       FROM scored QUALIFY rank <= 5 ORDER BY rank""",
+)

@@ -249,3 +249,106 @@ SELECT digit, n,
             AS BIGINT) AS chi_units
 FROM per, tot ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift detection: the data-quality monitor every production
+# pipeline runs between loads — compare per-column statistics of a new
+# snapshot against the previous one and flag metrics whose profile
+# moved. One aggregation pass per snapshot (map-side combinable), a
+# stack + 2-value pivot per metric; all statistics are exact integers
+# (cents / counts), so the report is oracle-recomputable and the flag
+# is an exact integer cross-multiplication — no double division in the
+# DECISION: |new − old| · 100 > tol_pct · |old|.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    metrics: dict[str, Column],
+    tol_pct: int = 10,
+) -> DataFrame:
+    """(metric, old_value, new_value, drifted): exact integer metrics
+    evaluated on both snapshots; ``drifted`` = relative change above
+    ``tol_pct`` percent."""
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        row = df.agg(*[m.cast("long").alias(k) for k, m in metrics.items()])
+        return row.select(F.lit(tag).alias("_t"), *metrics.keys())
+
+    both = agg(old, "old").unionByName(agg(new, "new"))
+    stack = ", ".join(f"'{k}', {k}" for k in metrics)
+    melted = both.selectExpr(
+        "_t", f"stack({len(metrics)}, {stack}) as (metric, value)"
+    )
+    pivoted = (
+        melted.groupBy("metric")
+        .pivot("_t", ["old", "new"])
+        .agg(F.first("value"))
+        .select(
+            "metric",
+            F.col("old").alias("old_value"),
+            F.col("new").alias("new_value"),
+        )
+    )
+    drifted = (
+        F.abs(F.col("new_value") - F.col("old_value")) * 100
+        > F.lit(tol_pct) * F.abs(F.col("old_value"))
+    )
+    return pivoted.withColumn("drifted", drifted)
+
+
+def q_validate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders drift: orders before 1998 (the standing snapshot) vs from
+    1998 on (the new load) — row counts, null counts, distinct
+    customers, total/max cents, F-status counts, all exact integers."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cut = "1998-01-01"
+    old = orders.where(F.col("o_orderdate") < cut)
+    new = orders.where(F.col("o_orderdate") >= cut)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    metrics = {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_price": F.count(F.lit(1)) - F.count("o_totalprice"),
+        "n_customers": F.countDistinct("o_custkey"),
+        "total_cents": F.sum(cents),
+        "max_cents": F.max(cents),
+        "n_status_f": F.sum((F.col("o_orderstatus") == "F").cast("long")),
+    }
+    return snapshot_drift(old, new, metrics=metrics).orderBy("metric")
+
+
+QUERIES["validate_drift"] = q_validate_drift
+ORACLES["validate_drift"] = """
+WITH halves AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 'old' ELSE 'new' END AS t,
+         o_custkey, o_totalprice, o_orderstatus
+  FROM orders),
+agg AS (
+  SELECT t,
+         count(*)::BIGINT AS n_rows,
+         (count(*) - count(o_totalprice))::BIGINT AS n_null_price,
+         count(DISTINCT o_custkey)::BIGINT AS n_customers,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents,
+         max(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS max_cents,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+           AS n_status_f
+  FROM halves GROUP BY t),
+melted AS (
+  SELECT t, m.metric, m.value FROM agg,
+  LATERAL (VALUES ('n_rows', n_rows), ('n_null_price', n_null_price),
+                  ('n_customers', n_customers),
+                  ('total_cents', total_cents), ('max_cents', max_cents),
+                  ('n_status_f', n_status_f)) AS m(metric, value))
+SELECT metric,
+       max(CASE WHEN t = 'old' THEN value END)::BIGINT AS old_value,
+       max(CASE WHEN t = 'new' THEN value END)::BIGINT AS new_value,
+       abs(max(CASE WHEN t = 'new' THEN value END)
+           - max(CASE WHEN t = 'old' THEN value END)) * 100
+         > 10 * abs(max(CASE WHEN t = 'old' THEN value END)) AS drifted
+FROM melted GROUP BY metric ORDER BY metric
+"""

@@ -268,3 +268,28 @@ def test_rrf_top_k_cut(spark):
         [(i, i) for i in range(1, 31)], "doc_id long, rank int"
     )
     assert rrf_fuse([r1], top_k=5).count() == 5
+
+
+def test_query_expansion_excludes_query_terms_and_ranks_by_tfidf(spark):
+    from event_pipeline_spark.operators.ranking import expand_query_prf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana cherry"),
+            (2, "apple banana dates"),
+            (3, "cherry dates elder"),   # not in feedback (no query term)
+            (4, "apple elder elder"),
+        ],
+        "doc_id long, text string",
+    )
+    out = expand_query_prf(
+        docs, ["apple"], fb_k=2, top_terms=3
+    ).collect()
+    tokens = [r["token"] for r in out]
+    assert "apple" not in tokens
+    # feedback set = top-2 BM25 docs for 'apple' (1, 2 or 4); banana
+    # appears 3x in docs 1+2 with df 2 -> must rank above singletons
+    assert out[0]["rank"] == 1
+    assert all(
+        out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1)
+    )

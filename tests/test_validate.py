@@ -96,3 +96,22 @@ def test_benford_hand_digits(spark):
     assert out[1]["exp_frac"] == round(math.log10(2.0), 7)
     # chi contribution positive wherever obs != exp
     assert out[1]["chi_units"] > 0 and out[2]["chi_units"] > 0
+
+
+def test_snapshot_drift_flags_exact_threshold(spark):
+    """Integer cross-multiplication flag: 10% is the boundary —
+    11 vs 10 (10% exactly) must NOT drift, 12 vs 10 (20%) must."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.validate import snapshot_drift
+
+    old = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    new_ok = spark.createDataFrame([(i,) for i in range(11)], "x long")
+    new_bad = spark.createDataFrame([(i,) for i in range(12)], "x long")
+    metrics = {"n_rows": F.count(F.lit(1))}
+    ok = snapshot_drift(old, new_ok, metrics=metrics).collect()[0]
+    bad = snapshot_drift(old, new_bad, metrics=metrics).collect()[0]
+    assert (ok["old_value"], ok["new_value"], ok["drifted"]) == (10, 11, False)
+    assert (bad["old_value"], bad["new_value"], bad["drifted"]) == (
+        10, 12, True,
+    )

@@ -38,6 +38,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "rank_bm25_topk": {
         "BroadcastNestedLoopJoin": "broadcast one-row corpus stats (N, avgdl)",
     },
+    "rank_query_expansion": {
+        "BroadcastNestedLoopJoin": "broadcast one-row n_docs for idf "
+        "(the rank_tfidf_topterms shape)",
+    },
     "eval_ndcg_mrr": {
         "BroadcastNestedLoopJoin": "broadcast one-row DCG/IDCG/n_rel "
         "aggregates crossed per query (rank_bm25 one-row-stats shape)",
