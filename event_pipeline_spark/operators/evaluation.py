@@ -457,3 +457,125 @@ SELECT bin, (bin * {_P_ONE // N_BINS})::BIGINT AS p_lo, n, sum_p_units,
          / (n::DOUBLE * {_P_ONE}.0 * {_P_ONE}.0) AS brier
 FROM agg ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# exact precision/recall curve (threshold sweep)
+# ---------------------------------------------------------------------------
+
+
+def pr_curve_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(group, threshold, tp, fp, fn, precision, recall, fpr): one
+    exact operating point per DISTINCT score value — the full
+    precision/recall (and ROC) sweep of a scorer, the readout a
+    dedup/classifier parameter choice is actually made from. At
+    ``threshold`` = s the classifier predicts positive iff score >= s,
+    so the point lists its exact confusion counts.
+
+    Exactness: counts are BIGINT cumulative sums over tie-collapsed
+    (group, score) cells; precision/recall/fpr are each ONE correctly
+    rounded IEEE division of exact integers — bit-identical across
+    engines (the ``auc_by_group`` contract). Trapezoid integration of
+    the (fpr, recall) points reproduces the midrank Mann-Whitney AUC
+    exactly (pinned by a test).
+
+    Scale shape: corpus rows collapse to |score domain| cells in one
+    map-side-combinable aggregate; the cumulative windows partition by
+    the evaluation group, so there is NO global sort. Output is
+    |domain| rows per group — the curve, not the corpus."""
+    per = df.groupBy(
+        F.col(group_col).alias("g"), F.col(score_col).alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).cast("bigint").alias("pos"),
+    )
+    cum = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("g")
+    cells = per.select(
+        "g",
+        "s",
+        F.sum("pos").over(cum).cast("bigint").alias("tp"),
+        (F.sum("cnt").over(cum) - F.sum("pos").over(cum))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum("pos").over(tot).cast("bigint").alias("np"),
+        (F.sum("cnt").over(tot) - F.sum("pos").over(tot))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    return cells.select(
+        F.col("g").alias(group_col),
+        F.col("s").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("np") - F.col("tp")).cast("bigint").alias("fn"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        F.when(
+            F.col("np") > 0, F.col("tp").cast("double") / F.col("np")
+        ).alias("recall"),
+        F.when(
+            F.col("nn") > 0, F.col("fp").cast("double") / F.col("nn")
+        ).alias("fpr"),
+    )
+
+
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PR/ROC sweep of document length predicting
+    lang == 'en' — the same scorer ``eval_auc_by_source`` grades, now
+    exposed as its full operating curve."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return pr_curve_by_group(
+        docs, group_col="source", score_col="score", label_col="label"
+    ).orderBy("source", "threshold")
+
+
+QUERIES["eval_pr_curve"] = q_eval_pr_curve
+ORACLES["eval_pr_curve"] = """
+WITH base AS (
+  SELECT source AS g, n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (
+  SELECT g, s, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+  FROM base GROUP BY g, s),
+cells AS (
+  SELECT g, s,
+         sum(pos) OVER (PARTITION BY g ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS tp,
+         (sum(cnt) OVER (PARTITION BY g ORDER BY s DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+          - sum(pos) OVER (PARTITION BY g ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))::BIGINT AS fp,
+         sum(pos) OVER (PARTITION BY g)::BIGINT AS np,
+         (sum(cnt) OVER (PARTITION BY g)
+          - sum(pos) OVER (PARTITION BY g))::BIGINT AS nn
+  FROM per)
+SELECT g AS source, s AS threshold, tp, fp,
+       (np - tp)::BIGINT AS fn,
+       tp::DOUBLE / (tp + fp)::DOUBLE AS precision,
+       CASE WHEN np > 0 THEN tp::DOUBLE / np::DOUBLE END AS recall,
+       CASE WHEN nn > 0 THEN fp::DOUBLE / nn::DOUBLE END AS fpr
+FROM cells ORDER BY source, threshold
+"""

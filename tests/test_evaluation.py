@@ -169,3 +169,124 @@ def test_calibration_bins_exact_small_case(spark):
     assert abs(b2["brier"] - ((0.75**2 + 3 * 0.25**2) / 4)) < 1e-12
     assert b9["n"] == 3 and b9["n_pos"] == 1  # includes folded p=1.0
     assert abs(b9["mean_p"] - (0.95 * 2 + 1.0) / 3) < 1e-12
+
+
+# -- PR/ROC curve (threshold sweep) -------------------------------------------
+
+
+def _curve(spark, rows):
+    from event_pipeline_spark.operators.evaluation import pr_curve_by_group
+
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    return pr_curve_by_group(
+        df, group_col="g", score_col="score", label_col="label"
+    )
+
+
+def test_pr_curve_exact_points(spark):
+    """Hand case: scores [1-, 2+, 2-, 3+] — three thresholds, counts
+    checked against the confusion matrix at each."""
+    rows = [("t", 1.0, 0), ("t", 2.0, 1), ("t", 2.0, 0), ("t", 3.0, 1)]
+    pts = {
+        r["threshold"]: r
+        for r in _curve(spark, rows).collect()
+    }
+    assert pts[3.0]["tp"] == 1 and pts[3.0]["fp"] == 0
+    assert pts[3.0]["precision"] == 1.0 and pts[3.0]["recall"] == 0.5
+    assert pts[2.0]["tp"] == 2 and pts[2.0]["fp"] == 1
+    assert pts[2.0]["precision"] == 2 / 3 and pts[2.0]["recall"] == 1.0
+    assert pts[1.0]["tp"] == 2 and pts[1.0]["fp"] == 2
+    assert pts[1.0]["fn"] == 0 and pts[1.0]["fpr"] == 1.0
+
+
+def test_pr_curve_trapezoid_equals_midrank_auc(spark):
+    """Trapezoid integration of the curve's tie-collapsed ROC points
+    reproduces auc_by_group's midrank Mann-Whitney AUC EXACTLY — the
+    identity holds in integer units (sum of (Δfp)·(tp+tp_prev) equals
+    the doubled-unit auc_num), so the assert is ==, not approx."""
+    import hashlib
+
+    from event_pipeline_spark.operators.evaluation import auc_by_group
+
+    rows = []
+    for i in range(300):
+        h = hashlib.md5(f"prc{i}".encode()).hexdigest()
+        score = float(int(h[:4], 16) % 40)  # heavy ties
+        label = 1 if int(h[4:6], 16) % 3 == 0 else 0
+        rows.append(("r", score, label))
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    pts = sorted(
+        (r["threshold"], r["tp"], r["fp"])
+        for r in _curve(spark, rows).collect()
+    )[::-1]  # descending threshold = ROC sweep order
+    num2 = 0
+    prev_tp = prev_fp = 0
+    for _, tp, fp in pts:
+        num2 += (fp - prev_fp) * (tp + prev_tp)
+        prev_tp, prev_fp = tp, fp
+    ref = auc_by_group(
+        df, group_col="g", score_col="score", label_col="label"
+    ).collect()[0]
+    assert num2 == ref["auc_num"]
+    assert num2 / (2 * ref["n_pos"] * ref["n_neg"]) == ref["auc"]
+
+
+def test_pr_curve_grades_minhash_estimates(spark):
+    """The intended application: sweep MinHash-estimated Jaccard as a
+    scorer of true near-duplicates (exact Jaccard >= 0.5) and read the
+    threshold choice off exact confusion counts. The top-scoring
+    threshold bucket must be pure (precision 1.0) and recall must be
+    monotone non-decreasing as the threshold drops."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.dedup import (
+        jaccard,
+        minhash_signature,
+        shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base) for i in range(6)]
+    docs += [(10 + i, base + f" variant tail number {i}") for i in range(6)]
+    docs += [
+        (20 + i, f"completely different text about topic {i} "
+                 f"with unrelated words {i * 7}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id",
+        minhash_signature(F.col("text"), 32, 3).alias("sig"),
+        shingles(F.col("text"), 3).alias("sh"),
+    )
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(
+        b, F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        # estimated Jaccard = fraction of matching minhash slots
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.size("a.sig")
+        ).alias("score"),
+        (jaccard(F.col("a.sh"), F.col("b.sh")) >= 0.5).cast("int").alias(
+            "label"
+        ),
+        F.lit("mh").alias("g"),
+    )
+    from event_pipeline_spark.operators.evaluation import pr_curve_by_group
+
+    pts = (
+        pr_curve_by_group(
+            pairs, group_col="g", score_col="score", label_col="label"
+        )
+        .orderBy(F.desc("threshold"))
+        .collect()
+    )
+    assert pts[0]["precision"] == 1.0  # identical docs agree on all slots
+    recalls = [p["recall"] for p in pts]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # threshold 0 recovers every true pair
