@@ -1908,3 +1908,93 @@ def test_streaming_ewma_equals_batch(spark, tmp_path):
     # the carry mattered: day 4's units include day 1-3 history
     v4 = [g for g in got if g[0] == "view" and g[1] == "2024-01-04"][0]
     assert v4[3] == (2 << 10) + (13 << 9) + (4 << 8) + (10 << 7)
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """Two micro-batches of events: aggregating the live funnel's
+    advancement emissions reproduces the batch events_funnel report,
+    with user 1's conversion SPANNING the batch boundary (view+click
+    in batch 1, signup+purchase in batch 2 — only carried state can
+    advance those)."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import (
+        FUNNEL_STEPS,
+        events_funnel,
+    )
+    from event_pipeline_spark.streaming.funnel import streaming_funnel
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    t = lambda m: datetime(2024, 3, 1, 10, m)  # noqa: E731
+    b1 = [
+        (1, t(0), 1, "view"), (2, t(5), 1, "click"),
+        (3, t(0), 2, "purchase"), (4, t(5), 2, "view"),
+        (5, t(0), 3, "view"), (6, t(1), 3, "click"),
+        (7, t(0), 4, "view"), (8, t(0), 4, "click"),  # tie: no advance
+    ]
+    b2 = [
+        (9, t(10), 1, "signup"), (10, t(30), 1, "purchase"),
+        (11, t(2), 3, "signup"),
+        # beyond the 1h horizon of user 3's stage-1 view at t(0)
+        (12, datetime(2024, 3, 1, 12, 0), 3, "purchase"),
+        (13, t(6), 4, "click"),  # strictly later: now advances
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    ev = spark.createDataFrame(b1 + b2, schema)
+    batch_row = events_funnel(ev, horizon_hours=1).collect()[0]
+
+    src = f"file://{tmp_path}/funnel_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_funnel(
+                read_parquet_stream(spark, src, max_files_per_trigger=1),
+                horizon_hours=1,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/funnel_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # stream emissions -> batch report: n_k = users that reached stage k
+    reached = {}
+    for r in collected:
+        reached[r["key"]] = max(reached.get(r["key"], 0), r["stage"])
+    for k, st in enumerate(FUNNEL_STEPS):
+        assert (
+            sum(1 for d in reached.values() if d >= k + 1)
+            == batch_row[f"n_{st}"]
+        ), st
+    # the boundary-spanning conversion: user 1 finished the funnel,
+    # and its last two advancements came from batch-2 events
+    assert reached[1] == 4
+    u1 = sorted(
+        (r["stage"], r["step"]) for r in collected if r["key"] == 1
+    )
+    assert u1 == [
+        (1, "view"), (2, "click"), (3, "signup"), (4, "purchase")
+    ]
+    # horizon enforced across the boundary: user 3 stalled at signup
+    assert reached[3] == 3
+    # tie strictness: user 4's same-ts click did NOT advance in batch 1
+    # but the strictly-later batch-2 click did
+    assert reached[4] == 2
