@@ -723,3 +723,147 @@ SELECT k AS event_type, count(*)::BIGINT AS n,
          AS p99_cents
 FROM ranked GROUP BY k ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (exact D statistic)
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    sample_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, n_a, n_b, d_num, d, reject_05): per-key two-sample
+    Kolmogorov-Smirnov test between sample 0 and sample 1 of
+    ``sample_col`` — THE distribution-drift readout (did this key's
+    value distribution change between snapshots / buckets?), sensitive
+    to shape everywhere, not just the mean like ``welch_t_test``.
+
+    Exactness: D = sup|ECDF_a − ECDF_b| is reached at an observed
+    value, so pooling to distinct value cells and maximizing the
+    INTEGER numerator
+
+        d_num = max over cells of |cum_a·n_b − cum_b·n_a|
+
+    gives D = d_num / (n_a·n_b) with all counts exact in
+    DECIMAL(38,0) ≡ HUGEINT and ONE final division. The α=0.05
+    decision is likewise integer-exact: D > 1.358·sqrt((n_a+n_b)
+    /(n_a·n_b)) squares to 10⁶·d_num² > 1844164·(n_a+n_b)·n_a·n_b
+    (1.358² = 1.844164 exactly). The squared form needs (n_a·n_b)²
+    ≤ 10³² per key — beyond ~10¹⁶ pairs per key compare the rounded
+    doubles instead.
+
+    Scale shape: corpus rows collapse to |value domain| cells per key
+    in one map-side-combinable aggregate; the cumulative window
+    partitions by key (NO global sort); output is one row per key.
+    Values must be pre-quantized integers (cents — the `welch_t_test`
+    recipe)."""
+    dec = "decimal(38,0)"
+    s = F.col(sample_col).cast("int")
+    cells = df.groupBy(
+        F.col(key_col).alias("k"), F.col(value_col).cast("bigint").alias("v")
+    ).agg(
+        F.sum((s == 0).cast("long")).cast(dec).alias("ca"),
+        F.sum((s == 1).cast("long")).cast(dec).alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("k")
+    stepped = cells.select(
+        "k",
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    d_num = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    agg = stepped.groupBy("k").agg(
+        F.max(d_num).cast(dec).alias("d_num"),
+        F.max("n_a").cast(dec).alias("na"),
+        F.max("n_b").cast(dec).alias("nb"),
+    )
+    ok = (F.col("na") > 0) & (F.col("nb") > 0)
+    d = F.col("d_num").cast("double") / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    lhs = F.lit(10**6).cast(dec) * F.col("d_num") * F.col("d_num")
+    rhs = (
+        F.lit(1844164).cast(dec)
+        * (F.col("na") + F.col("nb"))
+        * F.col("na")
+        * F.col("nb")
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("d_num").cast("string").alias("d_num"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, lhs > rhs).alias("reject_05"),
+    )
+
+
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A drift check: per event type, does the value distribution
+    differ between even and odd user ids? (It should not — hash
+    assignment — so rejects flag real skew in the generator.)"""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    return ks_two_sample(
+        ev, key_col="event_type", sample_col="s", value_col="cents"
+    ).orderBy("event_type")
+
+
+QUERIES["stats_ks_two_sample"] = q_stats_ks
+ORACLES["stats_ks_two_sample"] = """
+WITH base AS (
+  SELECT event_type AS k, (user_id % 2)::INT AS s,
+         floor(value * 100 + 0.5)::BIGINT AS v
+  FROM events),
+cells AS (
+  SELECT k, v,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM base GROUP BY k, v),
+stepped AS (
+  SELECT k,
+         sum(ca) OVER (PARTITION BY k ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (PARTITION BY k ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER (PARTITION BY k) AS n_a,
+         sum(cb) OVER (PARTITION BY k) AS n_b
+  FROM cells),
+agg AS (
+  SELECT k, max(abs(cum_a * n_b - cum_b * n_a))::HUGEINT AS d_num,
+         max(n_a)::HUGEINT AS na, max(n_b)::HUGEINT AS nb
+  FROM stepped GROUP BY k)
+SELECT k AS event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       d_num::VARCHAR AS d_num,
+       CASE WHEN na > 0 AND nb > 0
+            THEN d_num::DOUBLE / (na::DOUBLE * nb::DOUBLE) END AS d,
+       CASE WHEN na > 0 AND nb > 0
+            THEN 1000000::HUGEINT * d_num * d_num
+                 > 1844164::HUGEINT * (na + nb) * na * nb END AS reject_05
+FROM agg ORDER BY event_type
+"""

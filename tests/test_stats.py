@@ -33,3 +33,61 @@ def test_percentiles_exact_nearest_rank(spark):
     a, b = out["a"], out["b"]
     assert (a["p50_cents"], a["p90_cents"], a["p99_cents"]) == (500, 900, 1000)
     assert (b["p50_cents"], b["p90_cents"], b["p99_cents"]) == (4200,) * 3
+
+
+# -- Kolmogorov-Smirnov two-sample --------------------------------------------
+
+
+def test_ks_two_sample_matches_python_ecdf(spark):
+    """Pseudo-random integer samples vs a brute-force ECDF sweep."""
+    import hashlib
+    from fractions import Fraction
+
+    from event_pipeline_spark.operators.stats import ks_two_sample
+
+    rows = []
+    a, b = [], []
+    for i in range(400):
+        h = hashlib.md5(f"ks{i}".encode()).hexdigest()
+        v = int(h[:3], 16) % 60
+        s = i % 2
+        # shift sample 1 so the test has signal
+        v = v + (7 if s else 0)
+        (b if s else a).append(v)
+        rows.append(("k", s, v))
+    df = spark.createDataFrame(rows, "k string, s int, v long")
+    out = ks_two_sample(
+        df, key_col="k", sample_col="s", value_col="v"
+    ).collect()[0]
+    na, nb = len(a), len(b)
+    d_ref = max(
+        abs(
+            Fraction(sum(1 for x in a if x <= v), na)
+            - Fraction(sum(1 for x in b if x <= v), nb)
+        )
+        for v in set(a) | set(b)
+    )
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert int(out["d_num"]) == d_ref * na * nb
+    assert out["d"] == int(out["d_num"]) / (na * nb)
+    # exact decision replicates the squared inequality
+    lam2 = Fraction(int(out["d_num"])) ** 2 * 10**6
+    thr = Fraction(1844164) * (na + nb) * na * nb
+    assert out["reject_05"] == (lam2 > thr)
+    assert out["reject_05"]  # the shift is detectable
+
+
+def test_ks_two_sample_identical_and_empty(spark):
+    from event_pipeline_spark.operators.stats import ks_two_sample
+
+    rows = [("same", s, v) for s in (0, 1) for v in (1, 2, 2, 5)]
+    rows += [("one", 0, v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "k string, s int, v long")
+    out = {
+        r["k"]: r
+        for r in ks_two_sample(
+            df, key_col="k", sample_col="s", value_col="v"
+        ).collect()
+    }
+    assert out["same"]["d"] == 0.0 and not out["same"]["reject_05"]
+    assert out["one"]["d"] is None and out["one"]["reject_05"] is None
