@@ -867,3 +867,141 @@ SELECT k AS event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
                  > 1844164::HUGEINT * (na + nb) * na * nb END AS reject_05
 FROM agg ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# population stability index (binned distribution drift)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+def psi_bins(
+    df: DataFrame,
+    *,
+    snapshot_col: str,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = PSI_BINS,
+) -> DataFrame:
+    """(bin, bin_lo, n_expected, n_actual, p_expected, p_actual, psi):
+    per-bin Population Stability Index between snapshot 0 (expected)
+    and snapshot 1 (actual) of ``snapshot_col`` — the fixed-bin drift
+    monitor scorecards run between model-training and serving data
+    (PSI > 0.2 on any feature is the classic retrain trigger). The
+    KS test (``ks_two_sample``) answers "did it drift?" with a sharp
+    decision; PSI localizes WHERE mass moved, bin by bin.
+
+    Binning is equal-width over the CALLER-FIXED integer range
+    [lo, hi) — fixed edges (not quantiles) so two runs' bins are
+    comparable and the whole computation stays integer-exact;
+    out-of-range values clamp into the edge bins. Every bin gets
+    add-one smoothing, p = (n+1)/(N+n_bins), so empty bins are
+    well-defined (the standard monitoring convention); psi_i =
+    (p_a − p_e)·ln(p_a/p_e) is a fixed-shape double expression over
+    exact integers — the ln argument is ONE division of exact integer
+    products — rounded to 7 dp per bin BEFORE any consumer sums
+    (the repo's per-term log contract). All-bin rows always emit
+    (a generated bin spine, not the observed bins), so total PSI is a
+    plain SUM over the result.
+
+    Scale shape: corpus rows collapse to ≤ 2·n_bins cells in one
+    map-side-combinable aggregate; the spine join is n_bins rows."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    width_num = hi - lo
+    v = F.col(value_col).cast("bigint")
+    b = F.least(
+        F.greatest(
+            F.floor(((v - lo) * n_bins) / width_num).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    s = F.col(snapshot_col).cast("int")
+    cells = df.groupBy(b.alias("bin")).agg(
+        F.sum((s == 0).cast("long")).cast("bigint").alias("ce"),
+        F.sum((s == 1).cast("long")).cast("bigint").alias("ca"),
+    )
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        spine.join(cells, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ce", F.lit(0)).cast("bigint").alias("n_expected"),
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("n_actual"),
+        )
+    )
+    tot = Window.partitionBy()
+    ne = F.sum("n_expected").over(tot) + F.lit(n_bins)
+    na = F.sum("n_actual").over(tot) + F.lit(n_bins)
+    pe = (F.col("n_expected") + 1).cast("double") / ne.cast("double")
+    pa = (F.col("n_actual") + 1).cast("double") / na.cast("double")
+    ratio = ((F.col("n_actual") + 1) * ne).cast("double") / (
+        (F.col("n_expected") + 1) * na
+    ).cast("double")
+    return full.select(
+        "bin",
+        (F.lit(lo) + F.col("bin").cast("bigint") * width_num / n_bins)
+        .cast("bigint")
+        .alias("bin_lo"),
+        "n_expected",
+        "n_actual",
+        F.round(pe, 7).alias("p_expected"),
+        F.round(pa, 7).alias("p_actual"),
+        F.round((pa - pe) * F.log(ratio), 7).alias("psi"),
+    )
+
+
+def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday drift of the event value distribution in
+    cents over [0, 50000) — the fixed-bin scorecard PSI."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp"))
+        .isin(1, 7)
+        .cast("int")
+        .alias("s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    return psi_bins(
+        ev, snapshot_col="s", value_col="cents", lo=0, hi=50_000
+    ).orderBy("bin")
+
+
+QUERIES["stats_psi_bins"] = q_stats_psi
+ORACLES["stats_psi_bins"] = """
+WITH base AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS s,
+         floor(value * 100 + 0.5)::BIGINT AS v
+  FROM events),
+cells AS (
+  SELECT least(greatest(((v - 0) * 10) // 50000, 0), 9)::INT AS bin,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS ce,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS ca
+  FROM base GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, 9))::INT AS bin),
+full_bins AS (
+  SELECT spine.bin,
+         coalesce(ce, 0)::BIGINT AS n_expected,
+         coalesce(ca, 0)::BIGINT AS n_actual
+  FROM spine LEFT JOIN cells ON spine.bin = cells.bin),
+tot AS (
+  SELECT bin, n_expected, n_actual,
+         sum(n_expected) OVER () + 10 AS ne,
+         sum(n_actual) OVER () + 10 AS na
+  FROM full_bins)
+SELECT bin, (0 + bin::BIGINT * 50000 // 10)::BIGINT AS bin_lo,
+       n_expected, n_actual,
+       round((n_expected + 1)::DOUBLE / ne::DOUBLE, 7) AS p_expected,
+       round((n_actual + 1)::DOUBLE / na::DOUBLE, 7) AS p_actual,
+       round(((n_actual + 1)::DOUBLE / na::DOUBLE
+              - (n_expected + 1)::DOUBLE / ne::DOUBLE)
+             * ln(((n_actual + 1) * ne)::DOUBLE
+                  / ((n_expected + 1) * na)::DOUBLE), 7) AS psi
+FROM tot ORDER BY bin
+"""

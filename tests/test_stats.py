@@ -91,3 +91,57 @@ def test_ks_two_sample_identical_and_empty(spark):
     }
     assert out["same"]["d"] == 0.0 and not out["same"]["reject_05"]
     assert out["one"]["d"] is None and out["one"]["reject_05"] is None
+
+
+# -- population stability index -----------------------------------------------
+
+
+def test_psi_bins_matches_python_reference(spark):
+    """Shifted sample vs a from-scratch smoothed-PSI computation,
+    including empty-bin rows from the spine."""
+    import math
+
+    from event_pipeline_spark.operators.stats import psi_bins
+
+    exp = [5, 15, 15, 25, 25, 25, 35, 45, 45, 55] * 10
+    act = [v + 30 for v in exp]  # shift right three bins
+    rows = [(0, v) for v in exp] + [(1, v) for v in act]
+    df = spark.createDataFrame(rows, "s int, v long")
+    out = {
+        r["bin"]: r
+        for r in psi_bins(
+            df, snapshot_col="s", value_col="v", lo=0, hi=100, n_bins=10
+        ).collect()
+    }
+    assert sorted(out) == list(range(10))
+    ne, na = len(exp) + 10, len(act) + 10
+    for b in range(10):
+        ce = sum(1 for v in exp if v * 10 // 100 == b)
+        ca = sum(1 for v in act if min(v * 10 // 100, 9) == b)
+        assert out[b]["n_expected"] == ce and out[b]["n_actual"] == ca
+        pe, pa = (ce + 1) / ne, (ca + 1) / na
+        want = round((pa - pe) * math.log(pa / pe), 7)
+        assert out[b]["psi"] == want, b
+    # the shift is visible: total PSI is large
+    assert sum(r["psi"] for r in out.values()) > 0.5
+
+
+def test_psi_bins_identical_snapshots_zero(spark):
+    from event_pipeline_spark.operators.stats import psi_bins
+
+    rows = [(s, v) for s in (0, 1) for v in (3, 14, 25, 77)]
+    df = spark.createDataFrame(rows, "s int, v long")
+    out = psi_bins(
+        df, snapshot_col="s", value_col="v", lo=0, hi=100, n_bins=10
+    ).collect()
+    assert all(r["psi"] == 0.0 for r in out)
+    # out-of-range clamps into edge bins, not dropped
+    rows2 = [(0, -5), (1, 240)]
+    out2 = {
+        r["bin"]: r
+        for r in psi_bins(
+            spark.createDataFrame(rows2, "s int, v long"),
+            snapshot_col="s", value_col="v", lo=0, hi=100, n_bins=10,
+        ).collect()
+    }
+    assert out2[0]["n_expected"] == 1 and out2[9]["n_actual"] == 1
