@@ -579,3 +579,141 @@ SELECT g AS source, s AS threshold, tp, fp,
        CASE WHEN nn > 0 THEN fp::DOUBLE / nn::DOUBLE END AS fpr
 FROM cells ORDER BY source, threshold
 """
+
+
+# ---------------------------------------------------------------------------
+# cumulative gain / lift table (decile ranking diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def gain_deciles_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """(group, decile, n_rows, n_pos, cum_rows, cum_pos, gain, lift):
+    the gain/lift table — rank by score descending, cut into
+    ``n_tiles`` equal-population tiles, and ask of each prefix "what
+    share of all positives has the model captured by here?" (gain)
+    and "how much better than random is that?" (lift). THE campaign /
+    triage readout: the PR curve (``pr_curve_by_group``) grades every
+    threshold; this grades the budgeted top-k% operating points.
+
+    Determinism: ties broken by ``id_col`` ascending — tile membership
+    is a function of the data, not of partitioning. Tile of rank r
+    (1-based) is ``(r−1)·n_tiles div N`` (integer floor, balanced to
+    ±1 row). gain = cum_pos/total_pos and lift =
+    (cum_pos·N)/(total_pos·cum_rows) are each ONE correctly rounded
+    division of exact BIGINT products.
+
+    Scale shape: the rank window partitions by the evaluation group
+    (NO global sort); rows then collapse to n_tiles cells per group."""
+    rn = F.row_number().over(
+        Window.partitionBy(F.col(group_col)).orderBy(
+            F.desc(score_col), F.col(id_col)
+        )
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.col(group_col)))
+    tiled = df.select(
+        F.col(group_col).alias("g"),
+        F.col(label_col).cast("long").alias("y"),
+        F.floor(
+            ((rn - F.lit(1)).cast("bigint") * n_tiles) / n
+        ).cast("int").alias("decile"),
+    )
+    per = tiled.groupBy("g", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    cum = (
+        Window.partitionBy("g")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("g")
+    cells = per.select(
+        "g",
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(cum).cast("bigint").alias("cum_rows"),
+        F.sum("n_pos").over(cum).cast("bigint").alias("cum_pos"),
+        F.sum("n_pos").over(tot).cast("bigint").alias("tp"),
+        F.sum("n_rows").over(tot).cast("bigint").alias("nn"),
+    )
+    return cells.select(
+        F.col("g").alias(group_col),
+        "decile",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        F.when(
+            F.col("tp") > 0,
+            F.col("cum_pos").cast("double") / F.col("tp"),
+        ).alias("gain"),
+        F.when(
+            (F.col("tp") > 0) & (F.col("cum_rows") > 0),
+            (F.col("cum_pos") * F.col("nn")).cast("double")
+            / (F.col("tp") * F.col("cum_rows")).cast("double"),
+        ).alias("lift"),
+    )
+
+
+def q_eval_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gain/lift of document length predicting lang == 'en'
+    — the budgeted-prefix readout of the eval_auc scorer."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+        "doc_id",
+    )
+    return gain_deciles_by_group(
+        docs,
+        group_col="source",
+        score_col="score",
+        label_col="label",
+        id_col="doc_id",
+    ).orderBy("source", "decile")
+
+
+QUERIES["eval_gain_deciles"] = q_eval_gain_deciles
+ORACLES["eval_gain_deciles"] = """
+WITH base AS (
+  SELECT source AS g, n_chars AS s, doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+tiled AS (
+  SELECT g, y,
+         ((row_number() OVER (PARTITION BY g ORDER BY s DESC, doc_id)
+           - 1) * 10
+          // count(*) OVER (PARTITION BY g))::INT AS decile
+  FROM base),
+per AS (
+  SELECT g, decile, count(*)::BIGINT AS n_rows, sum(y)::BIGINT AS n_pos
+  FROM tiled GROUP BY g, decile),
+cells AS (
+  SELECT g, decile, n_rows, n_pos,
+         sum(n_rows) OVER (PARTITION BY g ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS cum_rows,
+         sum(n_pos) OVER (PARTITION BY g ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::BIGINT AS cum_pos,
+         sum(n_pos) OVER (PARTITION BY g)::BIGINT AS tp,
+         sum(n_rows) OVER (PARTITION BY g)::BIGINT AS nn
+  FROM per)
+SELECT g AS source, decile, n_rows, n_pos, cum_rows, cum_pos,
+       CASE WHEN tp > 0 THEN cum_pos::DOUBLE / tp::DOUBLE END AS gain,
+       CASE WHEN tp > 0 AND cum_rows > 0
+            THEN (cum_pos * nn)::DOUBLE / (tp * cum_rows)::DOUBLE
+       END AS lift
+FROM cells ORDER BY source, decile
+"""

@@ -290,3 +290,57 @@ def test_pr_curve_grades_minhash_estimates(spark):
     recalls = [p["recall"] for p in pts]
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0  # threshold 0 recovers every true pair
+
+
+# -- gain / lift deciles -------------------------------------------------------
+
+
+def test_gain_deciles_hand_case(spark):
+    """20 rows, perfect separation in the top two deciles: gains and
+    lifts checked by hand, tile sizes balanced."""
+    from event_pipeline_spark.operators.evaluation import (
+        gain_deciles_by_group,
+    )
+
+    rows = [("g", float(100 - i), 1 if i < 4 else 0, i) for i in range(20)]
+    out = {
+        r["decile"]: r
+        for r in gain_deciles_by_group(
+            spark.createDataFrame(
+                rows, "g string, score double, label int, id int"
+            ),
+            group_col="g", score_col="score", label_col="label",
+            id_col="id",
+        ).collect()
+    }
+    assert all(out[d]["n_rows"] == 2 for d in range(10))
+    assert out[0]["n_pos"] == 2 and out[1]["n_pos"] == 2
+    assert out[1]["gain"] == 1.0 and out[2]["n_pos"] == 0
+    # top decile: captured 2/4 positives holding 2/20 rows -> lift 5
+    assert out[0]["lift"] == 5.0
+    assert out[9]["gain"] == 1.0 and out[9]["lift"] == 1.0
+
+
+def test_gain_deciles_tie_break_is_deterministic(spark):
+    """All-equal scores: tiles follow the id tie-break, so reruns and
+    different partitionings give identical tables."""
+    from event_pipeline_spark.operators.evaluation import (
+        gain_deciles_by_group,
+    )
+
+    rows = [("g", 1.0, i % 2, i) for i in range(30)]
+    df1 = spark.createDataFrame(
+        rows, "g string, score double, label int, id int"
+    )
+    df2 = df1.repartition(13)
+    t1 = sorted(
+        map(tuple, gain_deciles_by_group(
+            df1, group_col="g", score_col="score",
+            label_col="label", id_col="id").collect())
+    )
+    t2 = sorted(
+        map(tuple, gain_deciles_by_group(
+            df2, group_col="g", score_col="score",
+            label_col="label", id_col="id").collect())
+    )
+    assert t1 == t2
