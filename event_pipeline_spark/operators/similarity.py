@@ -2274,3 +2274,229 @@ FROM centered, {prev} w ORDER BY vec_id"""
 
 QUERIES["sim_pca_project_exact"] = q_sim_pca_project
 ORACLES["sim_pca_project_exact"] = _pca_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_K = 4
+MMR_TOPC = 12
+MMR_LAM_NUM, MMR_LAM_DEN = 7, 10  # lambda = 0.7
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    vec_col: str = "vn",
+    rel_units_col: str = "rel_units",
+    k: int = MMR_K,
+    lam_num: int = MMR_LAM_NUM,
+    lam_den: int = MMR_LAM_DEN,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    over per-query candidate sets: pick k results maximizing
+
+        lam·relevance − (1−lam)·max similarity to already-picked
+
+    — the standard diversification pass between retrieval and an LLM
+    context window (top-k by raw cosine returns near-duplicates; MMR
+    trades a little relevance for coverage). Returns one row per
+    (query, step) with the pick and its score decomposition.
+
+    Exactness: relevance arrives pre-quantized in 1e-7 integer units
+    (``rel_units_col``); pairwise similarities quantize the same way
+    (round(cos·1e7) — one multiply + one half-away-from-zero round,
+    identical in both engines), and with rational lambda = lam_num /
+    lam_den the greedy objective scales to the INTEGER
+
+        score_units = lam_num·rel − (lam_den − lam_num)·max_sim
+
+    so every argmax (ties → lowest id) replays bit-for-bit in the
+    unrolled SQL oracle. The greedy loop is inherently sequential in
+    k, so the plan unrolls k bounded rounds (the ``sim_kmeans_exact``
+    discipline): each round is one anti-join against the ≤(k−1)-row
+    picks, one equi-join on the query key for pair similarities, one
+    map-side-combinable max, one per-query window — candidates never
+    shuffle more than their (query, id, vec) projection, and nothing
+    in the loop grows with corpus size, only with k·|candidates|."""
+    lam_rest = lam_den - lam_num
+    c = cands.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vn"),
+        F.col(rel_units_col).cast("long").alias("rel"),
+    )
+    pick_w = Window.partitionBy("q").orderBy(
+        F.desc("score_units"), F.asc("id")
+    )
+    picks = (
+        c.withColumn("maxsim_units", F.lit(0).cast("long"))
+        .withColumn(
+            "score_units", (F.lit(lam_num) * F.col("rel")).cast("long")
+        )
+        .withColumn("_rk", F.row_number().over(pick_w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("step", F.lit(1))
+    )
+    for step in range(2, k + 1):
+        rem = c.join(
+            picks.select("q", "id"), ["q", "id"], "left_anti"
+        )
+        sims = rem.join(
+            picks.select("q", F.col("vn").alias("svn")), "q"
+        ).select(
+            "q",
+            "id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("vn", "svn", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(10**7)
+            )
+            .cast("long")
+            .alias("sim_units"),
+        )
+        ms = sims.groupBy("q", "id").agg(
+            F.max("sim_units").alias("maxsim_units")
+        )
+        nxt = (
+            rem.join(ms, ["q", "id"])
+            .withColumn(
+                "score_units",
+                (
+                    F.lit(lam_num) * F.col("rel")
+                    - F.lit(lam_rest) * F.col("maxsim_units")
+                ).cast("long"),
+            )
+            .withColumn("_rk", F.row_number().over(pick_w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+            .withColumn("step", F.lit(step))
+        )
+        picks = picks.unionByName(nxt)
+    return picks.select(
+        F.col("q").alias(query_col),
+        "step",
+        F.col("id").alias(id_col),
+        F.col("rel").alias("rel_units"),
+        "maxsim_units",
+        "score_units",
+    )
+
+
+MMR_QUERY_IDS = [0, 1, 2]
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over brute-force top-12 candidates (the sim_topk_bruteforce
+    baseline shape — the 3-row query batch broadcasts) for three probe
+    vectors; the whole chain (normalization, candidate cut, greedy
+    picks) replays in the unrolled oracle."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
+            "vn"
+        ),
+    )
+    qs = base.where(F.col("vec_id").isin(MMR_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    rel = F.round(
+        F.aggregate(
+            F.zip_with("vn", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(10**7)
+    ).cast("long")
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_units"), F.asc("corpus_id")
+    )
+    cands = (
+        base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "vn",
+            rel.alias("rel_units"),
+        )
+        .withColumn("_rk", F.row_number().over(cand_w))
+        .where(F.col("_rk") <= MMR_TOPC)
+        .drop("_rk")
+    )
+    return mmr_rerank(cands).orderBy("query_id", "step")
+
+
+def _mmr_oracle_sql() -> str:
+    qids = ", ".join(str(i) for i in MMR_QUERY_IDS)
+    ln, lr = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+    parts = [
+        f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_inner_product(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])))) AS vn
+  FROM embeddings),
+qs AS (SELECT vec_id AS query_id, vn AS qv FROM base
+       WHERE vec_id IN ({qids})),
+cand AS (
+  SELECT query_id, vec_id AS corpus_id, vn,
+         CAST(round(list_inner_product(vn, qv) * 10000000) AS BIGINT)
+           AS rel
+  FROM base JOIN qs ON vec_id != query_id
+  QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, corpus_id) <= {MMR_TOPC}),
+s1 AS (
+  SELECT query_id, corpus_id, vn, rel, 0::BIGINT AS ms,
+         ({ln} * rel)::BIGINT AS score, 1 AS step
+  FROM cand
+  QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, corpus_id) = 1)"""
+    ]
+    prev_union = "SELECT * FROM s1"
+    for t in range(2, MMR_K + 1):
+        parts.append(
+            f"""
+p{t} AS ({prev_union}),
+m{t} AS (
+  SELECT c.query_id, c.corpus_id,
+         max(CAST(round(list_inner_product(c.vn, p.vn) * 10000000)
+                  AS BIGINT)) AS ms
+  FROM cand c JOIN p{t} p USING (query_id)
+  WHERE NOT EXISTS (SELECT 1 FROM p{t} x
+                    WHERE x.query_id = c.query_id
+                      AND x.corpus_id = c.corpus_id)
+  GROUP BY c.query_id, c.corpus_id),
+s{t} AS (
+  SELECT c.query_id, c.corpus_id, c.vn, c.rel, m.ms,
+         ({ln} * c.rel - {lr} * m.ms)::BIGINT AS score, {t} AS step
+  FROM cand c JOIN m{t} m
+    ON m.query_id = c.query_id AND m.corpus_id = c.corpus_id
+  QUALIFY row_number() OVER (
+      PARTITION BY c.query_id ORDER BY score DESC, c.corpus_id) = 1)"""
+        )
+        prev_union += f" UNION ALL SELECT * FROM s{t}"
+    body = ",".join(parts)
+    return f"""{body}
+SELECT query_id, step, corpus_id, rel AS rel_units,
+       ms AS maxsim_units, score AS score_units
+FROM ({prev_union})
+ORDER BY query_id, step
+"""
+
+
+_register("sim_mmr_rerank", q_sim_mmr_rerank, _mmr_oracle_sql())

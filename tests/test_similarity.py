@@ -839,3 +839,94 @@ def test_pca_power_iteration_finds_top_component(spark):
     want = centered @ vt[0]
     corr = np.corrcoef(proj, want)[0, 1]
     assert abs(corr) > 0.999, corr
+
+
+# -- MMR re-ranking ------------------------------------------------------------
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """Pseudo-random candidate sets vs a from-scratch greedy MMR in
+    integer units — every pick and its score decomposition."""
+    import hashlib
+
+    from event_pipeline_spark.operators.similarity import mmr_rerank
+
+    def vec(tag, d=8):
+        h = hashlib.md5(tag.encode()).digest()
+        raw = [b - 127.5 for b in h[:d]]
+        n = sum(x * x for x in raw) ** 0.5
+        return [x / n for x in raw]
+
+    rows = []
+    py = {}
+    for q in range(2):
+        cands = []
+        for i in range(9):
+            v = vec(f"q{q}c{i}")
+            rel = round(
+                sum(a * b for a, b in zip(v, vec(f"q{q}probe"))) * 10**7
+            )
+            cands.append((i, v, int(rel)))
+            rows.append((q, i, v, int(rel)))
+        py[q] = cands
+    df = spark.createDataFrame(
+        rows,
+        "query_id int, corpus_id int, vn array<double>, rel_units long",
+    )
+    out = mmr_rerank(df, k=3).collect()
+
+    def greedy(cands, k=3, ln=7, lr=3):
+        sel, res = [], []
+        for step in range(1, k + 1):
+            best = None
+            for i, v, rel in cands:
+                if any(i == s[0] for s in sel):
+                    continue
+                ms = max(
+                    (
+                        round(
+                            sum(a * b for a, b in zip(v, sv)) * 10**7
+                        )
+                        for _, sv in sel
+                    ),
+                    default=0,
+                )
+                score = ln * rel - lr * ms
+                if best is None or (score, -i) > (best[3], -best[0]):
+                    best = (i, v, rel, score, ms)
+            sel.append((best[0], best[1]))
+            res.append((step, best[0], best[2], best[4], best[3]))
+        return res
+
+    for q in range(2):
+        want = greedy(py[q])
+        got = sorted(
+            (r["step"], r["corpus_id"], r["rel_units"],
+             r["maxsim_units"], r["score_units"])
+            for r in out
+            if r["query_id"] == q
+        )
+        assert got == want, q
+
+
+def test_mmr_rerank_diversifies_duplicates(spark):
+    """Three identical top-relevance candidates: plain top-k would take
+    all three; MMR takes one and moves to the distinct vector."""
+    from event_pipeline_spark.operators.similarity import mmr_rerank
+
+    dup = [1.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0]
+    rows = [
+        (0, 0, dup, 1000), (0, 1, dup, 999), (0, 2, dup, 998),
+        (0, 3, other, 500),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id int, corpus_id int, vn array<double>, rel_units long",
+    )
+    picks = [
+        r["corpus_id"]
+        for r in mmr_rerank(df, k=2).orderBy("step").collect()
+    ]
+    # 7*999 < 7*500 - 3*0 is false... scores: dup1: 7*999-3*1e7 << other: 7*500-0
+    assert picks == [0, 3]

@@ -93,6 +93,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "the tiny query set broadcasts against the corpus; the scale "
         "paths are sim_lsh/ivf/pq variants",
     },
+    "sim_mmr_rerank": {
+        "BroadcastNestedLoopJoin": "candidate generation is the "
+        "sim_topk_bruteforce baseline shape (3-row query batch "
+        "broadcasts against the corpus); the rerank rounds themselves "
+        "equi-join on query_id and are bounded by k x |candidates|",
+    },
     "sim_pq_topk_exact": {
         "BroadcastNestedLoopJoin": "PQ is a full code-scan by design: "
         "the tiny broadcast LUT set scores every 8-byte code row; the "
