@@ -84,6 +84,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "Exchange SinglePartition": "one-row sketch estimate output",
     },
     # documented bounded-result global windows / final orderings
+    "stats_psi_bins": {
+        "Exchange SinglePartition": "global totals window over EXACTLY "
+        "n_bins(=10) spine rows — the corpus collapsed to <=2 cells "
+        "per bin in the upstream map-side-combinable aggregate",
+    },
     "shuffle_epoch": {
         "Exchange SinglePartition": "global_sort mode is documented for "
         "bounded eval sets; the scale path is the bucketed mode",
