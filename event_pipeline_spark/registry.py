@@ -171,7 +171,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "unicodenorm", "boilerplate", "winnow", "collocations", "rfm", "basket", "graphrank",
         "trends", "centroids", "rake", "concord", "profile", "attribution",
         "layout", "survival", "wordpiece", "unigram", "evaluation",
-        "privacy", "stats", "folds",
+        "privacy", "stats", "folds", "tablestats", "contrastive",
     ):
         try:
             mod = __import__(
