@@ -1,0 +1,266 @@
+"""Feature engineering at corpus scale: categorical encoders + scaling.
+
+The tabular side of a training pipeline: high-cardinality categorical
+columns become dense numerics (target / frequency encoding) and
+numeric columns become comparable across features (robust scaling).
+All three are one map-side-combinable aggregate producing a SMALL
+encoder table that broadcasts back onto the corpus — the classic
+fit/transform split, expressed so the "fit" is a DataFrame anyone can
+persist (and ``ANALYZE`` — see operators/tablestats.py) and the
+"transform" is a broadcast equi-join, never a shuffle of the corpus.
+
+Exactness: targets arrive pre-quantized in integer units (cents — the
+``stats.py`` contract); sums run in DECIMAL(38,0) ≡ HUGEINT; every
+emitted double is ONE correctly-rounded IEEE division of exact
+integers, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+_DEC = "decimal(38,0)"
+
+
+def target_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    target_col: str,
+    prior_weight: int = 20,
+) -> DataFrame:
+    """(category, n, sum_units, encoding): smoothed mean target
+    encoding — the standard high-cardinality categorical encoder,
+
+        enc(c) = (Σ_c y + m·global_mean) / (n_c + m)
+
+    with integer prior weight m (micci-barreca smoothing): rare
+    categories shrink toward the global mean instead of memorizing
+    noise. Algebra keeps it one exact division:
+
+        enc(c) = (Σ_c·N + m·Σ_all) / (N·(n_c + m))
+
+    — numerator and denominator are exact DECIMAL(38,0) products of
+    BIGINT aggregates, so the emitted double is a single IEEE op.
+
+    Scale shape: one aggregate to |categories| rows + one one-row
+    global total joined in (broadcast by construction); the encoder
+    table is what joins back onto the corpus."""
+    y = F.col(target_col).cast("bigint").cast(_DEC)
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").cast(_DEC).alias("n_all"),
+        F.sum("s").cast(_DEC).alias("s_all"),
+    )
+    m = F.lit(prior_weight).cast(_DEC)
+    num = F.col("s") * F.col("n_all") + m * F.col("s_all")
+    den = F.col("n_all") * (F.col("n").cast(_DEC) + m)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n",
+        F.col("s").cast(_DEC).cast("string").alias("sum_units"),
+        (num.cast("double") / den.cast("double")).alias("encoding"),
+    )
+
+
+def leave_one_out_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    target_col: str,
+    prior_weight: int = 20,
+) -> DataFrame:
+    """Row-level leave-one-out variant of :func:`target_encode` — each
+    row is encoded EXCLUDING its own target (the train-time form that
+    avoids target leakage):
+
+        enc_i = ((Σ_c − y_i)·N + m·Σ_all) / (N·(n_c − 1 + m))
+
+    Appends ``loo_encoding`` to ``df``. Same one-aggregate scale shape
+    as the fit table; the per-row arithmetic is a broadcast join plus
+    pure column math (no window over the corpus)."""
+    y = F.col(target_col).cast("bigint")
+    per = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(y.cast(_DEC)).alias("__s"),
+    )
+    tot = per.agg(
+        F.sum("__n").cast(_DEC).alias("__n_all"),
+        F.sum("__s").cast(_DEC).alias("__s_all"),
+    )
+    m = F.lit(prior_weight).cast(_DEC)
+    joined = df.join(
+        F.broadcast(per), df[cat_col] == per["__cat"]
+    ).crossJoin(F.broadcast(tot))
+    num = (F.col("__s") - y.cast(_DEC)) * F.col("__n_all") + m * F.col(
+        "__s_all"
+    )
+    den = F.col("__n_all") * (
+        F.col("__n").cast(_DEC) - F.lit(1).cast(_DEC) + m
+    )
+    return joined.select(
+        *[df[c] for c in df.columns],
+        (num.cast("double") / den.cast("double")).alias("loo_encoding"),
+    )
+
+
+def frequency_encode(
+    df: DataFrame, *, cat_col: str
+) -> DataFrame:
+    """(category, n, frequency): occurrence-share encoding — the
+    cheapest useful categorical numeric (one aggregate; frequency is
+    one exact division of BIGINTs)."""
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "category",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double")
+        ).alias("frequency"),
+    )
+
+
+def robust_scale_params(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(group, n, median_units, q1_units, q3_units, iqr_units):
+    per-group robust-scaler fit — median and exact type-1 quartiles of
+    a pre-quantized integer column (the ``percentiles_exact``
+    machinery: rank = ceil(p·n), deterministic under ties). Transform
+    is then (x − median)/iqr, outlier-immune where z-scoring is not.
+
+    One per-group sort window over the value — no global sort. The
+    row_number tie order within equal values is partition-dependent,
+    but any rank inside a tie run reads the SAME value, so the picked
+    quartiles are deterministic (the ``percentiles_exact`` argument)."""
+    n_w = Window.partitionBy("g")
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).select(
+        "g",
+        "v",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy("v")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("v"),
+        )
+    ).cast("bigint")
+    return (
+        ranked.groupBy("g")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            pick(0.50).alias("median_units"),
+            pick(0.25).alias("q1_units"),
+            pick(0.75).alias("q3_units"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "median_units",
+            "q1_units",
+            "q3_units",
+            (F.col("q3_units") - F.col("q1_units"))
+            .cast("bigint")
+            .alias("iqr_units"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+_M = 20
+
+
+def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode customer market segment by smoothed mean order value
+    (cents) — the canonical segment-value feature."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    base = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return target_encode(
+        base, cat_col="segment", target_col="cents", prior_weight=_M
+    ).orderBy("category")
+
+
+QUERIES["feat_target_encode"] = q_feat_target_encode
+ORACLES["feat_target_encode"] = f"""
+WITH base AS (
+  SELECT c_mktsegment AS category,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+per AS (
+  SELECT category, count(*)::BIGINT AS n, sum(y::HUGEINT) AS s
+  FROM base GROUP BY category),
+tot AS (
+  SELECT sum(n)::HUGEINT AS n_all, sum(s)::HUGEINT AS s_all FROM per)
+SELECT category, n, s::VARCHAR AS sum_units,
+       (s * n_all + {_M}::HUGEINT * s_all)::DOUBLE
+         / (n_all * (n::HUGEINT + {_M}))::DOUBLE AS encoding
+FROM per, tot ORDER BY category
+"""
+
+
+def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust-scaler fit over event value cents."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    return robust_scale_params(
+        ev, group_col="event_type", value_col="cents"
+    ).orderBy("event_type")
+
+
+QUERIES["feat_robust_scale"] = q_feat_robust_scale
+ORACLES["feat_robust_scale"] = """
+WITH base AS (
+  SELECT event_type AS g, floor(value * 100 + 0.5)::BIGINT AS v
+  FROM events),
+ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base)
+SELECT g AS event_type, max(n)::BIGINT AS n,
+       min(CASE WHEN rn = ceil(0.50 * n) THEN v END)::BIGINT
+         AS median_units,
+       min(CASE WHEN rn = ceil(0.25 * n) THEN v END)::BIGINT AS q1_units,
+       min(CASE WHEN rn = ceil(0.75 * n) THEN v END)::BIGINT AS q3_units,
+       (min(CASE WHEN rn = ceil(0.75 * n) THEN v END)
+        - min(CASE WHEN rn = ceil(0.25 * n) THEN v END))::BIGINT
+         AS iqr_units
+FROM ranked GROUP BY g ORDER BY event_type
+"""

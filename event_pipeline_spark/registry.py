@@ -172,6 +172,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "trends", "centroids", "rake", "concord", "profile", "attribution",
         "layout", "survival", "wordpiece", "unigram", "evaluation",
         "privacy", "stats", "folds", "tablestats", "contrastive",
+        "features",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,78 @@
+"""Feature encoders and robust scaling (operators/features.py)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+
+def test_target_encode_matches_fraction_reference(spark):
+    from event_pipeline_spark.operators.features import target_encode
+
+    rows = [("a", 100), ("a", 200), ("a", 300), ("b", 1000), ("c", 50)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = {
+        r["category"]: r
+        for r in target_encode(
+            df, cat_col="cat", target_col="y", prior_weight=4
+        ).collect()
+    }
+    s_all, n_all = sum(y for _, y in rows), len(rows)
+    for cat in "abc":
+        ys = [y for c, y in rows if c == cat]
+        want = Fraction(
+            sum(ys) * n_all + 4 * s_all, n_all * (len(ys) + 4)
+        )
+        assert out[cat]["n"] == len(ys)
+        assert out[cat]["encoding"] == float(want)
+    # rare category shrinks toward the global mean
+    gmean = s_all / n_all
+    assert abs(out["c"]["encoding"] - gmean) < abs(50 - gmean)
+
+
+def test_leave_one_out_excludes_own_target(spark):
+    from event_pipeline_spark.operators.features import (
+        leave_one_out_encode,
+    )
+
+    rows = [("a", 100), ("a", 200), ("b", 1000)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = leave_one_out_encode(
+        df, cat_col="cat", target_col="y", prior_weight=2
+    ).collect()
+    s_all, n_all = 1300, 3
+    for r in out:
+        ys = [y for c, y in rows if c == r["cat"]]
+        want = Fraction(
+            (sum(ys) - r["y"]) * n_all + 2 * s_all,
+            n_all * (len(ys) - 1 + 2),
+        )
+        assert r["loo_encoding"] == float(want)
+    # two rows of 'a' get DIFFERENT encodings (leakage removed)
+    a_encs = {r["loo_encoding"] for r in out if r["cat"] == "a"}
+    assert len(a_encs) == 2
+
+
+def test_frequency_encode_and_robust_scale(spark):
+    from event_pipeline_spark.operators.features import (
+        frequency_encode,
+        robust_scale_params,
+    )
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 100]] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    freq = {
+        r["category"]: r["frequency"]
+        for r in frequency_encode(df, cat_col="g").collect()
+    }
+    assert freq == {"a": 5 / 6, "b": 1 / 6}
+    rs = {
+        r["event_type"] if "event_type" in r else r["g"]: r
+        for r in robust_scale_params(
+            df, group_col="g", value_col="v"
+        ).collect()
+    }
+    a = rs["a"]
+    # type-1 quartiles of [1,2,3,4,100]: ranks ceil(.25*5)=2, ceil(.5*5)=3,
+    # ceil(.75*5)=4 -> 2, 3, 4; the outlier never touches the IQR
+    assert (a["q1_units"], a["median_units"], a["q3_units"]) == (2, 3, 4)
+    assert a["iqr_units"] == 2
