@@ -111,6 +111,19 @@ GRADE_FIRST_OPERATORS = [
     "ml_rolling_folds",
     "unigram_tokens",
     "tok_fertility_triad",
+    # Late round-8 rotation (deferred names stay registered and
+    # differential-checked every round): three NEW families earn
+    # graded slots — two-sample KS drift (integer decision rule),
+    # greedy MMR diversified rerank (unrolled integer-exact oracle),
+    # and open-addressed contrastive negative sampling. Three core
+    # one-liners defer to make room (GRADE_DEFER_CORE): q15 threshold
+    # filter (telemetry stays graded via q1/q2/q12/q13/q14), q19
+    # broadcast equi-join (the same join shape runs inside asof_join,
+    # cdc_pit_purchases, and most operator queries), q22 scalar
+    # builtins (every text operator exercises the same layer).
+    "stats_ks_two_sample",
+    "sim_mmr_rerank",
+    "ml_negative_samples",
 ]
 
 #: Core q-entries deferred OUT of the graded prefix (round-8 rotation):
@@ -120,7 +133,11 @@ GRADE_FIRST_OPERATORS = [
 #: (q8 union-merge, q24 intersect — q9's anti-join keeps the family).
 #: All stay registered and are differential-checked by
 #: tools/check_oracles.py at both SFs every round.
-GRADE_DEFER_CORE = {"q4", "q5", "q6", "q8", "q10", "q11", "q24"}
+GRADE_DEFER_CORE = {
+    "q4", "q5", "q6", "q8", "q10", "q11", "q24",
+    # late round-8 deferrals — see the GRADE_FIRST_OPERATORS note
+    "q15", "q19", "q22",
+}
 
 
 def _auto_release(fn: QueryFn) -> QueryFn:
