@@ -1998,3 +1998,81 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
     # tie strictness: user 4's same-ts click did NOT advance in batch 1
     # but the strictly-later batch-2 click did
     assert reached[4] == 2
+
+
+def test_streaming_psi_equals_batch(spark, tmp_path):
+    """Two micro-batches of values: the live running PSI equals the
+    batch psi_bins total (reference snapshot vs everything streamed so
+    far), with bin-count state carried across the boundary."""
+    from event_pipeline_spark.operators.stats import psi_bins
+    from event_pipeline_spark.streaming.drift import streaming_psi
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    ref = {
+        "amt": [5, 15, 25, 25, 35, 45, 55, 65, 75, 85] * 3,
+        "lat": [12, 22, 32, 42, 52] * 4,
+    }
+    b1 = {"amt": [35, 45, 55, 90, 95], "lat": [72, 82, 92]}
+    b2 = {"amt": [91, 93, 97, 99], "lat": [95, 99]}
+
+    def bins(vals):
+        counts = [0] * 10
+        for v in vals:
+            counts[min(max(v * 10 // 100, 0), 9)] += 1
+        return counts
+
+    expected = {k: bins(vs) for k, vs in ref.items()}
+
+    src = f"file://{tmp_path}/psi_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    for batch in (b1, b2):
+        spark.createDataFrame(
+            [(k, v) for k, vs in batch.items() for v in vs],
+            "key string, v long",
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_psi(
+                read_parquet_stream(spark, src, max_files_per_trigger=1),
+                expected,
+                key_col="key",
+                value_col="v",
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/psi_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # one emission per (key, batch); the LAST per key must equal the
+    # batch operator over reference vs all streamed rows
+    assert len(collected) == 4
+    last = {}
+    for r in collected:
+        last[r["key"]] = r  # append order: batch 2 rows come last
+    for k in ref:
+        streamed = b1[k] + b2[k]
+        rows = [(0, v) for v in ref[k]] + [(1, v) for v in streamed]
+        batch_psi = sum(
+            r["psi"]
+            for r in psi_bins(
+                spark.createDataFrame(rows, "s int, v long"),
+                snapshot_col="s", value_col="v", lo=0, hi=100,
+            ).collect()
+        )
+        assert last[k]["n_actual"] == len(streamed)
+        assert abs(last[k]["psi"] - batch_psi) < 1e-12
+    # drift direction sanity: the shifted stream scores high
+    assert last["amt"]["psi"] > 0.1
