@@ -126,3 +126,95 @@ SELECT * FROM (
                 (SELECT o_orderkey FROM purged_orders))::BIGINT)
 ORDER BY table_name
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """(group_size, n_groups, n_rows, n_below_k, min_l): the
+    re-identification audit a dataset release runs before publishing —
+    how many quasi-identifier equivalence classes exist at each size,
+    how many rows sit in classes smaller than ``k`` (k-anonymity
+    violations: those individuals are re-identifiable by joining the
+    quasi-identifiers against any public record), and the worst
+    l-diversity (min distinct sensitive values) among classes of that
+    size (a class can be k-anonymous yet leak the sensitive attribute
+    outright when everyone in it shares one value).
+
+    Output is a SIZE HISTOGRAM — one row per distinct class size, at
+    most O(√n) rows by a standard counting argument — never the
+    classes themselves (which would re-publish the quasi-identifiers
+    the audit is about). All counts are exact BIGINTs.
+
+    Scale shape: one groupBy on the quasi-identifier tuple (the only
+    corpus shuffle; count-distinct of the sensitive value rides the
+    same aggregate), then a histogram aggregate over |classes| rows."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(sensitive_col).cast("bigint").alias("n_sens"),
+    )
+    return (
+        classes.groupBy(F.col("n").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_k"),
+            F.min("n_sens").cast("bigint").alias("min_l"),
+            F.sum((F.col("n_sens") < l).cast("long"))
+            .cast("bigint")
+            .alias("n_low_diversity"),
+        )
+    )
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit customer quasi-identifiers (nation, market segment, name
+    length) with account-balance sign as the sensitive attribute."""
+    from event_pipeline_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.length("c_name").alias("name_len"),
+        (F.col("c_acctbal") >= 0).cast("int").alias("bal_sign"),
+    )
+    return k_anonymity_report(
+        cust,
+        quasi_cols=["nation", "segment", "name_len"],
+        sensitive_col="bal_sign",
+        k=5,
+        l=2,
+    ).orderBy("group_size")
+
+
+QUERIES["privacy_k_anonymity"] = q_privacy_k_anonymity
+ORACLES["privacy_k_anonymity"] = """
+WITH base AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         length(c_name) AS name_len,
+         CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS bal_sign
+  FROM customer),
+classes AS (
+  SELECT nation, segment, name_len, count(*)::BIGINT AS n,
+         count(DISTINCT bal_sign)::BIGINT AS n_sens
+  FROM base GROUP BY nation, segment, name_len)
+SELECT n AS group_size, count(*)::BIGINT AS n_groups,
+       sum(n)::BIGINT AS n_rows,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_below_k,
+       min(n_sens)::BIGINT AS min_l,
+       sum(CASE WHEN n_sens < 2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_low_diversity
+FROM classes GROUP BY n ORDER BY group_size
+"""

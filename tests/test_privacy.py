@@ -126,3 +126,30 @@ def test_pit_join_never_sees_the_future(spark, sf_dir):
     assert len(states - {None}) > 1
     # 'purchase' appears only via a preceding purchase run
     assert any(r["state"] != "purchase" for r in rows if r["state"])
+
+
+def test_k_anonymity_report_hand_case(spark):
+    """Four quasi-classes of sizes 1/2/3/3: histogram rows, below-k
+    mass, and the l-diversity minimum checked by hand."""
+    from event_pipeline_spark.operators.privacy import k_anonymity_report
+
+    rows = (
+        [("a", "x", "s1")]
+        + [("b", "x", v) for v in ("s1", "s2")]
+        + [("c", "x", v) for v in ("s1", "s1", "s1")]  # no diversity
+        + [("c", "y", v) for v in ("s1", "s2", "s3")]
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, sens string")
+    out = {
+        r["group_size"]: r
+        for r in k_anonymity_report(
+            df, quasi_cols=["q1", "q2"], sensitive_col="sens", k=3, l=2
+        ).collect()
+    }
+    assert out[1]["n_groups"] == 1 and out[1]["n_below_k"] == 1
+    assert out[1]["min_l"] == 1 and out[1]["n_low_diversity"] == 1
+    assert out[2]["n_below_k"] == 2  # size-2 class is below k=3
+    assert out[3]["n_groups"] == 2 and out[3]["n_below_k"] == 0
+    # the all-s1 size-3 class drags min_l to 1 and counts as low-div
+    assert out[3]["min_l"] == 1 and out[3]["n_low_diversity"] == 1
+    assert sum(r["n_rows"] for r in out.values()) == len(rows)
