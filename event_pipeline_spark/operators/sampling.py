@@ -563,3 +563,92 @@ SELECT doc_id, source,
 FROM ranked ORDER BY doc_id
 """,
 )
+
+
+def group_split_assign(
+    df: DataFrame,
+    source_col: str,
+    group_col: str,
+    *,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Input columns + ``split``: like :func:`split_assign` but quotas
+    cut over GROUPS, and every row follows its group — the
+    leakage-safe split when rows within a group are correlated
+    (near-duplicate documents of one domain, events of one user): a
+    row-quota split can straddle a group across the train/eval
+    boundary, which is exactly the contamination eval sets exist to
+    prevent. Exact floor quotas in #groups per source; group rank by
+    (md5(group), group), so the assignment is a pure function of the
+    data.
+
+    Scale shape: one aggregate to |groups| rows, a |sources|-window
+    over THAT (never the corpus), then one equi-join back — the corpus
+    shuffles once on the group key."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError("val/test percentages must be >=0 and sum < 100")
+    groups = df.select(
+        F.col(source_col).alias("_src"), F.col(group_col).alias("_grp")
+    ).dropDuplicates(["_src", "_grp"])
+    w = Window.partitionBy("_src").orderBy(
+        hash_hex(F.col("_grp"), salt), F.col("_grp")
+    )
+    n_w = Window.partitionBy("_src")
+    n_val = F.expr(f"_grp_n * {int(val_pct)} div 100")
+    n_test = F.expr(f"_grp_n * {int(test_pct)} div 100")
+    assigned = groups.select(
+        "_src",
+        "_grp",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(n_w).alias("_grp_n"),
+    ).select(
+        "_src",
+        "_grp",
+        F.when(F.col("_rk") <= n_val, F.lit("val"))
+        .when(F.col("_rk") <= n_val + n_test, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return df.join(
+        assigned,
+        (df[source_col] == assigned["_src"])
+        & (df[group_col] == assigned["_grp"]),
+    ).select(*[df[c] for c in df.columns], "split")
+
+
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents with LANGUAGE as the correlation group inside
+    each source — whole languages land on one side of every boundary."""
+    out = group_split_assign(
+        _docs(spark, sf_dir).select("doc_id", "source", "lang"),
+        "source",
+        "lang",
+    )
+    return out.select("doc_id", "source", "lang", "split").orderBy("doc_id")
+
+
+_register(
+    "sample_group_split",
+    q_sample_group_split,
+    """
+WITH groups AS (
+  SELECT DISTINCT source AS src, lang AS grp FROM documents),
+assigned AS (
+  SELECT src, grp,
+         row_number() OVER (
+             PARTITION BY src
+             ORDER BY substring(md5(grp), 1, 8), grp) AS rk,
+         count(*) OVER (PARTITION BY src) AS n
+  FROM groups)
+SELECT d.doc_id, d.source, d.lang,
+       CASE WHEN a.rk <= (a.n * 10) // 100 THEN 'val'
+            WHEN a.rk <= (a.n * 10) // 100 + (a.n * 10) // 100
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM documents d
+JOIN assigned a ON a.src = d.source AND a.grp = d.lang
+ORDER BY d.doc_id
+""",
+)

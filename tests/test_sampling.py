@@ -101,3 +101,41 @@ def test_md5_sampling_is_partition_invariant(spark):
     )
     assert frac(df) == frac(df.repartition(17)) == frac(df.coalesce(1))
     assert topk(df) == topk(df.repartition(17)) == topk(df.coalesce(1))
+
+
+def test_group_split_never_straddles_groups(spark):
+    """Every (source, group) lands entirely in ONE split, and quotas
+    cut over groups: with 20 groups per source, exactly 2 val + 2 test
+    groups regardless of how many rows each group holds."""
+    from collections import defaultdict
+
+    from event_pipeline_spark.operators.sampling import (
+        group_split_assign,
+        split_assign,
+    )
+
+    rows = []
+    for s in ("s1", "s2"):
+        for g in range(20):
+            for r in range((g % 5) + 1):  # skewed group sizes
+                rows.append((f"{s}-{g}-{r}", s, f"grp{g}"))
+    df = spark.createDataFrame(rows, "id string, source string, g string")
+    out = group_split_assign(df, "source", "g").collect()
+    seen = defaultdict(set)
+    for r in out:
+        seen[(r["source"], r["g"])].add(r["split"])
+    assert all(len(v) == 1 for v in seen.values())
+    per_split = defaultdict(set)
+    for (src, g), v in seen.items():
+        per_split[(src, next(iter(v)))].add(g)
+    for s in ("s1", "s2"):
+        assert len(per_split[(s, "val")]) == 2
+        assert len(per_split[(s, "test")]) == 2
+        assert len(per_split[(s, "train")]) == 16
+    # contrast: the row split CAN straddle a group (that's the bug the
+    # grouped form exists for) — same data, key = id
+    row_out = split_assign(df, "source", "id").collect()
+    straddled = defaultdict(set)
+    for r in row_out:
+        straddled[(r["source"], r["g"])].add(r["split"])
+    assert any(len(v) > 1 for v in straddled.values())
