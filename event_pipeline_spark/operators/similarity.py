@@ -2500,3 +2500,153 @@ ORDER BY query_id, step
 
 
 _register("sim_mmr_rerank", q_sim_mmr_rerank, _mmr_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (banded IVF candidates)
+# ---------------------------------------------------------------------------
+
+HN_BAND_LO, HN_BAND_HI = 0.10, 0.30
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 3,
+    band_lo: float = HN_BAND_LO,
+    band_hi: float = HN_BAND_HI,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(anchor_id, corpus_id, cosine, rank): the k HARDEST usable
+    negatives per anchor — candidates from the anchor's probed IVF
+    cells whose exact cosine lands in [band_lo, band_hi), minus the
+    labeled positives, ranked by similarity descending. The
+    curriculum complement of ``operators/contrastive.py``'s uniform
+    draw: contrastive training plateaus on easy negatives, while
+    ABOVE ``band_hi`` lurk the unlabeled true positives that poison
+    the loss — the band is the standard FP-filtering rule.
+
+    Scale shape: identical to ``ivf_topk_exact`` (cell equi-join —
+    candidates never exceed the probed cells), plus one anti-join
+    against the positives; the band filter runs before the per-anchor
+    window, so the rank sees only usable rows. Cosines quantized to
+    6dp (the ANN-family contract) keep every comparison and the rank
+    order engine-exact."""
+    centroids = IVF_EXACT_CENTROIDS if centroids is None else centroids
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        assign_fixed_centroids(vec_col, centroids).alias("cell"),
+    )
+    anchor_cells = anchors.select(
+        F.col(anchor_id_col),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            probe_fixed_centroids(vec_col, centroids, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(anchor_cells), "cell")
+        .where(F.col(anchor_id_col) != F.col("corpus_id"))
+        .select(
+            anchor_id_col,
+            "corpus_id",
+            F.round(cosine_batch(F.col("cv"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates([anchor_id_col, "corpus_id"])
+        .where(
+            (F.col("cosine") >= band_lo) & (F.col("cosine") < band_hi)
+        )
+    )
+    usable = scored.join(
+        positives.select(
+            F.col(anchor_id_col), F.col("corpus_id")
+        ).dropDuplicates([anchor_id_col, "corpus_id"]),
+        [anchor_id_col, "corpus_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return usable.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for five anchors, with fixed labeled positives
+    (anchor, anchor+100) excluded — the IVF-exact shape end to end."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    spark_pos = spark.createDataFrame(
+        [(a, a + 100) for a in range(5)], "anchor_id long, corpus_id long"
+    )
+    return hard_negatives(emb, anchors, spark_pos, k=5).orderBy(
+        "anchor_id", "rank"
+    )
+
+
+_register(
+    "sim_hard_negatives",
+    q_sim_hard_negatives,
+    f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT id AS anchor_id, v FROM corpus WHERE id < 5),
+pos(anchor_id, corpus_id) AS (
+  VALUES (0, 100), (1, 101), (2, 102), (3, 103), (4, 104)
+),
+cents(cid, cv) AS (
+  VALUES {_cents_values(IVF_EXACT_CENTROIDS)}
+),
+csim AS (
+  SELECT c.id, ct.cid,
+         round(list_inner_product(c.v, ct.cv)
+               / (sqrt(list_inner_product(c.v, c.v)) * 8.0), 7) AS sim
+  FROM corpus c CROSS JOIN cents ct),
+cc AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim) WHERE rk = 1),
+qc AS (
+  SELECT id AS anchor_id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim WHERE id < 5) WHERE rk <= 3),
+cand AS (
+  SELECT DISTINCT qc.anchor_id, cc.id AS corpus_id
+  FROM qc JOIN cc USING (cell)
+  WHERE qc.anchor_id != cc.id),
+scored AS (
+  SELECT cand.anchor_id, cand.corpus_id,
+         ROUND(list_cosine_similarity(c.v, q2.v), 6) AS cosine
+  FROM cand
+  JOIN corpus c ON c.id = cand.corpus_id
+  JOIN corpus q2 ON q2.id = cand.anchor_id),
+banded AS (
+  SELECT * FROM scored
+  WHERE cosine >= {HN_BAND_LO} AND cosine < {HN_BAND_HI}),
+usable AS (
+  SELECT b.* FROM banded b
+  LEFT JOIN pos p ON p.anchor_id = b.anchor_id
+                 AND p.corpus_id = b.corpus_id
+  WHERE p.anchor_id IS NULL),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY anchor_id ORDER BY cosine DESC, corpus_id) AS rank
+  FROM usable)
+SELECT anchor_id, corpus_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY anchor_id, rank
+""",
+)

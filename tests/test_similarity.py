@@ -930,3 +930,50 @@ def test_mmr_rerank_diversifies_duplicates(spark):
     ]
     # 7*999 < 7*500 - 3*0 is false... scores: dup1: 7*999-3*1e7 << other: 7*500-0
     assert picks == [0, 3]
+
+
+def test_hard_negatives_band_and_exclusion(spark):
+    """Constructed vectors: the unlabeled near-duplicate (cos ~1) is
+    excluded by band_hi, the labeled positive inside the band is
+    excluded by the anti-join, easy negatives fall below band_lo, and
+    the survivors rank hardest-first."""
+    import math
+
+    from event_pipeline_spark.operators.similarity import hard_negatives
+
+    dim = 64
+
+    def vec(angle_deg):
+        # unit vectors in the plane of dims 0/1, zero elsewhere
+        a = math.radians(angle_deg)
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(a), math.sin(a)
+        return v
+
+    anchor = vec(0)
+    rows = [
+        (0, anchor),
+        (1, vec(2)),     # near-dup: cos ~0.9994 -> above band_hi
+        (2, vec(80)),    # cos ~0.17 in band -> labeled positive
+        (3, vec(78)),    # cos ~0.21 in band -> hard negative
+        (4, vec(84)),    # cos ~0.10 in band -> hard negative (softer)
+        (5, vec(89)),    # cos ~0.017 -> below band_lo
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    anchors = spark.createDataFrame(
+        [(0, anchor)], "anchor_id long, embedding array<double>"
+    )
+    pos = spark.createDataFrame(
+        [(0, 2)], "anchor_id long, corpus_id long"
+    )
+    out = hard_negatives(
+        corpus, anchors, pos, k=5, band_lo=0.05, band_hi=0.95,
+        centroids=[vec(0), vec(85)],
+        n_probe=2,
+    ).collect()
+    got = [(r["corpus_id"], r["rank"]) for r in out]
+    assert got == [(3, 1), (4, 2)]
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
