@@ -1267,3 +1267,93 @@ _register(
        WHERE inter > 0 AND ROUND(inter::DOUBLE / mn, 6) >= 0.6
        ORDER BY id_a, id_b""",
 )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection (keep the best doc per dup cluster)
+# ---------------------------------------------------------------------------
+
+
+def keep_best_in_clusters(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """(id, cluster_id, keep, kept_by): canonical-document selection —
+    per duplicate cluster keep the HIGHEST-quality member (ties →
+    lowest id); singletons (absent from ``clusters``) keep themselves.
+    The decision step between near-dup clustering and the training
+    set: dropping an arbitrary member of each cluster (e.g. min-id)
+    silently prefers whatever order the crawler found; keeping the
+    best-quality member is the RefinedWeb/FineWeb rule.
+
+    Scale shape: one left join of the corpus against the cluster
+    labels (clusters cover only the duplicated minority) and one
+    window partitioned by cluster — no shuffle beyond those two."""
+    labeled = docs.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("q")
+    ).join(
+        clusters.select("id", "cluster_id"), "id", "left"
+    ).select(
+        "id",
+        "q",
+        F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("id")
+    )
+    return labeled.select(
+        "id",
+        "cluster_id",
+        F.first("id").over(w).alias("kept_by"),
+    ).select(
+        "id",
+        "cluster_id",
+        (F.col("id") == F.col("kept_by")).alias("keep"),
+        "kept_by",
+    )
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash clusters + length-as-quality canonical selection — the
+    full pipeline (sketch → bands → verify → components → argmax)
+    replayed by one chained oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    clusters = duplicate_clusters(pairs)
+    return keep_best_in_clusters(
+        docs.select("doc_id", F.col("n_chars").alias("quality")),
+        clusters,
+        id_col="doc_id",
+        quality_col="quality",
+    ).orderBy("id")
+
+
+def _keep_best_oracle_sql() -> str:
+    return (
+        _clusters_oracle_sql().rsplit("SELECT a AS id", 1)[0]
+        + """,
+       comp AS (
+         SELECT a AS id, least(a, MIN(b)) AS cluster_id
+         FROM reach GROUP BY a),
+       labeled AS (
+         SELECT d.doc_id AS id, d.n_chars AS q,
+                coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       ranked AS (
+         SELECT id, q, cluster_id,
+                first_value(id) OVER (
+                    PARTITION BY cluster_id ORDER BY q DESC, id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS kept_by
+         FROM labeled)
+       SELECT id, cluster_id, id = kept_by AS keep, kept_by
+       FROM ranked ORDER BY id"""
+    )
+
+
+_register("dedup_keep_best", _dedup_keep_best, _keep_best_oracle_sql())

@@ -376,3 +376,32 @@ def test_bbit_candidates_superset_and_same_verified_pairs(docs):
         for r in minhash_near_duplicates(docs, bbit=8).collect()
     }
     assert verified_bbit >= verified_full  # superset recall, exact precision
+
+
+def test_keep_best_in_clusters_quality_rule(spark):
+    """Two clusters + a singleton: the highest-quality member is kept
+    (tie -> lowest id), everyone else points at it, singletons keep
+    themselves."""
+    from event_pipeline_spark.operators.dedup import keep_best_in_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (8, 9), (9, 1)],
+        "doc_id long, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "id long, cluster_id long",
+    )
+    out = {
+        r["id"]: r
+        for r in keep_best_in_clusters(
+            docs, clusters, id_col="doc_id", quality_col="quality"
+        ).collect()
+    }
+    # cluster 1: quality tie 50/50 between ids 2 and 3 -> keep 2
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert all(out[i]["kept_by"] == 2 for i in (1, 2, 3))
+    # cluster 7: id 8 wins on quality despite higher id
+    assert out[8]["keep"] and out[7]["kept_by"] == 8
+    # singleton 9 keeps itself
+    assert out[9]["keep"] and out[9]["cluster_id"] == 9
