@@ -852,3 +852,87 @@ SELECT k AS event_type, n_gaps, mean_us,
        END AS cv
 FROM stat ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# active-user stickiness (DAU / WAU / MAU)
+# ---------------------------------------------------------------------------
+
+
+def active_user_stickiness(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, dau, wau, mau, stickiness_w, stickiness_m): per calendar
+    day, distinct active users that day / in the trailing 7 days / in
+    the trailing 30 days, plus the DAU/WAU and DAU/MAU ratios — the
+    product-health headline beside cohort retention.
+
+    Exactness + scale: the corpus collapses to distinct (user, day)
+    pairs in ONE aggregate; each pair then contributes one row per
+    trailing window it can serve (≤31 — a bounded explode, the
+    standard distinct-over-sliding-window rewrite that avoids a
+    distinct per window frame, which Spark windows cannot express
+    anyway); per-(window-day) distinct counts are exact BIGINTs and
+    the ratios single divisions. Days with zero trailing-window
+    anchors simply don't appear (the observed-day spine)."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    pairs = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).dropDuplicates(["u", "d"])
+    served = pairs.select(
+        "u",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+    ).select(
+        "u", F.date_add(F.col("d"), F.col("off")).alias("anchor"), "off"
+    )
+    per_day = served.groupBy(F.col("anchor").alias("day")).agg(
+        F.countDistinct(F.when(F.col("off") == 0, F.col("u")))
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct(F.when(F.col("off") < 7, F.col("u")))
+        .cast("bigint")
+        .alias("wau"),
+        F.countDistinct("u").cast("bigint").alias("mau"),
+    )
+    observed = pairs.select(F.col("d").alias("day")).dropDuplicates()
+    return per_day.join(observed, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness_w"),
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness_m"),
+    )
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return active_user_stickiness(
+        read_table(spark, sf_dir, "events")
+    ).orderBy("day")
+
+
+QUERIES["events_stickiness"] = q_events_stickiness
+ORACLES["events_stickiness"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+served AS (
+  SELECT u, d + to_days(o.off::INT) AS anchor, o.off
+  FROM pairs, (SELECT unnest(generate_series(0, 29)) AS off) o),
+per_day AS (
+  SELECT anchor AS day,
+         count(DISTINCT CASE WHEN off = 0 THEN u END)::BIGINT AS dau,
+         count(DISTINCT CASE WHEN off < 7 THEN u END)::BIGINT AS wau,
+         count(DISTINCT u)::BIGINT AS mau
+  FROM served GROUP BY anchor),
+observed AS (SELECT DISTINCT d AS day FROM pairs)
+SELECT strftime(p.day, '%Y-%m-%d') AS day, dau, wau, mau,
+       dau::DOUBLE / wau::DOUBLE AS stickiness_w,
+       dau::DOUBLE / mau::DOUBLE AS stickiness_m
+FROM per_day p JOIN observed USING (day) ORDER BY day
+"""

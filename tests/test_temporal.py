@@ -476,3 +476,34 @@ def test_interarrival_hand_case(spark):
     e = out["error"]
     assert (e["n_gaps"], e["var_us"], e["cv"]) == (1, None, None)
     assert e["mean_us"] == 2.0 * h
+
+
+def test_stickiness_hand_case(spark):
+    """Three users over a 10-day gap: DAU/WAU/MAU windows checked by
+    hand, including a day served only by the trailing windows."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import (
+        active_user_stickiness,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)), (2, datetime(2024, 1, 1, 6)),
+        (1, datetime(2024, 1, 2, 5)),
+        (3, datetime(2024, 1, 10, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = {
+        r["day"]: r for r in active_user_stickiness(df).collect()
+    }
+    # only observed days appear
+    assert sorted(out) == ["2024-01-01", "2024-01-02", "2024-01-10"]
+    d1 = out["2024-01-01"]
+    assert (d1["dau"], d1["wau"], d1["mau"]) == (2, 2, 2)
+    d2 = out["2024-01-02"]
+    assert (d2["dau"], d2["wau"], d2["mau"]) == (1, 2, 2)
+    d10 = out["2024-01-10"]
+    # day 10: dau = {3}; wau = {3} (days 1-2 are > 6 days back);
+    # mau = all three users within 30 days
+    assert (d10["dau"], d10["wau"], d10["mau"]) == (1, 1, 3)
+    assert d10["stickiness_m"] == 1 / 3
