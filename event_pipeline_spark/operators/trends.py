@@ -439,3 +439,112 @@ SELECT nd.k AS event_type, nd.n AS n_days, s.s,
 FROM nd JOIN s ON s.k = nd.k JOIN ties ON ties.k = nd.k
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# seasonal-baseline residual outliers
+# ---------------------------------------------------------------------------
+
+
+def seasonal_residuals(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, day, dow, c, baseline, residual, mad, outlier): per-key
+    daily counts against a SEASONAL baseline — the lower-median count
+    of the same day-of-week — with robust outlier flags. CUSUM/EWMA
+    (above) catch level shifts; this catches single anomalous days
+    that a weekly rhythm would otherwise hide (every Sunday is low —
+    a low Tuesday is the anomaly).
+
+    Exactness: everything is BIGINT — lower-median baseline at rank
+    (n+1)//2 per (key, dow), MAD of residuals the same way, and the
+    Iglewicz–Hoaglin modified-z flag as the exact integer inequality
+    6745·|c − baseline| > 35000·MAD (the ``mad_outliers`` rule). No
+    doubles anywhere.
+
+    Scale shape: the corpus collapses to (key, day) counts in one
+    aggregate; every window partitions by (key, dow) — |days|/7 rows
+    per cell, never raw events."""
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = (
+        events.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("dow", F.dayofweek("d").cast("int"))
+    )
+    cell = ["k", "dow"]
+    n_per = Window.partitionBy(*cell)
+    wv = Window.partitionBy(*cell).orderBy("c", "d")
+    with_med = daily.withColumn(
+        "rn", F.row_number().over(wv)
+    ).withColumn("n", F.count(F.lit(1)).over(n_per))
+    med = with_med.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).select("k", "dow", F.col("c").alias("baseline"))
+    d2 = daily.join(med, cell).withColumn(
+        "ad", F.abs(F.col("c") - F.col("baseline"))
+    )
+    wd = Window.partitionBy(*cell).orderBy("ad", "d")
+    mad = (
+        d2.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(n_per))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+        .select("k", "dow", F.col("ad").alias("mad"))
+    )
+    return d2.join(mad, cell).select(
+        F.col("k").alias(key_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "c",
+        "baseline",
+        (F.col("c") - F.col("baseline")).cast("bigint").alias("residual"),
+        "mad",
+        (
+            F.lit(6745) * F.col("ad") > F.lit(35000) * F.col("mad")
+        ).alias("outlier"),
+    )
+
+
+def q_trend_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return seasonal_residuals(
+        read_table(spark, sf_dir, "events")
+    ).orderBy("event_type", "day")
+
+
+QUERIES["trend_seasonal_residuals"] = q_trend_seasonal
+ORACLES["trend_seasonal_residuals"] = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+-- DuckDB dayofweek: 0=Sunday..6=Saturday; Spark: 1=Sunday..7=Saturday
+dowed AS (
+  SELECT k, d, c, (dayofweek(d) + 1)::INT AS dow FROM daily),
+med AS (
+  SELECT k, dow, c AS baseline FROM (
+    SELECT k, dow, c,
+           row_number() OVER (PARTITION BY k, dow ORDER BY c, d) AS rn,
+           count(*) OVER (PARTITION BY k, dow) AS n
+    FROM dowed) WHERE rn = (n + 1) // 2),
+d2 AS (
+  SELECT w.k, w.d, w.dow, w.c, m.baseline,
+         abs(w.c - m.baseline)::BIGINT AS ad
+  FROM dowed w JOIN med m ON m.k = w.k AND m.dow = w.dow),
+mad AS (
+  SELECT k, dow, ad AS mad FROM (
+    SELECT k, dow, ad,
+           row_number() OVER (PARTITION BY k, dow ORDER BY ad, d) AS rn,
+           count(*) OVER (PARTITION BY k, dow) AS n
+    FROM d2) WHERE rn = (n + 1) // 2)
+SELECT d2.k AS event_type, strftime(d2.d, '%Y-%m-%d') AS day, d2.dow,
+       d2.c, d2.baseline, (d2.c - d2.baseline)::BIGINT AS residual,
+       mad.mad, 6745 * d2.ad > 35000 * mad.mad AS outlier
+FROM d2 JOIN mad ON mad.k = d2.k AND mad.dow = d2.dow
+ORDER BY event_type, day
+"""

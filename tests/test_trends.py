@@ -201,3 +201,33 @@ def test_mann_kendall_hand_cases(spark):
     c = out["click"]
     assert (c["s"], c["var_s_x18"]) == (0, 0)
     assert c["z"] is None
+
+
+def test_seasonal_residuals_hand_case(spark):
+    """Three Mondays at 10 events + one at 100: baseline is the
+    lower-median 10, the spike's residual is 90 and flagged, while
+    the normal Mondays are not."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.trends import seasonal_residuals
+
+    rows = []
+    eid = 0
+    mondays = [1, 8, 15, 22]  # 2024-01-01 is a Monday
+    for i, dom in enumerate(mondays):
+        n = 100 if i == 3 else 10
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, dom, 12), "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string"
+    )
+    out = {
+        r["day"]: r for r in seasonal_residuals(df).collect()
+    }
+    assert all(r["baseline"] == 10 for r in out.values())
+    assert out["2024-01-22"]["residual"] == 90
+    assert out["2024-01-22"]["outlier"]
+    assert not out["2024-01-01"]["outlier"]
+    # MAD of |c-10| = [0,0,0,90] -> lower median 0; flag uses 6745*90 > 0
+    assert out["2024-01-01"]["mad"] == 0
