@@ -168,3 +168,40 @@ def test_hilbert_write_prunes_both_dimensions(spark, tmp_path):
     hit_a, tot_a = prunable_files(dest, "a", 10, 40)
     hit_b, tot_b = prunable_files(dest, "b", 10, 40)
     assert len(hit_a) < tot_a and len(hit_b) < tot_b
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A day= filter over a directory-partitioned table shows up as a
+    PartitionFilter (no data filter needed) and the scan reads only
+    the matching directory's files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.layout import write_partitioned
+
+    df = spark.range(0, 3000).select(
+        "id",
+        F.concat(
+            F.lit("2024-01-0"), (F.col("id") % 5 + 1).cast("string")
+        ).alias("day"),
+    )
+    path = f"{tmp_path}/by_day"
+    write_partitioned(df, path, partition_cols=["day"])
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert dirs == [f"day=2024-01-0{i}" for i in range(1, 6)]
+    # one file per partition directory (small-files bound)
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, d
+
+    q = spark.read.parquet(path).where(F.col("day") == "2024-01-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "2024-01-03" in plan.split("PartitionFilters", 1)[1][:200]
+    assert q.count() == 600
