@@ -282,3 +282,120 @@ FROM (
   SELECT dst AS node, 'authority' AS role, a AS score_units FROM a2)
 ORDER BY role, node
 """
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + clustering coefficient (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+def triangle_stats(
+    edges: DataFrame, *, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """(node, degree, triangles, clustering): exact per-node triangle
+    participation and local clustering coefficient
+    2·t/(d·(d−1)) over an undirected simple graph given as oriented
+    (a < b) distinct edges. Triangles measure cohesion — in a
+    co-purchase graph they separate genuine product communities from
+    hub-and-spoke popularity, which PageRank (above) cannot.
+
+    Spark-first shape: the id-oriented wedge join — each triangle
+    a<b<c is found EXACTLY once as (a,b)⋈(b,c) verified by (a,c) —
+    two equi-joins, no enumeration of both directions and no
+    post-dedup of 3! orderings. Wedge work is Σ_b out(b)·in(b) under
+    the orientation, the standard bound; the clustering ratio is ONE
+    exact division of BIGINTs per node."""
+    e = edges.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).dropDuplicates(["a", "b"])
+    e1 = e.alias("e1")
+    e2 = e.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    ).alias("e2")
+    e3 = e.select(
+        F.col("a").alias("a"), F.col("b").alias("c")
+    ).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    roles = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    t_per = roles.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.join(t_per, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias(
+            "triangles"
+        ),
+        F.when(
+            F.col("degree") > 1,
+            (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        ).alias("clustering"),
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the co-purchase graph (parts sharing an order).
+    Per-order pair fan-out is bounded by order size (≤13 on this
+    corpus); output is one row per part."""
+    from event_pipeline_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x = li.alias("x")
+    y = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    ).alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return triangle_stats(edges).orderBy("node")
+
+
+QUERIES["graph_triangles"] = q_graph_triangles
+ORACLES["graph_triangles"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+t_per AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY node),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+SELECT d.node, d.degree,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.degree > 1
+            THEN (2 * coalesce(t.triangles, 0))::DOUBLE
+                 / (d.degree * (d.degree - 1))::DOUBLE
+       END AS clustering
+FROM deg d LEFT JOIN t_per t USING (node) ORDER BY d.node
+"""

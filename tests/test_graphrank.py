@@ -113,3 +113,24 @@ def test_hits_symmetric_graph_all_ones(spark):
     rows = hits(edges, iterations=2).collect()
     assert {r["score_units"] for r in rows} == {1_000_000}
     assert {r["score"] for r in rows} == {1.0}
+
+
+def test_triangle_stats_hand_case(spark):
+    """K4 plus a pendant: each K4 node sits in C(3,2)=3 triangles with
+    clustering 1.0; the pendant has none; the node joining K4 to the
+    pendant keeps clustering 3/(4*3/2)=0.5... resolved by hand below."""
+    from event_pipeline_spark.operators.graphrank import triangle_stats
+
+    # K4 on {1,2,3,4}; pendant edge 4-9
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 9))
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["node"]: r for r in triangle_stats(df).collect()}
+    for n in (1, 2, 3):
+        assert out[n]["degree"] == 3 and out[n]["triangles"] == 3
+        assert out[n]["clustering"] == 1.0
+    assert out[4]["degree"] == 4 and out[4]["triangles"] == 3
+    assert out[4]["clustering"] == 0.5  # 2*3/(4*3)
+    assert out[9]["triangles"] == 0 and out[9]["clustering"] is None
+    # total triangle participation = 3 * #triangles (K4 has 4)
+    assert sum(r["triangles"] for r in out.values()) == 3 * 4
