@@ -2076,3 +2076,66 @@ def test_streaming_psi_equals_batch(spark, tmp_path):
         assert abs(last[k]["psi"] - batch_psi) < 1e-12
     # drift direction sanity: the shifted stream scores high
     assert last["amt"]["psi"] > 0.1
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """Two micro-batches of user ids: the live HLL emission equals the
+    batch md5-HLL rebuild (nz, t_units, est all exact), with register
+    state carried across the boundary."""
+    from event_pipeline_spark.operators.sketches import hll_md5_estimate
+    from event_pipeline_spark.streaming.hll import streaming_hll
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    b1 = [("clicks", f"user{i}") for i in range(400)]
+    b1 += [("views", f"u{i % 30}") for i in range(90)]
+    b2 = [("clicks", f"user{i}") for i in range(200, 700)]  # 300 new
+    b2 += [("views", f"u{i}") for i in range(25, 40)]
+
+    src = f"file://{tmp_path}/hll_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    for b in (b1, b2):
+        spark.createDataFrame(b, "key string, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_hll(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/hll_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert len(collected) == 4  # 2 keys x 2 batches
+    last = {}
+    for r in collected:
+        last[r["key"]] = r
+    batch = {
+        r["key"]: r
+        for r in hll_md5_estimate(
+            spark.createDataFrame(b1 + b2, "key string, v string"),
+            "v",
+            ["key"],
+        ).collect()
+    }
+    for k in ("clicks", "views"):
+        assert last[k]["nz"] == batch[k]["nz"], k
+        assert last[k]["t_units"] == int(batch[k]["t_units"]), k
+        assert last[k]["est"] == batch[k]["est"], k
+    # sanity: the estimates are in the right ballpark (true 700 / 40)
+    assert abs(last["clicks"]["est"] - 700) < 700 * 0.2
+    assert abs(last["views"]["est"] - 40) < 40 * 0.2
