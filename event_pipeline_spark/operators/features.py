@@ -264,3 +264,91 @@ SELECT g AS event_type, max(n)::BIGINT AS n,
          AS iqr_units
 FROM ranked GROUP BY g ORDER BY event_type
 """
+
+
+def woe_iv(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(category, n_pos, n_neg, woe, iv): Weight-of-Evidence per
+    category and its Information-Value contribution — the scorecard
+    industry's feature-screening pair (total IV < 0.02 → drop the
+    feature; per-category WoE is the monotone encoding a logistic
+    scorecard consumes). WoE = ln(dist_pos/dist_neg) with add-one
+    smoothing (the ``stats.psi_bins`` convention) so single-class
+    categories stay defined; iv = (dist_pos − dist_neg)·woe.
+
+    Exactness: counts are BIGINT; each ln argument is ONE division of
+    exact integer products; woe/iv round to 7dp per category before
+    any consumer sums (the repo log contract). One aggregate to
+    |categories| cells; the totals window runs over that cell table."""
+    y = F.col(label_col).cast("long")
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.sum(y).cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum(y)).cast("bigint").alias("n_neg"),
+    )
+    tot = Window.partitionBy()
+    k = F.count(F.lit(1)).over(tot)
+    gp = F.sum("n_pos").over(tot) + k
+    gn = F.sum("n_neg").over(tot) + k
+    dp = (F.col("n_pos") + 1).cast("double") / gp.cast("double")
+    dn = (F.col("n_neg") + 1).cast("double") / gn.cast("double")
+    ratio = ((F.col("n_pos") + 1) * gn).cast("double") / (
+        (F.col("n_neg") + 1) * gp
+    ).cast("double")
+    woe = F.log(ratio)
+    return per.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 7).alias("woe"),
+        F.round((dp - dn) * woe, 7).alias("iv"),
+    )
+
+
+def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE/IV of market segment predicting fulfilled order status —
+    the scorecard screening readout over the same join as
+    feat_target_encode."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    base = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return woe_iv(base, cat_col="segment", label_col="label").orderBy(
+        "category"
+    )
+
+
+QUERIES["feat_woe_iv"] = q_feat_woe_iv
+ORACLES["feat_woe_iv"] = """
+WITH base AS (
+  SELECT c_mktsegment AS category,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+per AS (
+  SELECT category, sum(y)::BIGINT AS n_pos,
+         (count(*) - sum(y))::BIGINT AS n_neg
+  FROM base GROUP BY category),
+tot AS (
+  SELECT category, n_pos, n_neg,
+         count(*) OVER () AS k,
+         sum(n_pos) OVER () + count(*) OVER () AS gp,
+         sum(n_neg) OVER () + count(*) OVER () AS gn
+  FROM per)
+SELECT category, n_pos, n_neg,
+       round(ln(((n_pos + 1) * gn)::DOUBLE
+                / ((n_neg + 1) * gp)::DOUBLE), 7) AS woe,
+       round(((n_pos + 1)::DOUBLE / gp::DOUBLE
+              - (n_neg + 1)::DOUBLE / gn::DOUBLE)
+             * ln(((n_pos + 1) * gn)::DOUBLE
+                  / ((n_neg + 1) * gp)::DOUBLE), 7) AS iv
+FROM tot ORDER BY category
+"""

@@ -76,3 +76,30 @@ def test_frequency_encode_and_robust_scale(spark):
     # ceil(.75*5)=4 -> 2, 3, 4; the outlier never touches the IQR
     assert (a["q1_units"], a["median_units"], a["q3_units"]) == (2, 3, 4)
     assert a["iqr_units"] == 2
+
+
+def test_woe_iv_matches_python_reference(spark):
+    import math
+
+    from event_pipeline_spark.operators.features import woe_iv
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 10
+        + [("b", 1)] * 5 + [("b", 0)] * 25
+        + [("c", 1)] * 3  # single-class: smoothing keeps it defined
+    )
+    df = spark.createDataFrame(rows, "cat string, y int")
+    out = {
+        r["category"]: r
+        for r in woe_iv(df, cat_col="cat", label_col="y").collect()
+    }
+    gp, gn, k = 38 + 3, 35 + 3, 3
+    for cat in "abc":
+        np_ = sum(1 for c, y in rows if c == cat and y == 1)
+        nn = sum(1 for c, y in rows if c == cat and y == 0)
+        woe = math.log(((np_ + 1) * gn) / ((nn + 1) * gp))
+        iv = ((np_ + 1) / gp - (nn + 1) / gn) * woe
+        assert out[cat]["woe"] == round(woe, 7), cat
+        assert out[cat]["iv"] == round(iv, 7), cat
+    assert out["a"]["woe"] > 0 > out["b"]["woe"]
+    assert all(r["iv"] >= 0 or abs(r["iv"]) < 1e-9 for r in out.values())
