@@ -83,7 +83,17 @@ ALLOWED: dict[str, dict[str, str]] = {
         "the <=2k retained hashes (rank_bm25 one-row-stats shape)",
         "Exchange SinglePartition": "one-row sketch estimate output",
     },
+    "feat_target_encode": {
+        "BroadcastNestedLoopJoin": "broadcast ONE row of global "
+        "(n_all, s_all) totals crossed with the |categories| encoder "
+        "cells (rank_bm25 one-row-stats shape)",
+    },
     # documented bounded-result global windows / final orderings
+    "feat_woe_iv": {
+        "Exchange SinglePartition": "global totals window over the "
+        "|categories| (=5) cell table — the corpus collapsed in the "
+        "upstream map-side-combinable aggregate (stats_psi_bins shape)",
+    },
     "stats_psi_bins": {
         "Exchange SinglePartition": "global totals window over EXACTLY "
         "n_bins(=10) spine rows — the corpus collapsed to <=2 cells "
