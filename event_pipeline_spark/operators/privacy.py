@@ -218,3 +218,97 @@ SELECT n AS group_size, count(*)::BIGINT AS n_groups,
          AS n_low_diversity
 FROM classes GROUP BY n ORDER BY group_size
 """
+
+
+# ---------------------------------------------------------------------------
+# differentially-private counts (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+
+def dp_counts(
+    df: DataFrame,
+    *,
+    key_col: str,
+    epsilon: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """(key, noisy_count): per-key counts released through the Laplace
+    mechanism — noise ~ Laplace(1/ε) for the count query's sensitivity
+    of 1, the standard ε-DP release for histograms. The inverse-CDF
+    draw −b·sgn(u−½)·ln(1−2|u−½|) runs on a DETERMINISTIC uniform
+    u = (md5_low(key‖salt) mod 2⁵² + ½)/2⁵² (the ``dsir.py`` Gumbel
+    recipe), so the whole release replays in the oracle and in reruns.
+
+    Seeding caveat, stated rather than hidden: ε-DP accounting
+    requires FRESH randomness per release — the seeded draw makes a
+    single release exactly reproducible (the evaluation/audit mode),
+    and production must rotate ``salt`` per release and account the ε
+    budget across releases. True counts are intentionally NOT in the
+    output (releasing them beside the noise would defeat the point);
+    tests reconstruct them separately to verify the mechanism.
+
+    Exactness: one map-side-combinable count per key; u is exact
+    integer arithmetic; the noise is one ln (round-7, the repo log
+    contract) and the release rounds to 4dp."""
+    from event_pipeline_spark.operators.sampling import hash_hex
+
+    b = 1.0 / float(epsilon)
+    h8 = hash_hex(F.col("key"), salt)  # 32 uniform bits, engine-portable
+    h13 = F.conv(
+        F.concat(
+            h8,
+            F.substring(F.md5(F.concat(F.col("key").cast("string"),
+                                        F.lit(salt))), 9, 5),
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    m = F.lit(1 << 52).cast("decimal(20,0)")
+    u = (F.pmod(h13, m).cast("double") + 0.5) / F.lit(float(1 << 52))
+    mag = F.round(
+        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))), 7
+    )
+    noise = F.when(u < 0.5, F.lit(b) * mag).otherwise(-F.lit(b) * mag)
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per.select(
+        F.col("key").alias(key_col),
+        F.round(F.col("c") + noise, 4).alias("noisy_count"),
+    )
+
+
+DP_EPS = 0.5
+DP_SALT = "dp-r8"
+
+
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=0.5 DP release of per-event-type counts."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    return dp_counts(
+        ev, key_col="event_type", epsilon=DP_EPS, salt=DP_SALT
+    ).orderBy("event_type")
+
+
+QUERIES["privacy_dp_counts"] = q_privacy_dp_counts
+ORACLES["privacy_dp_counts"] = f"""
+WITH per AS (
+  SELECT event_type AS key, count(*)::BIGINT AS c
+  FROM events GROUP BY event_type),
+drawn AS (
+  SELECT key, c,
+         ((('0x' || substr(md5(key || '{DP_SALT}'), 1, 8)
+            || substr(md5(key || '{DP_SALT}'), 9, 5))::BIGINT
+           % {1 << 52})::DOUBLE + 0.5) / {float(1 << 52)} AS u
+  FROM per),
+noised AS (
+  SELECT key, c, u,
+         round(ln(1.0 - 2.0 * abs(u - 0.5)), 7) AS mag
+  FROM drawn)
+SELECT key AS event_type,
+       round(c + CASE WHEN u < 0.5 THEN {1.0 / DP_EPS} * mag
+                      ELSE -{1.0 / DP_EPS} * mag END, 4) AS noisy_count
+FROM noised ORDER BY event_type
+"""

@@ -153,3 +153,39 @@ def test_k_anonymity_report_hand_case(spark):
     # the all-s1 size-3 class drags min_l to 1 and counts as low-div
     assert out[3]["min_l"] == 1 and out[3]["n_low_diversity"] == 1
     assert sum(r["n_rows"] for r in out.values()) == len(rows)
+
+
+def test_dp_counts_noise_is_laplace_shaped(spark):
+    """Across many keys the seeded noise behaves like Laplace(1/eps):
+    mean near 0, mean |noise| near b, both signs, deterministic across
+    reruns, and different under a rotated salt."""
+    from event_pipeline_spark.operators.privacy import dp_counts
+
+    rows = [(f"key{i}",) for i in range(400) for _ in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = dp_counts(df, key_col="k", epsilon=1.0, salt="s1").collect()
+    noises = [r["noisy_count"] - 10 for r in out]
+    assert len(noises) == 400
+    b = 1.0
+    mean = sum(noises) / len(noises)
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    assert abs(mean) < 0.2  # E[noise] = 0
+    assert abs(mean_abs - b) < 0.25  # E|Laplace(b)| = b
+    assert any(x > 0 for x in noises) and any(x < 0 for x in noises)
+    again = dp_counts(df, key_col="k", epsilon=1.0, salt="s1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    rotated = dp_counts(df, key_col="k", epsilon=1.0, salt="s2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, rotated))
+
+
+def test_dp_counts_epsilon_scales_noise(spark):
+    from event_pipeline_spark.operators.privacy import dp_counts
+
+    rows = [(f"key{i}",) for i in range(300) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k string")
+    tight = dp_counts(df, key_col="k", epsilon=2.0, salt="s").collect()
+    loose = dp_counts(df, key_col="k", epsilon=0.5, salt="s").collect()
+    ma_tight = sum(abs(r["noisy_count"] - 5) for r in tight) / len(tight)
+    ma_loose = sum(abs(r["noisy_count"] - 5) for r in loose) / len(loose)
+    # same uniforms, scale differs by exactly 4x (up to rounding)
+    assert abs(ma_loose / ma_tight - 4.0) < 0.01
