@@ -1005,3 +1005,122 @@ SELECT bin, (0 + bin::BIGINT * 50000 // 10)::BIGINT AS bin_lo,
                   / ((n_expected + 1) * na)::DOUBLE), 7) AS psi
 FROM tot ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+def did_estimate(
+    df: DataFrame,
+    *,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One row: per-cell means (m00, m01, m10, m11 — group×period) and
+    the difference-in-differences estimate (m11 − m10) − (m01 − m00)
+    — the workhorse quasi-experimental estimator when treatment
+    wasn't randomized (a launch hit one segment; what would its trend
+    have been without it?). Completes the experimentation shelf
+    beside ``ab_test_proportions`` (randomized rates) and
+    ``welch_t_test`` (randomized means).
+
+    Exactness: per-cell (n, Σx) in DECIMAL(38,0); each mean is ONE
+    exact division; the DiD combines the four doubles in a fixed
+    shape, rounded 7dp. One 4-cell aggregate, a keyless pivot row."""
+    dec = "decimal(38,0)"
+    g = F.col(group_col).cast("int")
+    p = F.col(period_col).cast("int")
+    x = F.col(value_col).cast("bigint").cast(dec)
+    agg = df.groupBy(g.alias("g"), p.alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("s"),
+    )
+
+    def cell(gv: int, pv: int, what: str):
+        c = (F.col("g") == gv) & (F.col("p") == pv)
+        if what == "n":
+            return F.sum(F.when(c, F.col("n"))).cast("bigint")
+        return F.sum(F.when(c, F.col("s"))).cast(dec)
+
+    row = agg.agg(
+        *[
+            cell(gv, pv, w).alias(f"{w}{gv}{pv}")
+            for gv in (0, 1)
+            for pv in (0, 1)
+            for w in ("n", "s")
+        ]
+    )
+    means = {
+        f"m{gv}{pv}": F.col(f"s{gv}{pv}").cast("double")
+        / F.col(f"n{gv}{pv}").cast("double")
+        for gv in (0, 1)
+        for pv in (0, 1)
+    }
+    did = (means["m11"] - means["m10"]) - (means["m01"] - means["m00"])
+    ok = (
+        (F.col("n00") > 0) & (F.col("n01") > 0)
+        & (F.col("n10") > 0) & (F.col("n11") > 0)
+    )
+    return row.select(
+        *[F.col(f"n{gv}{pv}") for gv in (0, 1) for pv in (0, 1)],
+        *[
+            F.round(means[f"m{gv}{pv}"], 7).alias(f"m{gv}{pv}")
+            for gv in (0, 1)
+            for pv in (0, 1)
+        ],
+        F.when(ok, F.round(did, 7)).alias("did"),
+    )
+
+
+def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD of order value (cents): 'treated' = odd customer keys,
+    'post' = 1996+ order dates — an A/A-shaped placebo on this
+    corpus, so DiD should hover near zero."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2).alias("grp"),
+        (F.year("o_orderdate") >= 1996).cast("int").alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return did_estimate(
+        orders, group_col="grp", period_col="period", value_col="cents"
+    )
+
+
+QUERIES["stats_did"] = q_stats_did
+ORACLES["stats_did"] = """
+WITH base AS (
+  SELECT (o_custkey % 2)::INT AS g,
+         CASE WHEN year(o_orderdate) >= 1996 THEN 1 ELSE 0 END AS p,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+agg AS (
+  SELECT g, p, count(*)::BIGINT AS n, sum(x::HUGEINT) AS s
+  FROM base GROUP BY g, p),
+row_ AS (
+  SELECT
+    sum(CASE WHEN g=0 AND p=0 THEN n END)::BIGINT AS n00,
+    sum(CASE WHEN g=0 AND p=0 THEN s END)::HUGEINT AS s00,
+    sum(CASE WHEN g=0 AND p=1 THEN n END)::BIGINT AS n01,
+    sum(CASE WHEN g=0 AND p=1 THEN s END)::HUGEINT AS s01,
+    sum(CASE WHEN g=1 AND p=0 THEN n END)::BIGINT AS n10,
+    sum(CASE WHEN g=1 AND p=0 THEN s END)::HUGEINT AS s10,
+    sum(CASE WHEN g=1 AND p=1 THEN n END)::BIGINT AS n11,
+    sum(CASE WHEN g=1 AND p=1 THEN s END)::HUGEINT AS s11
+  FROM agg)
+SELECT n00, n01, n10, n11,
+       round(s00::DOUBLE / n00::DOUBLE, 7) AS m00,
+       round(s01::DOUBLE / n01::DOUBLE, 7) AS m01,
+       round(s10::DOUBLE / n10::DOUBLE, 7) AS m10,
+       round(s11::DOUBLE / n11::DOUBLE, 7) AS m11,
+       CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+         round((s11::DOUBLE / n11::DOUBLE - s10::DOUBLE / n10::DOUBLE)
+               - (s01::DOUBLE / n01::DOUBLE - s00::DOUBLE / n00::DOUBLE),
+               7)
+       END AS did
+FROM row_
+"""

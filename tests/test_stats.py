@@ -145,3 +145,35 @@ def test_psi_bins_identical_snapshots_zero(spark):
         ).collect()
     }
     assert out2[0]["n_expected"] == 1 and out2[9]["n_actual"] == 1
+
+
+# -- difference-in-differences --------------------------------------------------
+
+
+def test_did_textbook_case(spark):
+    """Treated group jumps +30 post; control drifts +10: DiD = 20."""
+    from event_pipeline_spark.operators.stats import did_estimate
+
+    rows = (
+        [(0, 0, 100)] * 4 + [(0, 1, 110)] * 4
+        + [(1, 0, 200)] * 3 + [(1, 1, 230)] * 3
+    )
+    df = spark.createDataFrame(rows, "g int, p int, x long")
+    out = did_estimate(
+        df, group_col="g", period_col="p", value_col="x"
+    ).collect()[0]
+    assert (out["m00"], out["m01"]) == (100.0, 110.0)
+    assert (out["m10"], out["m11"]) == (200.0, 230.0)
+    assert out["did"] == 20.0
+    assert (out["n00"], out["n11"]) == (4, 3)
+
+
+def test_did_empty_cell_is_null(spark):
+    from event_pipeline_spark.operators.stats import did_estimate
+
+    rows = [(0, 0, 1), (0, 1, 2), (1, 1, 3)]  # no treated-pre cell
+    df = spark.createDataFrame(rows, "g int, p int, x long")
+    out = did_estimate(
+        df, group_col="g", period_col="p", value_col="x"
+    ).collect()[0]
+    assert out["did"] is None and out["n10"] is None
