@@ -936,3 +936,183 @@ SELECT strftime(p.day, '%Y-%m-%d') AS day, dau, wau, mau,
        dau::DOUBLE / mau::DOUBLE AS stickiness_m
 FROM per_day p JOIN observed USING (day) ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert
+# ---------------------------------------------------------------------------
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_hours: int | None = None,
+) -> DataFrame:
+    """(stage, step, n_users, p50_us, mean_us): how LONG conversion
+    takes — for every user who reached stage k (k ≥ 2) under exactly
+    the ``events_funnel`` semantics, the elapsed time from their
+    stage-1 timestamp, summarized as the exact nearest-rank median and
+    the exact mean. Counts alone (the funnel report) say who converts;
+    latency says where they stall.
+
+    Exactness + scale: the SAME single per-user fold as
+    ``events_funnel``, with the accumulator additionally carrying the
+    per-stage timestamp trail (≤ |steps| entries — constant); gaps are
+    integer microseconds; the median is the ``percentiles_exact``
+    conditional-min-at-rank over a stage-partitioned window
+    (|steps|−1 partitions) and the mean one DECIMAL(38)/BIGINT
+    division."""
+    from pyspark.sql import Window
+
+    steps = FUNNEL_STEPS if steps is None else steps
+    ev = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
+        ).alias("_e"),
+    )
+    per_user = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list("_e")).alias("_evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("start"),
+        F.array().cast("array<timestamp>").alias("trail"),
+    )
+
+    def advance(acc, e):
+        out = acc
+        for k, st in enumerate(steps):
+            c = (
+                (acc["stage"] == k)
+                & (e["t"] == st)
+                & (acc["ts"].isNull() | (e["ts"] > acc["ts"]))
+            )
+            if horizon_hours is not None and k > 0:
+                c = c & (
+                    e["ts"]
+                    <= acc["start"]
+                    + F.expr(f"INTERVAL {int(horizon_hours)} HOURS")
+                )
+            step_state = F.struct(
+                F.lit(k + 1).alias("stage"),
+                e["ts"].alias("ts"),
+                (acc["start"] if k > 0 else e["ts"]).alias("start"),
+                F.concat(acc["trail"], F.array(e["ts"])).alias("trail"),
+            )
+            out = F.when(c, step_state).otherwise(out)
+        return out
+
+    trail = F.aggregate(F.col("_evs"), init, advance)["trail"]
+    per_stage = (
+        per_user.select(trail.alias("_t"))
+        .select(
+            F.posexplode("_t").alias("_k", "_ts"),
+            F.element_at("_t", 1).alias("_t1"),
+        )
+        .where(F.col("_k") >= 1)  # stages 2.. measure from stage 1
+        .select(
+            (F.col("_k") + 1).alias("stage"),
+            (
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_t1").cast("timestamp"))
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("stage").orderBy("d")
+    nw = Window.partitionBy("stage")
+    ranked = per_stage.select(
+        "stage",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("stage").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                F.col("d"),
+            )
+        )
+        .cast("bigint")
+        .alias("p50_us"),
+        F.sum(F.col("d").cast(dec)).alias("_sd"),
+    )
+    step_name = None
+    for k, st in enumerate(steps[1:], start=2):
+        b = F.when(F.col("stage") == k, F.lit(st))
+        step_name = b if step_name is None else step_name.when(
+            F.col("stage") == k, F.lit(st)
+        )
+    return agg.select(
+        "stage",
+        step_name.alias("step"),
+        "n_users",
+        "p50_us",
+        (F.col("_sd").cast("double") / F.col("n_users").cast("double"))
+        .alias("mean_us"),
+    )
+
+
+FUNNEL_TIMES_HORIZON_HOURS = 48  # wide enough that every stage has mass
+
+
+def q_events_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return funnel_stage_times(
+        read_table(spark, sf_dir, "events"),
+        horizon_hours=FUNNEL_TIMES_HORIZON_HOURS,
+    ).orderBy("stage")
+
+
+QUERIES["events_funnel_times"] = q_events_funnel_times
+ORACLES["events_funnel_times"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts
+    AND e.ts <= t1.ts + INTERVAL 48 HOURS GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t2 ON t2.user_id = e.user_id
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'signup' AND e.ts > t2.ts
+    AND e.ts <= t1.ts + INTERVAL 48 HOURS GROUP BY e.user_id),
+t4 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t3 ON t3.user_id = e.user_id
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.ts
+    AND e.ts <= t1.ts + INTERVAL 48 HOURS GROUP BY e.user_id),
+durs AS (
+  SELECT 2 AS stage, 'click' AS step,
+         epoch_us(t2.ts) - epoch_us(t1.ts) AS d
+  FROM t2 JOIN t1 USING (user_id)
+  UNION ALL
+  SELECT 3, 'signup', epoch_us(t3.ts) - epoch_us(t1.ts)
+  FROM t3 JOIN t1 USING (user_id)
+  UNION ALL
+  SELECT 4, 'purchase', epoch_us(t4.ts) - epoch_us(t1.ts)
+  FROM t4 JOIN t1 USING (user_id)),
+ranked AS (
+  SELECT stage, step, d,
+         row_number() OVER (PARTITION BY stage ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY stage) AS n
+  FROM durs)
+SELECT stage, min(step) AS step, max(n)::BIGINT AS n_users,
+       min(CASE WHEN rn = ceil(0.5 * n) THEN d END)::BIGINT AS p50_us,
+       sum(d::HUGEINT)::DOUBLE / max(n)::DOUBLE AS mean_us
+FROM ranked GROUP BY stage ORDER BY stage
+"""

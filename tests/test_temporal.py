@@ -507,3 +507,39 @@ def test_stickiness_hand_case(spark):
     # mau = all three users within 30 days
     assert (d10["dau"], d10["wau"], d10["mau"]) == (1, 1, 3)
     assert d10["stickiness_m"] == 1 / 3
+
+
+def test_funnel_stage_times_hand_case(spark):
+    """Two converters with known latencies + one user whose purchase
+    precedes signup (never counted): medians and means by hand."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import (
+        funnel_stage_times,
+    )
+
+    t = lambda m: datetime(2024, 5, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: view@0, click@10, signup@20, purchase@40
+        (1, t(0), "view"), (1, t(10), "click"),
+        (1, t(20), "signup"), (1, t(40), "purchase"),
+        # user 2: view@0, click@30
+        (2, t(0), "view"), (2, t(30), "click"),
+        # user 3: purchase before anything, then view only
+        (3, t(0), "purchase"), (3, t(5), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = {
+        r["stage"]: r
+        for r in funnel_stage_times(df, horizon_hours=6).collect()
+    }
+    mi = 60_000_000  # a minute in microseconds
+    c = out[2]
+    assert c["step"] == "click" and c["n_users"] == 2
+    assert c["p50_us"] == 10 * mi  # nearest-rank median of [10m, 30m]
+    assert c["mean_us"] == 20 * mi
+    assert out[3]["n_users"] == 1 and out[3]["p50_us"] == 20 * mi
+    assert out[4]["n_users"] == 1 and out[4]["p50_us"] == 40 * mi
+    assert 5 not in out and 1 not in out
