@@ -1124,3 +1124,180 @@ SELECT n00, n01, n10, n11,
        END AS did
 FROM row_
 """
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+
+def cuped_adjusted_lift(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    pre_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One row: (theta, mean_a, mean_b, adj_a, adj_b, lift, adj_lift)
+    — CUPED (Deng et al. 2013): shrink an experiment metric's variance
+    with a pre-period covariate, Y' = Y − θ·(X − X̄), θ = cov(X,Y)/
+    var(X) pooled across buckets. The industry-standard sensitivity
+    boost for the same A/B readout ``welch_t_test`` grades — weeks of
+    extra traffic for free when pre-period behavior predicts the
+    metric. Completes the experimentation shelf (randomized rates →
+    ``ab_test_proportions``, randomized means → ``welch_t_test``,
+    unrandomized → ``did_estimate``, variance-reduced → here).
+
+    Exactness: per-bucket (n, Σx, Σy) and pooled (Σxx, Σxy) in
+    DECIMAL(38,0); θ's numerator n·Σxy − Σx·Σy and denominator
+    n·Σxx − (Σx)² are exact before ONE division; the adjusted means
+    are fixed-shape doubles rounded 7dp. Inputs are integer units
+    (cents). One 2-cell aggregate + one pooled row."""
+    dec = "decimal(38,0)"
+    x = F.col(pre_col).cast("bigint").cast(dec)
+    y = F.col(value_col).cast("bigint").cast(dec)
+    b = F.col(bucket_col).cast("int")
+    per = df.groupBy(b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+    )
+    pooled = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+
+    def side(bv: int, col: str):
+        return F.sum(F.when(F.col("b") == bv, F.col(col)))
+
+    cells = per.agg(
+        side(0, "n").cast("bigint").alias("n_a"),
+        side(0, "sx").cast(dec).alias("sx_a"),
+        side(0, "sy").cast(dec).alias("sy_a"),
+        side(1, "n").cast("bigint").alias("n_b"),
+        side(1, "sx").cast(dec).alias("sx_b"),
+        side(1, "sy").cast(dec).alias("sy_b"),
+    )
+    j = cells.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    th_num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    th_den = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    theta = th_num / th_den
+    gx = F.col("sx").cast("double") / nd
+
+    def means(side_: str):
+        n_ = F.col(f"n_{side_}").cast("double")
+        my = F.col(f"sy_{side_}").cast("double") / n_
+        mx = F.col(f"sx_{side_}").cast("double") / n_
+        return my, my - theta * (mx - gx)
+
+    my_a, adj_a = means("a")
+    my_b, adj_b = means("b")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (th_den > 0)
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.when(ok, F.round(theta, 7)).alias("theta"),
+        F.round(my_a, 7).alias("mean_a"),
+        F.round(my_b, 7).alias("mean_b"),
+        F.when(ok, F.round(adj_a, 7)).alias("adj_a"),
+        F.when(ok, F.round(adj_b, 7)).alias("adj_b"),
+        F.round(my_b - my_a, 7).alias("lift"),
+        F.when(ok, F.round(adj_b - adj_a, 7)).alias("adj_lift"),
+    )
+
+
+def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED over per-customer spend: pre-period (< 1996) spend as the
+    covariate for post-period spend, hash buckets by customer key."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.year("o_orderdate") < 1996,
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("pre_cents"),
+        F.sum(
+            F.when(
+                F.year("o_orderdate") >= 1996,
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("post_cents"),
+    ).select(
+        (F.col("o_custkey") % 2).alias("bucket"),
+        "pre_cents",
+        "post_cents",
+    )
+    return cuped_adjusted_lift(
+        per_cust,
+        bucket_col="bucket",
+        pre_col="pre_cents",
+        value_col="post_cents",
+    )
+
+
+QUERIES["stats_cuped"] = q_stats_cuped
+ORACLES["stats_cuped"] = """
+WITH per_cust AS (
+  SELECT (o_custkey % 2)::INT AS b,
+         sum(CASE WHEN year(o_orderdate) < 1996
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END)::HUGEINT AS x,
+         sum(CASE WHEN year(o_orderdate) >= 1996
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END)::HUGEINT AS y
+  FROM orders GROUP BY o_custkey),
+pooled AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM per_cust),
+cells AS (
+  SELECT sum(CASE WHEN b = 0 THEN 1 END)::BIGINT AS n_a,
+         sum(CASE WHEN b = 0 THEN x END)::HUGEINT AS sx_a,
+         sum(CASE WHEN b = 0 THEN y END)::HUGEINT AS sy_a,
+         sum(CASE WHEN b = 1 THEN 1 END)::BIGINT AS n_b,
+         sum(CASE WHEN b = 1 THEN x END)::HUGEINT AS sx_b,
+         sum(CASE WHEN b = 1 THEN y END)::HUGEINT AS sy_b
+  FROM per_cust),
+calc AS (
+  SELECT c.*, p.n, p.sx, p.sy,
+         (p.n * p.sxy - p.sx * p.sy)::DOUBLE AS th_num,
+         (p.n * p.sxx - p.sx * p.sx)::DOUBLE AS th_den
+  FROM cells c, pooled p)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND th_den > 0
+            THEN round(th_num / th_den, 7) END AS theta,
+       round(sy_a::DOUBLE / n_a::DOUBLE, 7) AS mean_a,
+       round(sy_b::DOUBLE / n_b::DOUBLE, 7) AS mean_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND th_den > 0 THEN
+         round(sy_a::DOUBLE / n_a::DOUBLE
+               - (th_num / th_den)
+                 * (sx_a::DOUBLE / n_a::DOUBLE
+                    - sx::DOUBLE / n::DOUBLE), 7) END AS adj_a,
+       CASE WHEN n_a > 0 AND n_b > 0 AND th_den > 0 THEN
+         round(sy_b::DOUBLE / n_b::DOUBLE
+               - (th_num / th_den)
+                 * (sx_b::DOUBLE / n_b::DOUBLE
+                    - sx::DOUBLE / n::DOUBLE), 7) END AS adj_b,
+       round(sy_b::DOUBLE / n_b::DOUBLE
+             - sy_a::DOUBLE / n_a::DOUBLE, 7) AS lift,
+       CASE WHEN n_a > 0 AND n_b > 0 AND th_den > 0 THEN
+         round((sy_b::DOUBLE / n_b::DOUBLE
+                - (th_num / th_den)
+                  * (sx_b::DOUBLE / n_b::DOUBLE - sx::DOUBLE / n::DOUBLE))
+               - (sy_a::DOUBLE / n_a::DOUBLE
+                  - (th_num / th_den)
+                    * (sx_a::DOUBLE / n_a::DOUBLE
+                       - sx::DOUBLE / n::DOUBLE)), 7) END AS adj_lift
+FROM calc
+"""

@@ -177,3 +177,40 @@ def test_did_empty_cell_is_null(spark):
         df, group_col="g", period_col="p", value_col="x"
     ).collect()[0]
     assert out["did"] is None and out["n10"] is None
+
+
+# -- CUPED -----------------------------------------------------------------------
+
+
+def test_cuped_removes_covariate_imbalance(spark):
+    """y = 2x + bucket-lift 5: raw lift is contaminated by the x
+    imbalance between buckets; CUPED recovers exactly 5 (theta = 2
+    since y is linear in x)."""
+    from event_pipeline_spark.operators.stats import cuped_adjusted_lift
+
+    rows = []
+    for i in range(200):
+        x = (i * 7) % 50
+        rows.append((0, x, 2 * x))
+    for i in range(200):
+        x = (i * 7) % 50 + 10  # imbalanced pre-period
+        rows.append((1, x, 2 * x + 5))
+    df = spark.createDataFrame(rows, "b int, x long, y long")
+    out = cuped_adjusted_lift(
+        df, bucket_col="b", pre_col="x", value_col="y"
+    ).collect()[0]
+    assert out["theta"] == 2.0
+    assert out["lift"] == 25.0  # 2*10 imbalance + true 5
+    assert out["adj_lift"] == 5.0
+
+
+def test_cuped_zero_variance_covariate_is_null(spark):
+    from event_pipeline_spark.operators.stats import cuped_adjusted_lift
+
+    rows = [(b, 7, y) for b in (0, 1) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "b int, x long, y long")
+    out = cuped_adjusted_lift(
+        df, bucket_col="b", pre_col="x", value_col="y"
+    ).collect()[0]
+    assert out["theta"] is None and out["adj_lift"] is None
+    assert out["lift"] == 0.0
