@@ -182,10 +182,11 @@ def test_did_empty_cell_is_null(spark):
 # -- CUPED -----------------------------------------------------------------------
 
 
-def test_cuped_removes_covariate_imbalance(spark):
-    """y = 2x + bucket-lift 5: raw lift is contaminated by the x
-    imbalance between buckets; CUPED recovers exactly 5 (theta = 2
-    since y is linear in x)."""
+def test_cuped_matches_reference_and_reduces_bias(spark):
+    """y = 2x + bucket-lift 5 with an imbalanced covariate: every
+    emitted number equals a from-scratch Python computation of the
+    CUPED definitions, and the adjusted lift sits far closer to the
+    true 5 than the contaminated raw lift of 25."""
     from event_pipeline_spark.operators.stats import cuped_adjusted_lift
 
     rows = []
@@ -199,9 +200,28 @@ def test_cuped_removes_covariate_imbalance(spark):
     out = cuped_adjusted_lift(
         df, bucket_col="b", pre_col="x", value_col="y"
     ).collect()[0]
-    assert out["theta"] == 2.0
-    assert out["lift"] == 25.0  # 2*10 imbalance + true 5
-    assert out["adj_lift"] == 5.0
+
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    gx = sx / n
+
+    def adj(b):
+        xs = [(x, y) for bb, x, y in rows if bb == b]
+        mx = sum(x for x, _ in xs) / len(xs)
+        my = sum(y for _, y in xs) / len(xs)
+        return my, my - theta * (mx - gx)
+
+    my_a, adj_a = adj(0)
+    my_b, adj_b = adj(1)
+    assert out["theta"] == round(theta, 7)
+    assert out["lift"] == round(my_b - my_a, 7) == 25.0
+    assert out["adj_lift"] == round(adj_b - adj_a, 7)
+    # the pooled theta absorbs most of the 2*10 covariate imbalance
+    assert abs(out["adj_lift"] - 5.0) < abs(out["lift"] - 5.0) / 4
 
 
 def test_cuped_zero_variance_covariate_is_null(spark):
