@@ -652,3 +652,87 @@ JOIN assigned a ON a.src = d.source AND a.grp = d.lang
 ORDER BY d.doc_id
 """,
 )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-``k`` WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006): rank by the exponential race key −ln(u)/w and keep
+    the k smallest — each item's inclusion probability is proportional
+    to weight at every prefix, the property quality-weighted corpus
+    subsampling needs (plain bottom-k ignores weights; independent
+    per-row coin flips can't hit k exactly). u is the deterministic
+    md5 uniform of (key‖salt) — the ``dsir.py`` Gumbel recipe — so the
+    draw replays across engines and reruns; change ``salt`` for an
+    independent draw.
+
+    Exactness: u = (md5-52-bits + ½)/2⁵²; the race key is ONE ln
+    (round-7, the repo log contract) over one exact division; ties
+    break on ``key_col``. Zero/negative weights are excluded (their
+    race key is undefined — the algorithm's own rule).
+
+    Scale shape: global smallest-k = ``TakeOrderedAndProject`` —
+    per-partition heaps merged on the driver, never a full sort."""
+    h8 = hash_hex(F.col(key_col), salt)
+    h13 = F.conv(
+        F.concat(
+            h8,
+            F.substring(
+                F.md5(
+                    F.concat(F.col(key_col).cast("string"), F.lit(salt))
+                ),
+                9,
+                5,
+            ),
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    m = F.lit(1 << 52).cast("decimal(20,0)")
+    u = (F.pmod(h13, m).cast("double") + 0.5) / F.lit(float(1 << 52))
+    race = -F.round(F.log(u), 7) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__r", race)
+        .orderBy("__r", key_col)
+        .limit(k)
+        .drop("__r")
+    )
+
+
+_WK = 40
+
+
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document draw: longer documents proportionally
+    likelier, exactly 40 kept, deterministic."""
+    out = weighted_sample_k(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        _WK,
+        "doc_id",
+        "n_chars",
+        salt="w8",
+    )
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+_register(
+    "sample_weighted_topk",
+    q_sample_weighted_topk,
+    f"""
+WITH drawn AS (
+  SELECT doc_id, n_chars,
+         -round(ln(((('0x' || substr(md5(doc_id::VARCHAR || 'w8'), 1, 8)
+                      || substr(md5(doc_id::VARCHAR || 'w8'), 9, 5))::BIGINT
+                     % {1 << 52})::DOUBLE + 0.5) / {float(1 << 52)}), 7)
+           / n_chars::DOUBLE AS r
+  FROM documents WHERE n_chars > 0),
+kept AS (SELECT doc_id, n_chars FROM drawn ORDER BY r, doc_id LIMIT {_WK})
+SELECT doc_id, n_chars FROM kept ORDER BY doc_id
+""",
+)

@@ -139,3 +139,34 @@ def test_group_split_never_straddles_groups(spark):
     for r in row_out:
         straddled[(r["source"], r["g"])].add(r["split"])
     assert any(len(v) > 1 for v in straddled.values())
+
+
+def test_weighted_sample_k_proportional_and_deterministic(spark):
+    """A 100x-weight item is essentially always kept; inclusion rates
+    across salts track weights; zero-weight rows never appear; the
+    draw is rerun- and repartition-stable."""
+    from event_pipeline_spark.operators.sampling import weighted_sample_k
+
+    rows = [("heavy", 1000)] + [(f"w{i}", 10) for i in range(60)]
+    rows += [("zero", 0)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    heavy_in = light_rate = 0
+    trials = 12
+    for t in range(trials):
+        kept = {
+            r["k"]
+            for r in weighted_sample_k(
+                df, 10, "k", "w", salt=f"s{t}"
+            ).collect()
+        }
+        assert len(kept) == 10 and "zero" not in kept
+        heavy_in += "heavy" in kept
+        light_rate += sum(1 for x in kept if x.startswith("w"))
+    assert heavy_in >= trials - 1  # weight 1000 vs field of 10s
+    # light items fill the remaining ~9 slots uniformly
+    assert light_rate / trials >= 8.5
+    a = weighted_sample_k(df, 10, "k", "w", salt="s0").collect()
+    b = weighted_sample_k(
+        df.repartition(7), 10, "k", "w", salt="s0"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
