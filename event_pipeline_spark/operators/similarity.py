@@ -2650,3 +2650,123 @@ SELECT anchor_id, corpus_id, cosine, rank FROM ranked
 WHERE rank <= 5 ORDER BY anchor_id, rank
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding-distribution drift (exact mean-vector comparison)
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    units: int = 10**7,
+) -> DataFrame:
+    """One row (n_a, n_b, cos_means, norm_ratio): did the embedding
+    DISTRIBUTION move between two snapshots? — the monitor an
+    embedding-backed index needs when the upstream encoder, corpus
+    mix, or preprocessing changes (a re-encoded corpus can silently
+    rotate the space; per-value stats won't see it, the mean-vector
+    cosine will). cos_means is the cosine between the two snapshots'
+    mean vectors; norm_ratio compares their magnitudes.
+
+    Exactness: per-dimension components quantize once to 1e-7 integer
+    units; per-snapshot per-dim sums, the cross dot product, and both
+    self-products are EXACT DECIMAL(38,0) arithmetic over the
+    |dims|-row sum table (mean denominators n_a/n_b cancel inside the
+    cosine); the emitted doubles are fixed-shape (one sqrt + one
+    division each), rounded 7dp.
+
+    Scale shape: one posexplode + map-side-combinable sum per
+    snapshot — the corpus collapses to |dims| rows; everything after
+    is arithmetic on that bounded table."""
+    dec = "decimal(38,0)"
+
+    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
+        q = F.round(F.col("x").cast("double") * units).cast("long")
+        return (
+            df.select(F.posexplode(vec_col).alias("dim", "x"))
+            .select("dim", q.alias("q"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("q").cast(dec)).alias(f"s_{tag}"))
+        )
+
+    na = a.count()
+    nb = b.count()
+    sa = dim_sums(a, "a")
+    sb = dim_sums(b, "b")
+    j = sa.join(sb, "dim")
+    agg = j.agg(
+        F.sum(F.col("s_a") * F.col("s_b")).cast(dec).alias("dot"),
+        F.sum(F.col("s_a") * F.col("s_a")).cast(dec).alias("naa"),
+        F.sum(F.col("s_b") * F.col("s_b")).cast(dec).alias("nbb"),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("naa").cast("double") * F.col("nbb").cast("double")
+    )
+    # mean-norm ratio: ||mean_b|| / ||mean_a|| = (sqrt(nbb)/n_b) /
+    # (sqrt(naa)/n_a)
+    ratio = (F.sqrt(F.col("nbb").cast("double")) * F.lit(float(na))) / (
+        F.sqrt(F.col("naa").cast("double")) * F.lit(float(nb))
+    )
+    ok = (F.col("naa") > 0) & (F.col("nbb") > 0)
+    return agg.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.when(ok, F.round(cos, 7)).alias("cos_means"),
+        F.when(ok, F.round(ratio, 7)).alias("norm_ratio"),
+    )
+
+
+def q_sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A drift check between even- and odd-id embedding halves —
+    cos_means should sit near 1 and norm_ratio near 1 unless the
+    generator is secretly id-dependent."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
+_register(
+    "sim_embedding_drift",
+    q_sim_embedding_drift,
+    """
+WITH a AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1),
+sa AS (
+  SELECT t.i AS dim,
+         sum(CAST(round(e.embedding[t.i]::DOUBLE * 10000000)
+                  AS HUGEINT)) AS s_a
+  FROM a e, LATERAL unnest(generate_series(1, len(e.embedding)))
+       AS t(i)
+  GROUP BY t.i),
+sb AS (
+  SELECT t.i AS dim,
+         sum(CAST(round(e.embedding[t.i]::DOUBLE * 10000000)
+                  AS HUGEINT)) AS s_b
+  FROM b e, LATERAL unnest(generate_series(1, len(e.embedding)))
+       AS t(i)
+  GROUP BY t.i),
+agg AS (
+  SELECT sum(s_a * s_b)::HUGEINT AS dot,
+         sum(s_a * s_a)::HUGEINT AS naa,
+         sum(s_b * s_b)::HUGEINT AS nbb
+  FROM sa JOIN sb USING (dim)),
+ns AS (
+  SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+         (SELECT count(*) FROM b)::BIGINT AS n_b)
+SELECT n_a, n_b,
+       CASE WHEN naa > 0 AND nbb > 0 THEN
+         round(dot::DOUBLE / sqrt(naa::DOUBLE * nbb::DOUBLE), 7)
+       END AS cos_means,
+       CASE WHEN naa > 0 AND nbb > 0 THEN
+         round(sqrt(nbb::DOUBLE) * n_a::DOUBLE
+               / (sqrt(naa::DOUBLE) * n_b::DOUBLE), 7)
+       END AS norm_ratio
+FROM agg, ns
+""",
+)

@@ -977,3 +977,28 @@ def test_hard_negatives_band_and_exclusion(spark):
     assert got == [(3, 1), (4, 2)]
     cosines = [r["cosine"] for r in out]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_embedding_drift_detects_rotation(spark):
+    """Identical snapshots -> cos 1.0, ratio 1.0; a sign-flipped dim
+    (a rotated encoder) drags cos_means below 1 while per-dim value
+    stats would look unchanged."""
+    from event_pipeline_spark.operators.similarity import embedding_drift
+
+    base = [
+        (i, [0.5, 0.25, -0.125, 0.0625]) for i in range(40)
+    ]
+    a = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    same = embedding_drift(a, a).collect()[0]
+    assert same["cos_means"] == 1.0 and same["norm_ratio"] == 1.0
+
+    flipped = spark.createDataFrame(
+        [(i, [v[0], -v[1], v[2], v[3]]) for i, v in base],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_drift(a, flipped).collect()[0]
+    # cos of (0.5,0.25,-0.125,0.0625) with its dim-1 flip, by hand
+    num = 0.5**2 - 0.25**2 + 0.125**2 + 0.0625**2
+    den = 0.5**2 + 0.25**2 + 0.125**2 + 0.0625**2
+    assert abs(out["cos_means"] - num / den) < 1e-6
+    assert out["norm_ratio"] == 1.0
