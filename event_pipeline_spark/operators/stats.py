@@ -1301,3 +1301,92 @@ SELECT n_a, n_b,
                        - sx::DOUBLE / n::DOUBLE)), 7) END AS adj_lift
 FROM calc
 """
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for proportions
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959964  # two-sided 95%, rounded to 6dp (a fixed literal)
+
+
+def wilson_intervals(
+    df: DataFrame,
+    *,
+    key_col: str,
+    label_col: str,
+    z: float = _WILSON_Z,
+) -> DataFrame:
+    """(key, n, n_pos, rate, lo, hi): per-key proportion with the
+    Wilson score interval — the right small-n confidence bound for
+    conversion/defect rates (the naive Wald interval collapses to
+    width 0 at p̂ ∈ {0, 1}, exactly where monitoring needs the bound
+    most; Wilson stays honest, pinned by a test).
+
+    Exactness: (n, n_pos) are exact BIGINTs; with z a fixed literal,
+    lo/hi are fixed-shape double expressions (one sqrt each) over the
+    exact counts, rounded 7dp. One map-side-combinable aggregate."""
+    y = F.col(label_col).cast("long")
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("n_pos"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = n + F.lit(z2)
+    center = (F.col("n_pos").cast("double") + F.lit(z2 / 2)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            (p * (F.lit(1.0) - p) + F.lit(z2) / (F.lit(4.0) * n)) * n
+        )
+        / denom
+    )
+    return per.select(
+        F.col("key").alias(key_col),
+        "n",
+        "n_pos",
+        F.round(p, 7).alias("rate"),
+        F.round(center - half, 7).alias("lo"),
+        F.round(center + half, 7).alias("hi"),
+    )
+
+
+def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type purchase-value-over-400 rate with Wilson 95%
+    bounds."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 400).cast("int").alias("label")
+    )
+    return wilson_intervals(
+        ev, key_col="event_type", label_col="label"
+    ).orderBy("event_type")
+
+
+QUERIES["stats_wilson"] = q_stats_wilson
+ORACLES["stats_wilson"] = f"""
+WITH per AS (
+  SELECT event_type AS key, count(*)::BIGINT AS n,
+         sum(CASE WHEN value > 400 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+  FROM events GROUP BY event_type)
+SELECT key AS event_type, n, n_pos,
+       round(n_pos::DOUBLE / n::DOUBLE, 7) AS rate,
+       round((n_pos::DOUBLE + {_WILSON_Z**2 / 2})
+               / (n::DOUBLE + {_WILSON_Z**2})
+             - {_WILSON_Z} * sqrt((n_pos::DOUBLE / n::DOUBLE
+                                   * (1.0 - n_pos::DOUBLE / n::DOUBLE)
+                                   + {_WILSON_Z**2} / (4.0 * n::DOUBLE))
+                                  * n::DOUBLE)
+               / (n::DOUBLE + {_WILSON_Z**2}), 7) AS lo,
+       round((n_pos::DOUBLE + {_WILSON_Z**2 / 2})
+               / (n::DOUBLE + {_WILSON_Z**2})
+             + {_WILSON_Z} * sqrt((n_pos::DOUBLE / n::DOUBLE
+                                   * (1.0 - n_pos::DOUBLE / n::DOUBLE)
+                                   + {_WILSON_Z**2} / (4.0 * n::DOUBLE))
+                                  * n::DOUBLE)
+               / (n::DOUBLE + {_WILSON_Z**2}), 7) AS hi
+FROM per ORDER BY event_type
+"""

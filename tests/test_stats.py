@@ -234,3 +234,38 @@ def test_cuped_zero_variance_covariate_is_null(spark):
     ).collect()[0]
     assert out["theta"] is None and out["adj_lift"] is None
     assert out["lift"] == 0.0
+
+
+# -- Wilson intervals ------------------------------------------------------------
+
+
+def test_wilson_interval_honest_at_extremes(spark):
+    """p-hat = 0: the Wald interval would be width 0; Wilson keeps a
+    positive upper bound (~ 3/n), and a textbook case matches the
+    closed form."""
+    import math
+
+    from event_pipeline_spark.operators.stats import (
+        _WILSON_Z,
+        wilson_intervals,
+    )
+
+    rows = [("none", 0)] * 50 + [("half", i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, y int")
+    out = {
+        r["k"]: r
+        for r in wilson_intervals(
+            df, key_col="k", label_col="y"
+        ).collect()
+    }
+    none = out["none"]
+    assert none["rate"] == 0.0 and none["lo"] == 0.0
+    assert 0.03 < none["hi"] < 0.11  # honest nonzero upper bound
+    z, n, x = _WILSON_Z, 100, 50
+    p = x / n
+    denom = n + z * z
+    center = (x + z * z / 2) / denom
+    half = z * math.sqrt(p * (1 - p) * n + z * z / 4) / denom
+    assert out["half"]["lo"] == round(center - half, 7)
+    assert out["half"]["hi"] == round(center + half, 7)
+    assert out["half"]["lo"] < 0.5 < out["half"]["hi"]
