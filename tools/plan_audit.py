@@ -83,6 +83,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "the <=2k retained hashes (rank_bm25 one-row-stats shape)",
         "Exchange SinglePartition": "one-row sketch estimate output",
     },
+    "stats_cuped": {
+        "BroadcastNestedLoopJoin": "broadcast ONE pooled-sums row "
+        "crossed with the one-row bucket-cell pivot (rank_bm25 "
+        "one-row-stats shape)",
+    },
     "feat_target_encode": {
         "BroadcastNestedLoopJoin": "broadcast ONE row of global "
         "(n_all, s_all) totals crossed with the |categories| encoder "
