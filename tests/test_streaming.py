@@ -2139,3 +2139,66 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     # sanity: the estimates are in the right ballpark (true 700 / 40)
     assert abs(last["clicks"]["est"] - 700) < 700 * 0.2
     assert abs(last["views"]["est"] - 40) < 40 * 0.2
+
+
+def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
+    """Two micro-batches of weighted members: each group's LAST
+    emitted sample equals weighted_sample_k over everything streamed —
+    exactly, row for row, because the race keys are deterministic."""
+    from event_pipeline_spark.operators.sampling import weighted_sample_k
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.sample import (
+        streaming_weighted_sample,
+    )
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    b1 = [("docs", f"d{i}", float(1 + i % 7)) for i in range(60)]
+    b2 = [("docs", f"d{i}", float(1 + i % 7)) for i in range(60, 140)]
+    b2 += [("docs", "whale", 500.0)]  # a late heavy item must enter
+
+    src = f"file://{tmp_path}/ws_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    for b in (b1, b2):
+        spark.createDataFrame(
+            b, "grp string, member string, w double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_weighted_sample(
+                read_parquet_stream(spark, src, max_files_per_trigger=1),
+                8,
+                salt="ws8",
+            )
+            .writeStream.foreachBatch(
+                lambda df, _bid: collected.append(
+                    [tuple(r) for r in df.collect()]
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ws_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    last = [rows for rows in collected if rows][-1]
+    got = sorted((r[1], r[2]) for r in last)
+    batch = weighted_sample_k(
+        spark.createDataFrame(
+            b1 + b2, "grp string, member string, w double"
+        ),
+        8,
+        "member",
+        "w",
+        salt="ws8",
+    ).collect()
+    want = sorted((r["member"], r["w"]) for r in batch)
+    assert got == want
+    assert any(m == "whale" for m, _ in got)  # late heavy item entered
