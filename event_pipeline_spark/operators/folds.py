@@ -19,7 +19,7 @@ exactly on window membership.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -117,4 +117,65 @@ agg AS (
 SELECT cutoff_day, u AS user_id, n_feat, n_feat_label, label
 FROM agg WHERE n_feat > 0
 ORDER BY cutoff_day, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+
+def stratified_folds(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    key_col: str,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Input columns + ``fold`` (0..k−1): deterministic stratified
+    k-fold assignment — within each stratum, rows rank by
+    (md5(key‖salt), key) and fold = (rank−1) mod k, so every stratum's
+    rows split across folds with EXACT ±1 balance (a plain
+    hash-mod-k only balances in expectation, and on a rare stratum
+    can starve a fold entirely — the classic stratified-CV bug).
+    The time-ordered sibling is :func:`rolling_folds`; this is the
+    exchangeable-rows form.
+
+    Scale shape: one window shuffle partitioned by the stratum; the
+    fold arithmetic is a pure map."""
+    from event_pipeline_spark.operators.sampling import hash_hex
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_hex(F.col(key_col), salt), F.col(key_col)
+    )
+    return df.withColumn(
+        "fold",
+        ((F.row_number().over(w) - 1) % k).cast("int"),
+    )
+
+
+FOLD_K = 5
+
+
+def q_ml_stratified_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified 5-fold assignment of documents."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return stratified_folds(
+        docs, stratum_col="lang", key_col="doc_id", k=FOLD_K, salt="f8"
+    ).orderBy("doc_id")
+
+
+QUERIES["ml_stratified_folds"] = q_ml_stratified_folds
+ORACLES["ml_stratified_folds"] = f"""
+SELECT doc_id, lang,
+       ((row_number() OVER (
+             PARTITION BY lang
+             ORDER BY substring(md5(doc_id::VARCHAR || 'f8'), 1, 8),
+                      doc_id) - 1) % {FOLD_K})::INT AS fold
+FROM documents ORDER BY doc_id
 """

@@ -65,3 +65,27 @@ def test_folds_no_leakage(spark, sf_dir):
     }
     assert full == trunc  # features identical without any future data
     assert full  # non-empty
+
+
+def test_stratified_folds_exact_balance(spark):
+    """Every stratum splits with +-1 balance across folds even when a
+    stratum is smaller than k; assignment is repartition-stable."""
+    from collections import Counter
+
+    from event_pipeline_spark.operators.folds import stratified_folds
+
+    rows = [(f"r{i}", "big") for i in range(103)]
+    rows += [(f"s{i}", "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id string, s string")
+    out = stratified_folds(
+        df, stratum_col="s", key_col="id", k=5, salt="t"
+    ).collect()
+    per = Counter((r["s"], r["fold"]) for r in out)
+    big = [per[("big", f)] for f in range(5)]
+    assert max(big) - min(big) <= 1 and sum(big) == 103
+    small = [per.get(("small", f), 0) for f in range(5)]
+    assert sorted(small, reverse=True) == [1, 1, 1, 0, 0]
+    again = stratified_folds(
+        df.repartition(9), stratum_col="s", key_col="id", k=5, salt="t"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
