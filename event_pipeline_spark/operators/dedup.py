@@ -1357,3 +1357,97 @@ def _keep_best_oracle_sql() -> str:
 
 
 _register("dedup_keep_best", _dedup_keep_best, _keep_best_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_pairs, share): near-duplicate pair counts
+    aggregated to UNORDERED source pairs — the provenance readout a
+    dedup run owes its operators: which feeds copy from which (a high
+    crawlA×crawlB cell means shared upstream content; a high diagonal
+    means a feed re-serves itself), with ``share`` = the cell's
+    fraction of all near-dup pairs. Sources are canonicalized
+    least-first so each unordered pair is ONE row.
+
+    Scale shape: two narrow id→source joins against the (already
+    bounded) pair list, then a |sources|² aggregate; share is one
+    exact division via a window over that bounded cell table."""
+    from pyspark.sql import Window
+
+    src = docs.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+    )
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("_id").alias("id_a"), F.col("_src").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("_id").alias("id_b"), F.col("_src").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    cells = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    tot = Window.partitionBy()
+    return cells.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(tot).cast("double")
+        ).alias("share"),
+    )
+
+
+def _dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    return source_dup_matrix(docs, pairs).orderBy("source_a", "source_b")
+
+
+def _source_matrix_oracle_sql() -> str:
+    return (
+        _minhash_pair_ctes()
+        + """,
+       pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.7),
+       labeled AS (
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b
+         FROM pairs p
+         JOIN documents da ON da.doc_id = p.id_a
+         JOIN documents db ON db.doc_id = p.id_b),
+       cells AS (
+         SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+         FROM labeled GROUP BY source_a, source_b)
+       SELECT source_a, source_b, n_pairs,
+              n_pairs::DOUBLE / sum(n_pairs) OVER ()::DOUBLE AS share
+       FROM cells ORDER BY source_a, source_b"""
+    )
+
+
+_register(
+    "dedup_source_matrix", _dedup_source_matrix, _source_matrix_oracle_sql()
+)

@@ -405,3 +405,25 @@ def test_keep_best_in_clusters_quality_rule(spark):
     assert out[8]["keep"] and out[7]["kept_by"] == 8
     # singleton 9 keeps itself
     assert out[9]["keep"] and out[9]["cluster_id"] == 9
+
+
+def test_source_dup_matrix_canonicalizes_and_shares(spark):
+    from event_pipeline_spark.operators.dedup import source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "crawlA"), (2, "crawlB"), (3, "crawlA"), (4, "books")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_dup_matrix(docs, pairs).collect()
+    }
+    # (1,2) and (2,3) both land in the UNORDERED (crawlA, crawlB) cell
+    assert out[("crawlA", "crawlB")]["n_pairs"] == 2
+    assert out[("crawlA", "crawlA")]["n_pairs"] == 1  # diagonal
+    assert out[("books", "crawlA")]["n_pairs"] == 1
+    assert sum(r["n_pairs"] for r in out.values()) == 4
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
