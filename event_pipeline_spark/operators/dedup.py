@@ -1451,3 +1451,94 @@ def _source_matrix_oracle_sql() -> str:
 _register(
     "dedup_source_matrix", _dedup_source_matrix, _source_matrix_oracle_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sweep
+# ---------------------------------------------------------------------------
+
+SWEEP_GRID = [50, 60, 70, 80, 90]  # thresholds in percent
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grid_pct: list[int] | None = None,
+) -> DataFrame:
+    """(threshold_pct, n_pairs, n_docs_affected): for each candidate
+    Jaccard threshold, how many verified near-dup pairs — and how many
+    distinct documents — a dedup run at that threshold would act on.
+    THE tuning readout for the one parameter every MinHash dedup is
+    governed by: 0.7 vs 0.8 can be millions of documents, and sweeping
+    after the fact costs one extra aggregate over the ALREADY-verified
+    candidate pairs, not a rerun per threshold.
+
+    Candidates come from the standard banding calibration (recall is
+    tuned for ~0.7; counts at the low end of the grid are candidates
+    the bands happened to surface — stated, not hidden). Counts are
+    cumulative (a pair counts at every threshold it clears), computed
+    by bucketing each pair once and summing the bounded grid table."""
+    grid = SWEEP_GRID if grid_pct is None else sorted(grid_pct)
+    verified = minhash_near_duplicates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=grid[0] / 100.0,
+    )
+    rows = []
+    for t in grid:
+        rows.append(
+            verified.where(
+                F.col("jaccard") >= F.lit(t) / 100.0
+            ).agg(
+                F.lit(t).alias("threshold_pct"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.size(
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_list(F.array("id_a", "id_b"))
+                        )
+                    )
+                )
+                .cast("bigint")
+                .alias("n_docs_affected"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_threshold_sweep(_docs(spark, sf_dir)).orderBy(
+        "threshold_pct"
+    )
+
+
+def _sweep_oracle_sql() -> str:
+    selects = []
+    for t in SWEEP_GRID:
+        selects.append(
+            f"""SELECT {t} AS threshold_pct,
+       count(*)::BIGINT AS n_pairs,
+       (SELECT count(DISTINCT d) FROM (
+           SELECT id_a AS d FROM verified WHERE jaccard >= {t / 100.0}
+           UNION ALL
+           SELECT id_b FROM verified WHERE jaccard >= {t / 100.0}))::BIGINT
+         AS n_docs_affected
+FROM verified WHERE jaccard >= {t / 100.0}"""
+        )
+    return (
+        _minhash_pair_ctes(threshold=SWEEP_GRID[0] / 100.0)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY threshold_pct"
+    )
+
+
+_register(
+    "dedup_threshold_sweep", _dedup_threshold_sweep, _sweep_oracle_sql()
+)

@@ -427,3 +427,25 @@ def test_source_dup_matrix_canonicalizes_and_shares(spark):
     assert out[("books", "crawlA")]["n_pairs"] == 1
     assert sum(r["n_pairs"] for r in out.values()) == 4
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """Counts are non-increasing in the threshold, and the 70% cell
+    matches a direct minhash_near_duplicates run at 0.7."""
+    from event_pipeline_spark.operators.dedup import (
+        dedup_threshold_sweep,
+        minhash_near_duplicates,
+    )
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sweep = {
+        r["threshold_pct"]: r
+        for r in dedup_threshold_sweep(docs).collect()
+    }
+    pairs = [sweep[t]["n_pairs"] for t in sorted(sweep)]
+    affected = [sweep[t]["n_docs_affected"] for t in sorted(sweep)]
+    assert pairs == sorted(pairs, reverse=True)
+    assert affected == sorted(affected, reverse=True)
+    direct = minhash_near_duplicates(docs, threshold=0.7).count()
+    assert sweep[70]["n_pairs"] == direct
