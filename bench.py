@@ -350,6 +350,46 @@ def _scale_section(spark, sf_dir: str) -> dict:
     out["interval_join"] = {
         "x1": i1, "xN": im, "ratio": round(im / max(i1, 1e-9), 2)
     }
+
+    # r8: triangle counting — the wedge join's growth mode is m× more
+    # ORDERS over replica-unique part keys: more communities of the
+    # same size (the realistic shape), so wedges/triangles grow ~m and
+    # the ratio should stay ~linear. A same-keys replication would
+    # multiply co-purchase degrees instead and measure a densifying
+    # graph, not the operator.
+    from event_pipeline_spark.operators.graphrank import triangle_stats
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def copurchase_edges_at(m: int):
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * 10_000_000)).alias("o"),
+                (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("p"),
+            )
+            for i in range(m)
+        ]
+        d = parts[0]
+        for pt in parts[1:]:
+            d = d.unionByName(pt)
+        x = d.alias("x")
+        y = d.select(
+            F.col("o"), F.col("p").alias("p2")
+        ).alias("y")
+        return (
+            x.join(y, "o")
+            .where(F.col("p") < F.col("p2"))
+            .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+            .dropDuplicates(["a", "b"])
+        )
+
+    t1 = _time_once(triangle_stats(copurchase_edges_at(1)))
+    tm = _time_once(triangle_stats(copurchase_edges_at(mult)))
+    out["graph_triangles"] = {
+        "x1": t1, "xN": tm, "ratio": round(tm / max(t1, 1e-9), 2)
+    }
     return out
 
 
