@@ -1542,3 +1542,96 @@ FROM verified WHERE jaccard >= {t / 100.0}"""
 _register(
     "dedup_threshold_sweep", _dedup_threshold_sweep, _sweep_oracle_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall report (measured against exact AllPairs ground truth)
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """One row (n_true, n_found, n_missed, recall): what fraction of
+    TRUE near-duplicate pairs the MinHash-LSH path actually surfaces —
+    the number every "we deduped the corpus" claim silently depends
+    on, measured instead of assumed. Ground truth is the exact
+    prefix-filtered AllPairs join (``ngram_jaccard_pairs`` — no false
+    negatives) over the same word-shingle contract, evaluated on the
+    within-``group_col`` slice so the oracle's naive pair join stays
+    affordable; LSH verification computes the same exact Jaccard, so
+    the found set is a true subset and recall is exact counting, one
+    division.
+
+    Scale note: the ground-truth side is the expensive half (that is
+    WHY production runs LSH); run the report on a slice or at a gate
+    scale, not the full corpus — the recall estimate transfers because
+    banding probabilities depend on Jaccard, not corpus size."""
+    exact_ws = ngram_jaccard_pairs(
+        docs,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        group_col=group_col,
+    ).select("id_a", "id_b")
+    lsh = minhash_near_duplicates(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold
+    ).select("id_a", "id_b", F.lit(1).alias("_f"))
+    marked = exact_ws.join(lsh, ["id_a", "id_b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.coalesce(F.sum("_f"), F.lit(0)).cast("bigint").alias("n_found"),
+    ).select(
+        "n_true",
+        "n_found",
+        (F.col("n_true") - F.col("n_found")).cast("bigint").alias(
+            "n_missed"
+        ),
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_found").cast("double") / F.col("n_true"),
+        ).alias("recall"),
+    )
+
+
+def _dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_recall_report(_docs(spark, sf_dir))
+
+
+def _lsh_recall_oracle_sql() -> str:
+    return (
+        _minhash_pair_ctes(threshold=0.7)
+        + """,
+       lsh AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.7),
+       ws AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         JOIN documents da ON da.doc_id = a.doc_id
+         JOIN documents db ON db.doc_id = b.doc_id
+                          AND da.source = db.source
+         WHERE len(list_intersect(a.grams, b.grams)) > 0
+           AND ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 6)
+               >= 0.7),
+       marked AS (
+         SELECT ws.id_a, ws.id_b,
+                CASE WHEN lsh.id_a IS NOT NULL THEN 1 END AS f
+         FROM ws LEFT JOIN lsh
+           ON lsh.id_a = ws.id_a AND lsh.id_b = ws.id_b)
+       SELECT count(*)::BIGINT AS n_true,
+              coalesce(sum(f), 0)::BIGINT AS n_found,
+              (count(*) - coalesce(sum(f), 0))::BIGINT AS n_missed,
+              CASE WHEN count(*) > 0
+                   THEN coalesce(sum(f), 0)::DOUBLE / count(*)::DOUBLE
+              END AS recall
+       FROM marked"""
+    )
+
+
+_register("dedup_lsh_recall", _dedup_lsh_recall, _lsh_recall_oracle_sql())

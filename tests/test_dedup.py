@@ -449,3 +449,27 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
     assert affected == sorted(affected, reverse=True)
     direct = minhash_near_duplicates(docs, threshold=0.7).count()
     assert sweep[70]["n_pairs"] == direct
+
+
+def test_lsh_recall_report_counts(spark):
+    """Injected twins: every true within-source pair is surfaced
+    (identical docs agree on all bands) -> recall 1.0 with the right
+    counts; a corpus with no true pairs emits NULL recall."""
+    from event_pipeline_spark.operators.dedup import lsh_recall_report
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, base, "s1") for i in range(3)]  # 3 identical -> 3 pairs
+    rows += [
+        (10 + i, f"totally different text number {i} with unique words "
+                 f"{i * 13} {i * 17}", "s1")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = lsh_recall_report(docs).collect()[0]
+    assert out["n_true"] == 3 and out["n_found"] == 3
+    assert out["n_missed"] == 0 and out["recall"] == 1.0
+
+    none = lsh_recall_report(
+        spark.createDataFrame(rows[3:], "doc_id long, text string, source string")
+    ).collect()[0]
+    assert none["n_true"] == 0 and none["recall"] is None
