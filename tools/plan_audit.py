@@ -99,6 +99,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "|categories| (=5) cell table — the corpus collapsed in the "
         "upstream map-side-combinable aggregate (stats_psi_bins shape)",
     },
+    "dedup_source_matrix": {
+        "Exchange SinglePartition": "global share window over the "
+        "|sources|^2 (<=300) provenance cell table — pairs collapsed "
+        "in the upstream aggregate (stats_psi_bins shape)",
+    },
     "stats_psi_bins": {
         "Exchange SinglePartition": "global totals window over EXACTLY "
         "n_bins(=10) spine rows — the corpus collapsed to <=2 cells "
