@@ -132,3 +132,122 @@ scored AS (
   WHERE p.c >= 5)
 SELECT * FROM scored ORDER BY pmi DESC, v, w LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed co-occurrence PMI (the skip-gram context statistic)
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 200,
+) -> DataFrame:
+    """(a, b, c, f_a, f_b, pmi): top-k UNORDERED word pairs by PMI over
+    co-occurrence within ±``window`` token positions — the skip-gram
+    context statistic word2vec/GloVe factorize (Levy & Goldberg 2014:
+    SGNS ≈ shifted PMI matrix), distinct from the adjacent-bigram
+    collocations above (a phrase detector; this measures topical
+    association at distance).
+
+    With c = pair count, f_x = pairs containing x (marginal), and
+    P = total pairs: pmi = ln(c·P / (f_a·f_b)) — the ln argument is
+    ONE division of exact BIGINT products, rounded 7 dp; ordering is
+    the total order (pmi desc, a, b) both engines agree on.
+
+    Scale shape: positions fan out ``window`` offset keys each and
+    pair up by EQUI-join on (doc, position) — no range predicate, no
+    per-doc quadratic blowup; everything after is map-side-combinable
+    counting. The offset spine is a ``window``-row broadcast."""
+    spark = docs.sparkSession
+    # doc identity must be deterministic (pos joins against itself);
+    # monotonically_increasing_id would re-draw per join branch
+    pos = docs.select(
+        F.col("doc_id").alias("did"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "i", "w"
+        ),
+    ).where(F.col("w") != "")
+    offs = spark.range(1, window + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    a = pos.crossJoin(F.broadcast(offs)).select(
+        "did", (F.col("i") + F.col("d")).alias("j"), F.col("w").alias("wa")
+    )
+    b = pos.select("did", F.col("i").alias("j"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, ["did", "j"])
+        .select(
+            F.least("wa", "wb").alias("a"),
+            F.greatest("wa", "wb").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    total = pairs.agg(F.sum("c").cast("bigint").alias("p")).collect()[0][
+        "p"
+    ] or 0
+    marg = (
+        pairs.select(F.col("a").alias("x"), "c")
+        .unionAll(pairs.select(F.col("b").alias("x"), "c"))
+        .groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("f"))
+    )
+    j = (
+        pairs.where(F.col("c") >= min_count)
+        .join(marg.select(F.col("x").alias("a"), F.col("f").alias("f_a")), "a")
+        .join(marg.select(F.col("x").alias("b"), F.col("f").alias("f_b")), "b")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c") * F.lit(int(total))).cast("double")
+            / (F.col("f_a") * F.col("f_b")).cast("double")
+        ),
+        7,
+    )
+    return (
+        j.select("a", "b", "c", "f_a", "f_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(top_k)
+    )
+
+
+def q_text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return cooccurrence_pmi(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["text_cooccurrence_pmi"] = q_text_cooccurrence
+ORACLES["text_cooccurrence_pmi"] = """
+WITH pos AS (
+  SELECT did, i, w FROM (
+    SELECT doc_id AS did,
+           generate_subscripts(regexp_split_to_array(trim(text), '\\s+'),
+                               1) - 1 AS i,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> ''),
+pairs AS (
+  SELECT least(a.w, b.w) AS a, greatest(a.w, b.w) AS b,
+         count(*)::BIGINT AS c
+  FROM pos a
+  JOIN (SELECT unnest(generate_series(1, 3)) AS d) offs ON true
+  JOIN pos b ON b.did = a.did AND b.i = a.i + offs.d
+  GROUP BY 1, 2),
+tot AS (SELECT sum(c)::BIGINT AS p FROM pairs),
+marg AS (
+  SELECT x, sum(c)::BIGINT AS f FROM (
+    SELECT a AS x, c FROM pairs UNION ALL SELECT b AS x, c FROM pairs)
+  GROUP BY x)
+SELECT p.a, p.b, p.c, ma.f AS f_a, mb.f AS f_b,
+       round(ln((p.c * tot.p)::DOUBLE / (ma.f * mb.f)::DOUBLE), 7) AS pmi
+FROM pairs p CROSS JOIN tot
+JOIN marg ma ON ma.x = p.a JOIN marg mb ON mb.x = p.b
+WHERE p.c >= 5
+ORDER BY pmi DESC, a, b LIMIT 200
+"""

@@ -618,12 +618,19 @@ def gain_deciles_by_group(
         )
     )
     n = F.count(F.lit(1)).over(Window.partitionBy(F.col(group_col)))
+    # integer DIV (truncating == floor on the non-negative numerator),
+    # exact for the full BIGINT product — not double-divide-then-floor
     tiled = df.select(
         F.col(group_col).alias("g"),
         F.col(label_col).cast("long").alias("y"),
-        F.floor(
-            ((rn - F.lit(1)).cast("bigint") * n_tiles) / n
-        ).cast("int").alias("decile"),
+        (rn - F.lit(1)).cast("bigint").alias("rank0"),
+        n.cast("bigint").alias("nrows"),
+    ).select(
+        "g",
+        "y",
+        F.expr(f"CAST((rank0 * {n_tiles}) DIV nrows AS INT)").alias(
+            "decile"
+        ),
     )
     per = tiled.groupBy("g", "decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

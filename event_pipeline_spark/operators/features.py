@@ -352,3 +352,93 @@ SELECT category, n_pos, n_neg,
                   / ((n_neg + 1) * gp)::DOUBLE), 7) AS iv
 FROM tot ORDER BY category
 """
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 64
+
+
+def hashed_features(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = FH_BUCKETS,
+) -> DataFrame:
+    """(id, bucket, n_terms, v): the hashing-trick text vectorizer
+    (Weinberger et al. 2009) — each token maps to bucket
+    md5("fh|"‖token) mod B with sign ± from an independent hash bit,
+    and a document's feature vector is the per-bucket SIGNED count.
+    THE vocabulary-free featurizer for 100 TB corpora: no fitted
+    vocab object, no OOV path, every executor hashes independently
+    and the vector space is fixed at B dims forever.
+
+    Determinism: both hashes ride the repo's md5-low-64 contract
+    (== DuckDB ``md5_number_lower``), so the oracle recomputes the
+    exact vectors. All outputs BIGINT.
+
+    Scale shape: ONE explode + groupBy (map-side combinable) —
+    tokens shuffle as ((id, bucket), partial) pairs; output is at
+    most B cells per document regardless of vocabulary size."""
+    from event_pipeline_spark.operators.sketches import _md5_low64_col
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    cells = toks.select(
+        "id",
+        F.pmod(_md5_low64_col(F.concat(F.lit("fh|"), F.col("w"))), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.when(
+            F.pmod(
+                _md5_low64_col(F.concat(F.lit("fhs|"), F.col("w"))),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sgn"),
+    )
+    return cells.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("sgn").cast("bigint").alias("v"),
+    )
+
+
+def q_feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return (
+        hashed_features(read_table(spark, sf_dir, "documents"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+QUERIES["feat_hashing_trick"] = q_feat_hashing_trick
+ORACLES["feat_hashing_trick"] = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> ''),
+cells AS (
+  SELECT doc_id,
+         (md5_number_lower('fh|' || w)::HUGEINT
+          % {FH_BUCKETS})::INT AS bucket,
+         CASE WHEN md5_number_lower('fhs|' || w)::HUGEINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks)
+SELECT doc_id, bucket, count(*)::BIGINT AS n_terms,
+       sum(sgn)::BIGINT AS v
+FROM cells GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""

@@ -651,3 +651,91 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(exp(-(sum(lt) / 10000000.0) / count(*)), 3) AS ppl
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Good–Turing frequency-of-frequencies
+# ---------------------------------------------------------------------------
+
+
+def good_turing_counts(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(r, n_types, mass, r_star): the Good–Turing count-of-counts
+    table over the corpus unigram vocabulary — the classical smoothing
+    companion to the stupid-backoff and Kneser–Ney models above
+    (Good 1953; Gale & Sampson 1995's simple GT). For each observed
+    type frequency r, N_r = number of word types seen exactly r times,
+    mass = r·N_r tokens, and the adjusted count
+
+        r* = (r + 1) · N_{r+1} / N_r
+
+    (NULL where N_{r+1} = 0 — the unsmoothed-N_r gap simple GT fills
+    by regression; emitting the raw table keeps every value an exact
+    integer ratio). r = 1's row doubles as the leave-one-out estimate
+    of unseen mass: p0 = N_1 / N.
+
+    Exactness: everything except the final r* division is BIGINT
+    (token counts, type counts, products); r* is ONE correctly
+    rounded division per row.
+
+    Scale shape: tokens collapse to (type, cnt) in one
+    map-side-combinable aggregate, then to ≤|distinct r| rows —
+    the count-of-counts table is tiny (≈log-scale distinct r under
+    Zipf), and the N_{r+1} lookup is a self-join on that tiny table.
+    """
+    types = (
+        docs.select(
+            F.explode(whitespace_tokens(F.col(text_col))).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    nr = types.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next")
+    )
+    return (
+        nr.join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_types",
+            (F.col("r") * F.col("n_types")).cast("bigint").alias("mass"),
+            F.when(
+                F.col("n_next").isNotNull(),
+                F.round(
+                    ((F.col("r") + 1) * F.col("n_next")).cast("double")
+                    / F.col("n_types").cast("double"),
+                    7,
+                ),
+            ).alias("r_star"),
+        )
+    )
+
+
+def q_lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return good_turing_counts(
+        read_table(spark, sf_dir, "documents")
+    ).orderBy("r")
+
+
+QUERIES["lm_good_turing"] = q_lm_good_turing
+ORACLES["lm_good_turing"] = """
+WITH types AS (
+  SELECT w, count(*)::BIGINT AS r FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w),
+nr AS (SELECT r, count(*)::BIGINT AS n_types FROM types GROUP BY r)
+SELECT nr.r, nr.n_types, (nr.r * nr.n_types)::BIGINT AS mass,
+       CASE WHEN nxt.n_types IS NOT NULL
+            THEN round(((nr.r + 1) * nxt.n_types)::DOUBLE
+                       / nr.n_types::DOUBLE, 7) END AS r_star
+FROM nr LEFT JOIN nr nxt ON nxt.r = nr.r + 1
+ORDER BY nr.r
+"""

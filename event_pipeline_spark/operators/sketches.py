@@ -651,3 +651,108 @@ SELECT t.event_type, t.true_count, e.estimate,
 FROM true_c t JOIN est e USING (event_type)
 ORDER BY event_type
 """
+
+
+# -- AMS F2 (second frequency moment), md5-signed: exact mode ----------------
+
+AMS_SKETCHES = 8
+
+
+def ams_f2_sketch(
+    df: DataFrame, value_col: str, *, n_sketches: int = AMS_SKETCHES
+) -> DataFrame:
+    """(sketch, z, estimate): the AMS second-frequency-moment sketch
+    (Alon, Matias & Szegedy 1996) — ``n_sketches`` independent ±1
+    hash-sign accumulators; each Z = Σ_rows sign(value) satisfies
+    E[Z²] = F2 = Σ_types count², the "surprise number" / self-join
+    size that sizes skew (``skew.py``) and repetition.
+
+    Determinism: sign(x) = +1 iff md5_low64("ams{s}|" ‖ x) is even —
+    the repo's cross-engine hash contract (== DuckDB
+    ``md5_number_lower``), so the whole sketch, not only its
+    estimates, is oracle-recomputable. Everything is BIGINT.
+
+    Scale shape: each sketch is ONE map-side-combinable SUM over ±1
+    signs; n_sketches narrow rows per input row shuffle as partial
+    sums only — sketch size is n_sketches counters regardless of
+    corpus, and sketches MERGE by addition across partitions or
+    streams (the AMS linearity that makes it a sketch and not a
+    sample)."""
+    rows = [
+        df.select(
+            F.lit(s).alias("sketch"),
+            F.when(
+                F.pmod(
+                    _md5_low64_col(
+                        F.concat(
+                            F.lit(f"ams{s}|"),
+                            F.col(value_col).cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        )
+        for s in range(n_sketches)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("sketch").agg(
+        F.sum("sgn").cast("bigint").alias("z")
+    ).select(
+        F.col("sketch").cast("int").alias("sketch"),
+        "z",
+        (F.col("z") * F.col("z")).cast("bigint").alias("estimate"),
+    )
+
+
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 of the event-type stream next to the exact second
+    moment — per sketch row the estimate and its signed error."""
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    sk = ams_f2_sketch(ev, "event_type")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"))
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))  # one-row exact-stats join
+        .select(
+            "sketch",
+            "z",
+            "estimate",
+            F.col("f2").alias("f2_exact"),
+            (F.col("estimate") - F.col("f2")).alias("err"),
+        )
+        .orderBy("sketch")
+    )
+
+
+QUERIES["sketch_ams_f2"] = q_sketch_ams_f2
+ORACLES["sketch_ams_f2"] = f"""
+WITH signed AS (
+  SELECT s.s AS sketch,
+         CASE WHEN md5_number_lower('ams' || s.s || '|' || event_type)
+                   ::HUGEINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM events,
+       (SELECT unnest(generate_series(0, {AMS_SKETCHES - 1})) AS s) s),
+sk AS (
+  SELECT sketch::INT AS sketch, sum(sgn)::BIGINT AS z
+  FROM signed GROUP BY sketch),
+exact AS (
+  SELECT sum(c * c)::BIGINT AS f2 FROM (
+    SELECT count(*)::BIGINT AS c FROM events GROUP BY event_type))
+SELECT sk.sketch, sk.z, (sk.z * sk.z)::BIGINT AS estimate,
+       exact.f2 AS f2_exact, ((sk.z * sk.z) - exact.f2)::BIGINT AS err
+FROM sk CROSS JOIN exact
+ORDER BY sketch
+"""

@@ -912,17 +912,30 @@ def psi_bins(
 
     spark = df.sparkSession
     width_num = hi - lo
-    v = F.col(value_col).cast("bigint")
-    b = F.least(
-        F.greatest(
-            F.floor(((v - lo) * n_bins) / width_num).cast("int"), F.lit(0)
-        ),
-        F.lit(n_bins - 1),
+    # Clamp FIRST, then pure integer division (`div`, truncating — equal
+    # to floor because the clamped numerator is non-negative). The
+    # earlier double-divide-then-floor form agreed with the integer
+    # oracle only while (v - lo) * n_bins stayed within 2^53; this form
+    # is exact for the full BIGINT range of the product.
+    v = F.least(
+        F.greatest(F.col(value_col).cast("bigint"), F.lit(lo)),
+        F.lit(hi - 1),
+    )
+    b = F.expr(
+        f"CAST(((vclamp - {lo}) * {n_bins}) DIV {width_num} AS INT)"
     )
     s = F.col(snapshot_col).cast("int")
-    cells = df.groupBy(b.alias("bin")).agg(
-        F.sum((s == 0).cast("long")).cast("bigint").alias("ce"),
-        F.sum((s == 1).cast("long")).cast("bigint").alias("ca"),
+    cells = (
+        df.select(v.alias("vclamp"), s.alias("snap"))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.sum((F.col("snap") == 0).cast("long"))
+            .cast("bigint")
+            .alias("ce"),
+            F.sum((F.col("snap") == 1).cast("long"))
+            .cast("bigint")
+            .alias("ca"),
+        )
     )
     spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     full = (
@@ -943,9 +956,10 @@ def psi_bins(
     ).cast("double")
     return full.select(
         "bin",
-        (F.lit(lo) + F.col("bin").cast("bigint") * width_num / n_bins)
-        .cast("bigint")
-        .alias("bin_lo"),
+        F.expr(
+            f"CAST({lo} + (CAST(bin AS BIGINT) * {width_num})"
+            f" DIV {n_bins} AS BIGINT)"
+        ).alias("bin_lo"),
         "n_expected",
         "n_actual",
         F.round(pe, 7).alias("p_expected"),
@@ -980,7 +994,7 @@ WITH base AS (
          floor(value * 100 + 0.5)::BIGINT AS v
   FROM events),
 cells AS (
-  SELECT least(greatest(((v - 0) * 10) // 50000, 0), 9)::INT AS bin,
+  SELECT (((least(greatest(v, 0), 49999) - 0) * 10) // 50000)::INT AS bin,
          sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS ce,
          sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS ca
   FROM base GROUP BY 1),

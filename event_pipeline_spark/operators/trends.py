@@ -548,3 +548,264 @@ SELECT d2.k AS event_type, strftime(d2.d, '%Y-%m-%d') AS day, d2.dow,
 FROM d2 JOIN mad ON mad.k = d2.k AND mad.dow = d2.dow
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+
+def theil_sen(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: int = 10_000_000,
+) -> DataFrame:
+    """(event_type, n_days, n_pairs, slope_units, slope): the Theil–Sen
+    estimator — the median of all pairwise slopes (c_j − c_i)/(d_j − d_i)
+    over each key's daily counts. The natural companion to
+    ``mann_kendall`` above: MK answers "is there a monotonic trend?",
+    Theil–Sen answers "how steep?" with a 29%-breakdown-point slope no
+    single outlier day can move (unlike the OLS slope in
+    ``stats.py::corr_ols``).
+
+    Exactness: each pairwise slope is the rational num/den with den =
+    day gap > 0; both engines quantize it to integer ``unit``ths via
+    TRUNCATING integer division ((num·unit) DIV den — Spark `DIV` and
+    DuckDB `//` both truncate toward zero, verified), a monotone map,
+    so the lower-median selection by ``row_number`` over the quantized
+    units picks the identical value in both engines. ``slope`` is the
+    single exact division units/unit.
+
+    Scale shape: corpus rows collapse to daily counts FIRST (one
+    map-side-combinable aggregate); the pair join is within-key over
+    the daily table — (days choose 2) pairs bounded by the time-domain
+    squared, not the corpus (the ``mann_kendall`` bound). Reference
+    parity: the reference engine has no trend shelf; this extends
+    SURVEY §2's [ext] analytics mandate.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    daily = daily.select(
+        "k",
+        F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        "c",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("a.d") < F.col("b.d"))
+        .select(
+            "k",
+            (F.col("b.c") - F.col("a.c")).cast("bigint").alias("num"),
+            (F.col("b.d") - F.col("a.d")).cast("bigint").alias("den"),
+        )
+        .select(
+            "k",
+            F.expr(f"(num * {unit}) DIV den").cast("bigint").alias("u"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("u")
+    ranked = pairs.select(
+        "k",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("m"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(m + 1) DIV 2")
+    ).select("k", F.col("u").alias("slope_units"), F.col("m").alias("n_pairs"))
+    nd = daily.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return nd.join(med, "k").select(
+        F.col("k").alias("event_type"),
+        "n_days",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "slope_units",
+        (F.col("slope_units").cast("double") / F.lit(float(unit))).alias(
+            "slope"
+        ),
+    )
+
+
+def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return theil_sen(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["trend_theil_sen"] = q_trend_theil_sen
+ORACLES["trend_theil_sen"] = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS k,
+         (strftime(ts, '%Y-%m-%d')::DATE - DATE '1970-01-01')::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+pairs AS (
+  SELECT a.k, ((b.c - a.c) * 10000000) // (b.d - a.d) AS u
+  FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d),
+ranked AS (
+  SELECT k, u,
+         row_number() OVER (PARTITION BY k ORDER BY u) AS rn,
+         count(*) OVER (PARTITION BY k) AS m
+  FROM pairs),
+med AS (
+  SELECT k, u AS slope_units, m AS n_pairs
+  FROM ranked WHERE rn = (m + 1) // 2),
+nd AS (SELECT k, count(*)::BIGINT AS n_days FROM daily GROUP BY k)
+SELECT nd.k AS event_type, nd.n_days, med.n_pairs::BIGINT AS n_pairs,
+       med.slope_units::BIGINT AS slope_units,
+       med.slope_units::DOUBLE / CAST(10000000 AS DOUBLE) AS slope
+FROM nd JOIN med ON med.k = nd.k
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function over the zero-filled daily spine
+# ---------------------------------------------------------------------------
+
+
+def daily_acf(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    max_lag: int = 7,
+) -> DataFrame:
+    """(event_type, lag, n_days, r): the sample autocorrelation of each
+    key's daily count series at lags 1..max_lag — the seasonality
+    readout (weekly traffic shows r spiking at lag 7) that the
+    point-wise shelf (bursts/CUSUM/MK) doesn't give.
+
+    The series is the ZERO-FILLED calendar spine from each key's first
+    to last observed day (ACF is meaningless on an irregular grid; a
+    missing day is an observed zero for event counts). With S = Σy,
+    SS = Σy², A_L = Σ y_t·y_{t−L} and B_L = Σ (y_t + y_{t−L}) over the
+    n−L aligned pairs, the standard (biased-denominator) estimator
+    multiplies out to the all-BIGINT identity
+
+        r_L = (n²·A_L − n·S·B_L + (n−L)·S²) / (n²·SS − n·S²)
+
+    — ONE exact division, rounded 7 dp; both engines agree on every
+    integer. NULL when the series is constant (zero denominator).
+
+    Scale shape: corpus rows collapse to ≤ |keys|·|days| cells, the
+    spine explode is linear in that, and the lag join is an equi-join
+    on (key, t−L) after a ≤max_lag-row broadcast lag spine — nothing
+    quadratic anywhere."""
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.to_date(F.date_format(F.col(ts_col), "yyyy-MM-dd")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    span = daily.groupBy("k").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "k",
+        "d0",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    series = (
+        spine.join(daily, ["k", "day"], "left")
+        .select(
+            "k",
+            F.datediff("day", "d0").cast("bigint").alias("t"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    stats = series.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    spark = events.sparkSession
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = series.crossJoin(F.broadcast(lags)).select(
+        "k", "lag", (F.col("t") - F.col("lag")).alias("tprev"),
+        F.col("y").alias("ya"),
+    )
+    b = series.select("k", F.col("t").alias("tprev"), F.col("y").alias("yb"))
+    al = (
+        a.join(b, ["k", "tprev"])
+        .groupBy("k", "lag")
+        .agg(
+            F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("a_l"),
+            F.sum(F.col("ya") + F.col("yb")).cast("bigint").alias("b_l"),
+        )
+    )
+    j = al.join(stats, "k")
+    num = (
+        F.col("n") * F.col("n") * F.col("a_l")
+        - F.col("n") * F.col("s") * F.col("b_l")
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("ss") - F.col("n") * F.col(
+        "s"
+    ) * F.col("s")
+    return j.select(
+        F.col("k").alias("event_type"),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 7)
+        ).alias("r"),
+    )
+
+
+def q_trend_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return daily_acf(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type", "lag"
+    )
+
+
+QUERIES["trend_acf"] = q_trend_acf
+ORACLES["trend_acf"] = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d')::DATE AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+span AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY k),
+spine AS (
+  SELECT k, d0, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span),
+series AS (
+  SELECT spine.k, (spine.day - spine.d0)::BIGINT AS t,
+         coalesce(daily.c, 0)::BIGINT AS y
+  FROM spine LEFT JOIN daily ON daily.k = spine.k AND daily.day = spine.day),
+stats AS (
+  SELECT k, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+         sum(y * y)::BIGINT AS ss
+  FROM series GROUP BY k),
+lags AS (SELECT unnest(generate_series(1, 7))::BIGINT AS lag),
+al AS (
+  SELECT a.k, lags.lag,
+         sum(a.y * b.y)::BIGINT AS a_l,
+         sum(a.y + b.y)::BIGINT AS b_l
+  FROM series a CROSS JOIN lags
+  JOIN series b ON b.k = a.k AND b.t = a.t - lags.lag
+  GROUP BY a.k, lags.lag)
+SELECT al.k AS event_type, al.lag::INT AS lag, stats.n AS n_days,
+       CASE WHEN (stats.n * stats.n * stats.ss
+                  - stats.n * stats.s * stats.s) > 0
+            THEN round(
+              (stats.n * stats.n * al.a_l
+               - stats.n * stats.s * al.b_l
+               + (stats.n - al.lag) * stats.s * stats.s)::DOUBLE
+              / (stats.n * stats.n * stats.ss
+                 - stats.n * stats.s * stats.s)::DOUBLE, 7) END AS r
+FROM al JOIN stats ON stats.k = al.k
+ORDER BY event_type, lag
+"""

@@ -39,6 +39,8 @@ def _make_psi_processor(
         StatefulProcessorHandle,
     )
 
+    from event_pipeline_spark.streaming.hll import _round_half_up
+
     def total_psi(exp: list[int], act: list[int]) -> float:
         ne = sum(exp) + n_bins
         na = sum(act) + n_bins
@@ -46,7 +48,9 @@ def _make_psi_processor(
         for ce, ca in zip(exp, act):
             pe = (ce + 1) / ne
             pa = (ca + 1) / na
-            out += round((pa - pe) * math.log(pa / pe), 7)
+            # HALF_UP like F.round in the batch operator, not Python's
+            # banker's rounding (same discipline as streaming/sample.py).
+            out += _round_half_up((pa - pe) * math.log(pa / pe), 7)
         return out
 
     class PsiDrift(StatefulProcessor):
@@ -102,15 +106,18 @@ def streaming_psi(
             raise ValueError(
                 f"expected[{k!r}] has {len(counts)} bins, want {n_bins}"
             )
-    v = F.col(value_col).cast("bigint")
-    b = F.least(
-        F.greatest(
-            F.floor(((v - lo) * n_bins) / (hi - lo)).cast("int"), F.lit(0)
-        ),
-        F.lit(n_bins - 1),
+    # clamp-first + integer DIV, the exact batch psi_bins binning form
+    v = F.least(
+        F.greatest(F.col(value_col).cast("bigint"), F.lit(lo)),
+        F.lit(hi - 1),
     )
     keyed = stream.select(
-        F.col(key_col).cast("string").alias("key"), b.alias("bin")
+        F.col(key_col).cast("string").alias("key"), v.alias("vclamp")
+    ).select(
+        "key",
+        F.expr(
+            f"CAST(((vclamp - {lo}) * {n_bins}) DIV {hi - lo} AS INT)"
+        ).alias("bin"),
     )
     return transform_with_state(
         keyed,

@@ -13,6 +13,16 @@ test; not just distributionally — row for row).
 Emits the group's full current sample each micro-batch it changes
 (Update-mode semantics delivered append-style with a batch marker:
 consumers keep the latest emission per group).
+
+Duplicate-arrival semantics: state dedupes on the (member, weight)
+PAIR. Re-delivery of an identical row (at-least-once sources) is
+idempotent — a stated, deliberate deviation from batch, where two
+identical input rows occupy two race slots. The same member arriving
+again at a DIFFERENT weight races as a fresh row, exactly as a second
+batch row would; both rows can hold sample slots simultaneously, and
+the stream==batch parity then requires comparing against a batch input
+that carries both rows. The parity test keeps (member, weight) pairs
+unique across batches except for the re-delivery case it pins.
 """
 
 from __future__ import annotations
@@ -58,15 +68,20 @@ def _make_sampler(k: int, salt: str):
                 for part in self._best.get()[0].split("|"):
                     r, m, w = part.split("\x1f")
                     best.append((float(r), m, float(w)))
-            before = {b[1] for b in best}
+            before = {(b[1], b[2]) for b in best}
             for _, row in pd.concat(batches).iterrows():
                 m, w = str(row["member"]), float(row["w"])
-                if w <= 0 or any(b[1] == m for b in best):
+                # dedupe on the (member, weight) PAIR: identical
+                # re-delivery is idempotent; a new weight races as a
+                # fresh batch row would (see module doc)
+                if w <= 0 or any(
+                    b[1] == m and b[2] == w for b in best
+                ):
                     continue
                 best.append((_race(m, w, salt), m, w))
                 best.sort(key=lambda t: (t[0], t[1]))
                 del best[k:]
-            changed = {b[1] for b in best} != before
+            changed = {(b[1], b[2]) for b in best} != before
             self._best.update(
                 (
                     "|".join(
