@@ -724,3 +724,204 @@ SELECT g AS source, decile, n_rows, n_pos, cum_rows, cum_pos,
        END AS lift
 FROM cells ORDER BY source, decile
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N overlap grading of near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def rouge_n_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    orders: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id_a, id_b, n, overlap, total_a, total_b, p, r, f1): ROUGE-N
+    (Lin 2004) between each candidate pair's texts — MULTISET n-gram
+    overlap (clipped counts, the real ROUGE, not the set Jaccard the
+    dedup join thresholds on). The dedup-diagnostics readout: a pair
+    with Jaccard 0.5 but ROUGE-2 recall 0.95 is a quote-plus-commentary
+    containment, not a paraphrase.
+
+    With ov = Σ_g min(c_a(g), c_b(g)), t_x = Σ_g c_x(g): recall =
+    ov/t_a (a is the reference), precision = ov/t_b, and F1 collapses
+    algebraically to 2·ov/(t_a+t_b) — each ONE exact BIGINT division.
+
+    Scale shape: gram counting is explode + map-side-combinable
+    groupBy; the overlap join fans each pair out by the grams of ONE
+    side and equi-joins the other on (id, gram) — work is Σ_pairs
+    |grams|, linear in the (already bounded) candidate list, never
+    all-pairs."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ).alias("toks"),
+    )
+    out = None
+    for n in orders:
+        grams = toks.select(
+            "id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - n + 1),
+                        lambda i: F.array_join(
+                            F.slice("toks", i, n), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        ).groupBy("id", "g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        totals = grams.groupBy("id").agg(
+            F.sum("c").cast("bigint").alias("t")
+        )
+        ga = grams.select(
+            F.col("id").alias("id_a"), "g", F.col("c").alias("ca")
+        )
+        gb = grams.select(
+            F.col("id").alias("id_b"), "g", F.col("c").alias("cb")
+        )
+        ov = (
+            pairs.join(ga, "id_a")
+            .join(gb, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap")
+            )
+        )
+        row = (
+            pairs.join(ov, ["id_a", "id_b"], "left")
+            .join(
+                totals.select(
+                    F.col("id").alias("id_a"), F.col("t").alias("total_a")
+                ),
+                "id_a",
+            )
+            .join(
+                totals.select(
+                    F.col("id").alias("id_b"), F.col("t").alias("total_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(n).cast("int").alias("n"),
+                F.coalesce("overlap", F.lit(0))
+                .cast("bigint")
+                .alias("overlap"),
+                "total_a",
+                "total_b",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    ovc = F.col("overlap").cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        "n",
+        "overlap",
+        "total_a",
+        "total_b",
+        F.when(
+            F.col("total_b") > 0,
+            F.round(ovc / F.col("total_b").cast("double"), 7),
+        ).alias("p"),
+        F.when(
+            F.col("total_a") > 0,
+            F.round(ovc / F.col("total_a").cast("double"), 7),
+        ).alias("r"),
+        F.when(
+            (F.col("total_a") + F.col("total_b")) > 0,
+            F.round(
+                F.lit(2.0)
+                * ovc
+                / (F.col("total_a") + F.col("total_b")).cast("double"),
+                7,
+            ),
+        ).alias("f1"),
+    )
+
+
+def q_eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 grading of the exact n-gram-Jaccard near-dup pairs —
+    the chained-oracle discipline: the oracle recomputes BOTH the pair
+    list and the ROUGE arithmetic."""
+    from event_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, group_col="source"
+    ).select("id_a", "id_b")
+    return rouge_n_pairs(docs, pairs).orderBy("id_a", "id_b", "n")
+
+
+QUERIES["eval_rouge_pairs"] = q_eval_rouge_pairs
+ORACLES["eval_rouge_pairs"] = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE inter > 0 AND ROUND(inter::DOUBLE / uni, 6) >= 0.5),
+toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+orders AS (SELECT unnest([1, 2]) AS n),
+grams AS (
+  SELECT id, n, g, count(*)::BIGINT AS c FROM (
+    SELECT id, n,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - n + 1, 0)),
+               i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+    FROM toks CROSS JOIN orders)
+  GROUP BY id, n, g),
+totals AS (SELECT id, n, sum(c)::BIGINT AS t FROM grams GROUP BY id, n),
+ov AS (
+  SELECT p.id_a, p.id_b, ga.n,
+         sum(least(ga.c, gb.c))::BIGINT AS overlap
+  FROM pairs p
+  JOIN grams ga ON ga.id = p.id_a
+  JOIN grams gb ON gb.id = p.id_b AND gb.n = ga.n AND gb.g = ga.g
+  GROUP BY p.id_a, p.id_b, ga.n),
+base AS (
+  SELECT p.id_a, p.id_b, o.n,
+         coalesce(ov.overlap, 0)::BIGINT AS overlap,
+         ta.t AS total_a, tb.t AS total_b
+  FROM pairs p CROSS JOIN orders o
+  LEFT JOIN ov ON ov.id_a = p.id_a AND ov.id_b = p.id_b AND ov.n = o.n
+  JOIN totals ta ON ta.id = p.id_a AND ta.n = o.n
+  JOIN totals tb ON tb.id = p.id_b AND tb.n = o.n)
+SELECT id_a, id_b, n::INT AS n, overlap, total_a, total_b,
+       CASE WHEN total_b > 0
+            THEN round(overlap::DOUBLE / total_b::DOUBLE, 7) END AS p,
+       CASE WHEN total_a > 0
+            THEN round(overlap::DOUBLE / total_a::DOUBLE, 7) END AS r,
+       CASE WHEN total_a + total_b > 0
+            THEN round(2 * overlap::DOUBLE
+                       / (total_a + total_b)::DOUBLE, 7) END AS f1
+FROM base ORDER BY id_a, id_b, n
+"""

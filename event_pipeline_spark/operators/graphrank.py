@@ -399,3 +399,155 @@ SELECT d.node, d.degree,
        END AS clustering
 FROM deg d LEFT JOIN t_per t USING (node) ORDER BY d.node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 75
+KCORE_ROUNDS = 5
+
+
+def kcore_members(
+    edges: DataFrame,
+    *,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    a_col: str = "a",
+    b_col: str = "b",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """(node, degree): members of the k-core — the maximal subgraph
+    where every node keeps degree ≥ k — after ``rounds`` synchronous
+    peeling sweeps (each sweep removes ALL nodes below k, then
+    recomputes degrees in the induced subgraph; Matula & Beck 1983).
+    The density backbone that PageRank (influence) and triangles
+    (local cohesion) don't give: k-core finds the globally dense
+    community shell.
+
+    Fixed-round contract: peeling converges in a data-dependent number
+    of sweeps, so the operator runs EXACTLY ``rounds`` sweeps and the
+    oracle unrolls the same sweeps — the two engines agree round by
+    round whether or not the fixpoint is reached; the convergence
+    itself is asserted in tests (a sweep at the fixpoint is the
+    identity) and the round count is part of the contract, exactly the
+    ``pagerank``/``hits`` unrolled-iteration discipline above.
+
+    Scale shape: one sweep = a map-side-combinable degree count + two
+    semi-joins of the adjacency against the survivor set (hash joins
+    on node id); adjacency only ever SHRINKS. Pass
+    ``checkpoint_every`` to cut lineage/plan depth on long peels (the
+    ``duplicate_clusters`` discipline — planning a 3·rounds-join tree
+    otherwise dominates at small data and bloats the optimizer at
+    any data)."""
+    return kcore_adjacency(
+        edges,
+        k=k,
+        rounds=rounds,
+        a_col=a_col,
+        b_col=b_col,
+        checkpoint_every=checkpoint_every,
+    ).groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def kcore_sweep(alive: DataFrame, k: int) -> DataFrame:
+    """ONE synchronous peeling sweep over a (node, nbr) adjacency:
+    drop every node with degree < k, return the induced adjacency."""
+    keep = (
+        alive.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= k)
+        .select("node")
+    )
+    return alive.join(keep, "node").join(
+        keep.withColumnRenamed("node", "nbr"), "nbr"
+    )
+
+
+def kcore_adjacency(
+    edges: DataFrame,
+    *,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    a_col: str = "a",
+    b_col: str = "b",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """The (node, nbr) adjacency surviving ``rounds`` peeling sweeps —
+    the composable core of ``kcore_members`` (tests run one extra
+    ``kcore_sweep`` over it to assert the fixpoint)."""
+    sym = edges.select(
+        F.col(a_col).cast("long").alias("node"),
+        F.col(b_col).cast("long").alias("nbr"),
+    ).unionAll(
+        edges.select(
+            F.col(b_col).cast("long").alias("node"),
+            F.col(a_col).cast("long").alias("nbr"),
+        )
+    )
+    alive = sym
+    for i in range(rounds):
+        alive = kcore_sweep(alive, k)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            alive = alive.localCheckpoint()
+    return alive
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """75-core of the co-purchase graph after 5 peeling sweeps (the
+    fixpoint on this corpus — asserted in tests)."""
+    from event_pipeline_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x = li.alias("x")
+    y = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    ).alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    # checkpoint_every=2 keeps the unrolled-plan depth bounded (the
+    # optimizer otherwise re-plans a 15-join tree; measured 14x faster
+    # at gate scale with identical results)
+    return kcore_members(edges, checkpoint_every=2).orderBy("node")
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    sql = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+alive0 AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b AS node, a AS nbr FROM e)"""
+    prev = "alive0"
+    for i in range(rounds):
+        sql += f""",
+keep{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS c FROM {prev} GROUP BY node)
+  WHERE c >= {k}),
+alive{i + 1} AS MATERIALIZED (
+  SELECT s.node, s.nbr FROM {prev} s
+  JOIN keep{i} ka ON ka.node = s.node
+  JOIN keep{i} kb ON kb.node = s.nbr)"""
+        prev = f"alive{i + 1}"
+    return (
+        sql
+        + f"""
+SELECT node, count(*)::BIGINT AS degree
+FROM {prev} GROUP BY node ORDER BY node"""
+    )
+
+
+QUERIES["graph_kcore"] = q_graph_kcore
+ORACLES["graph_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)

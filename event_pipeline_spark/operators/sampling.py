@@ -736,3 +736,120 @@ kept AS (SELECT doc_id, n_chars FROM drawn ORDER BY r, doc_id LIMIT {_WK})
 SELECT doc_id, n_chars FROM kept ORDER BY doc_id
 """,
 )
+
+
+def leakage_report(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: DataFrame,
+) -> DataFrame:
+    """(split_a, split_b, n_pairs, leak, share): where near-duplicate
+    pairs land relative to a train/val/test assignment — THE eval-set
+    contamination audit (Dodge et al. 2021 shape): a near-dup pair
+    straddling train and test means the model is graded on training
+    data. ``pairs`` is any verified candidate list (id_a, id_b);
+    ``splits`` maps doc_id -> split. Split names are canonicalized so
+    the pair (train, test) counts once regardless of member order;
+    ``share`` is the cell's exact fraction of all pairs (one division
+    over a ≤9-cell window — bounded domain, documented below).
+
+    Scale shape: two narrow id->split joins on the bounded pair list,
+    then counting; the share window runs over at most |splits|² = 9
+    cells (the ``dedup_source_matrix`` bounded-domain allowance)."""
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+    )
+    cells = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    tot = Window.partitionBy()
+    return cells.select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("split_a") != F.col("split_b")).alias("leak"),
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(tot).cast("double"),
+            7,
+        ).alias("share"),
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage across the deterministic train/val/test split —
+    chains THREE verified components (exact Jaccard pairs, split
+    assignment, the matrix fold) under one oracle."""
+    from event_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, group_col="source"
+    ).select("id_a", "id_b")
+    splits = split_assign(
+        docs.select("doc_id", "source"), "source", "doc_id"
+    ).select("doc_id", "split")
+    return leakage_report(docs, pairs, splits).orderBy(
+        "split_a", "split_b"
+    )
+
+
+_register(
+    "split_leakage_report",
+    q_split_leakage,
+    """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE inter > 0 AND ROUND(inter::DOUBLE / uni, 6) >= 0.5),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN rk <= (n * 10) // 100 THEN 'val'
+              WHEN rk <= (n * 10) // 100 + (n * 10) // 100 THEN 'test'
+              ELSE 'train' END AS split
+  FROM ranked),
+cells AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b,
+         count(*)::BIGINT AS n_pairs
+  FROM pairs p
+  JOIN splits a ON a.doc_id = p.id_a
+  JOIN splits b ON b.doc_id = p.id_b
+  GROUP BY 1, 2)
+SELECT split_a, split_b, n_pairs, split_a <> split_b AS leak,
+       round(n_pairs::DOUBLE / sum(n_pairs) OVER ()::DOUBLE, 7) AS share
+FROM cells ORDER BY split_a, split_b
+""",
+)

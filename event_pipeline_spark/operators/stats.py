@@ -1404,3 +1404,97 @@ SELECT key AS event_type, n, n_pos,
                / (n::DOUBLE + {_WILSON_Z**2}), 7) AS hi
 FROM per ORDER BY event_type
 """
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(group, bucket, n, lo, hi): the equi-DEPTH histogram — buckets
+    hold equal row counts and the EDGES move with the data (the shape
+    ANALYZE-style optimizers and drift monitors persist; the equi-WIDTH
+    dual is ``psi_bins`` above). Bucket of rank r (1-based, ties broken
+    by ``id_col``) is (r−1)·n_buckets DIV N — the ``gain_deciles``
+    integer tiling, exact for the full BIGINT product; lo/hi are the
+    bucket's min/max values, n its exact count.
+
+    Scale shape: ONE rank window partitioned by group (no global
+    sort), then a map-side-combinable aggregate to ≤ n_buckets cells
+    per group."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(F.col(group_col)).orderBy(
+            F.col(value_col), F.col(id_col)
+        )
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.col(group_col)))
+    tiled = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        (rn - F.lit(1)).cast("bigint").alias("rank0"),
+        n.cast("bigint").alias("nrows"),
+    ).select(
+        "g",
+        "v",
+        F.expr(f"CAST((rank0 * {n_buckets}) DIV nrows AS INT)").alias(
+            "bucket"
+        ),
+    )
+    return tiled.groupBy("g", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+def q_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of order totalprice cents per priority."""
+    from event_pipeline_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    return (
+        histogram_equidepth(
+            orders,
+            group_col="o_orderpriority",
+            value_col="cents",
+            id_col="o_orderkey",
+        )
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "bucket",
+            "n",
+            F.col("lo").cast("bigint").alias("lo"),
+            F.col("hi").cast("bigint").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+QUERIES["stats_histogram_equidepth"] = q_stats_histogram
+ORACLES["stats_histogram_equidepth"] = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         floor(o_totalprice * 100 + 0.5)::BIGINT AS v,
+         o_orderkey AS id
+  FROM orders),
+tiled AS (
+  SELECT g, v,
+         ((row_number() OVER (PARTITION BY g ORDER BY v, id) - 1) * 10
+          // count(*) OVER (PARTITION BY g))::INT AS bucket
+  FROM base)
+SELECT g AS o_orderpriority, bucket, count(*)::BIGINT AS n,
+       min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
+FROM tiled GROUP BY g, bucket
+ORDER BY o_orderpriority, bucket
+"""

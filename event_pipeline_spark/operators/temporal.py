@@ -1116,3 +1116,105 @@ SELECT stage, min(step) AS step, max(n)::BIGINT AS n_users,
        sum(d::HUGEINT)::DOUBLE / max(n)::DOUBLE AS mean_us
 FROM ranked GROUP BY stage ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# OHLC bar resampling
+# ---------------------------------------------------------------------------
+
+
+def resample_ohlc(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """(key, bar, n, open_cents, high_cents, low_cents, close_cents):
+    OHLC downsampling of an irregular value stream into fixed time
+    bars — the financial-bars shape that is equally the standard
+    metrics-downsample (first/last/min/max per window) for any
+    monitoring store. ``resample_ffill`` (above) upsamples onto a
+    regular grid; this is its DOWNsampling dual.
+
+    Determinism: open/close are the FIRST/LAST rows of the bar under
+    the total order (ts, tiebreak) — materialized by one window
+    row_number per direction, never an argmin on ties; values are
+    exact integer cents (the repo's money convention).
+
+    Scale shape: one window per direction, PARTITIONED by (key, bar)
+    — no global sort — then a map-side-combinable aggregate; output
+    is |keys|·|bars| rows regardless of corpus."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.date_trunc(bucket, F.col(ts_col).cast("timestamp")).alias(
+            "bar"
+        ),
+        cents.alias("cents"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(ts_col).alias("t"),
+    )
+    w = Window.partitionBy("k", "bar")
+    asc = w.orderBy("t", "tb")
+    desc = w.orderBy(F.desc("t"), F.desc("tb"))
+    ranked = base.select(
+        "k",
+        "bar",
+        "cents",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return ranked.groupBy("k", "bar").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(F.when(F.col("rn_a") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close_cents"),
+    )
+
+
+def q_resample_ohlc(spark, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = resample_ohlc(ev)
+    return out.select(
+        F.col("k").alias("event_type"),
+        F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+        "n",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+    ).orderBy("event_type", "bar")
+
+
+QUERIES["resample_ohlc"] = q_resample_ohlc
+ORACLES["resample_ohlc"] = """
+WITH base AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS bar,
+         floor(value * 100 + 0.5)::BIGINT AS cents,
+         event_id AS tb, ts AS t
+  FROM events),
+ranked AS (
+  SELECT k, bar, cents,
+         row_number() OVER (PARTITION BY k, bar ORDER BY t, tb) AS rn_a,
+         row_number() OVER (PARTITION BY k, bar
+                            ORDER BY t DESC, tb DESC) AS rn_d
+  FROM base)
+SELECT k AS event_type, strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar,
+       count(*)::BIGINT AS n,
+       min(CASE WHEN rn_a = 1 THEN cents END)::BIGINT AS open_cents,
+       max(cents)::BIGINT AS high_cents,
+       min(cents)::BIGINT AS low_cents,
+       min(CASE WHEN rn_d = 1 THEN cents END)::BIGINT AS close_cents
+FROM ranked GROUP BY k, bar
+ORDER BY event_type, bar
+"""

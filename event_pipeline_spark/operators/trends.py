@@ -809,3 +809,224 @@ SELECT al.k AS event_type, al.lag::INT AS lag, stats.n AS n_days,
 FROM al JOIN stats ON stats.k = al.k
 ORDER BY event_type, lag
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt linear trend (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.2
+HOLT_MAX_N = 64
+HOLT_UNIT = 1_000_000_000
+
+
+def _holt_weight_tables(
+    alpha: float, beta: float, max_n: int, unit: int
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int, int, int, int]]]:
+    """Python-precomputed weight literals for the closed-form Holt fold.
+
+    The recursion  s_t = αy_t + (1−α)(s+b),  b_t = β(s_t−s_{t−1}) +
+    (1−β)b  is LINEAR with constant matrix A, so the final state is a
+    weighted sum of the inputs:  x_t = A^{t−1}x_1 + Σ_{j≥2} A^{t−j}c·y_j
+    with c = [α, αβ], x_1 = y_1·[1,−1] + y_2·[0,1] (the standard
+    s_1 = y_1, b_1 = y_2−y_1 initialization). Both engines consume the
+    SAME integer unit literals (round(w·unit)) — the ndcg
+    DISCOUNT_UNITS discipline — so the whole fold is exact BIGINT sums
+    with one final division."""
+    a, b = alpha, beta
+    A = [[1 - a, 1 - a], [-a * b, b * (1 - a) + (1 - b)]]
+    c = [a, a * b]
+
+    def matvec(m, v):
+        return [
+            m[0][0] * v[0] + m[0][1] * v[1],
+            m[1][0] * v[0] + m[1][1] * v[1],
+        ]
+
+    lag_rows = []   # (lag, ws_units, wb_units): weight of y_j, lag = t-j
+    init_rows = []  # (p, i1s, i1b, i2s, i2b): A^p over the two init vecs
+    vc, v1, v2 = list(c), [1.0, -1.0], [0.0, 1.0]
+    for p in range(max_n):
+        lag_rows.append(
+            (p, round(vc[0] * unit), round(vc[1] * unit))
+        )
+        init_rows.append(
+            (
+                p,
+                round(v1[0] * unit),
+                round(v1[1] * unit),
+                round(v2[0] * unit),
+                round(v2[1] * unit),
+            )
+        )
+        vc, v1, v2 = matvec(A, vc), matvec(A, v1), matvec(A, v2)
+    return lag_rows, init_rows
+
+
+def holt_linear(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    alpha: float = HOLT_ALPHA,
+    beta: float = HOLT_BETA,
+) -> DataFrame:
+    """(event_type, n_days, level_units, trend_units, level, trend,
+    forecast_3): Holt's linear method (double exponential smoothing,
+    Holt 1957) over each key's zero-filled daily count series — the
+    trend-aware forecasting layer above ``daily_ewma`` (level only):
+    the final smoothed level and trend, and the 3-day-ahead forecast
+    level + 3·trend.
+
+    Exactness: the linear recursion is folded in CLOSED FORM over
+    Python-precomputed 1e-9-unit weight literals (see
+    ``_holt_weight_tables``) — both engines sum the same BIGINT
+    products; level/trend/forecast are single exact divisions. The
+    model is exactly "Holt with weights quantized to 1e-9".
+
+    Scale shape: corpus rows collapse to the daily spine; the fold is
+    ONE equi-join of the series against a ≤64-row broadcast weight
+    spine and a map-side-combinable sum per key. Keys with fewer than
+    2 observed days (no trend is defined) or spans beyond 64 days
+    (outside the precomputed table — extend HOLT_MAX_N) are dropped
+    with the bound documented here."""
+    lag_rows, init_rows = _holt_weight_tables(
+        alpha, beta, HOLT_MAX_N, HOLT_UNIT
+    )
+    spark = events.sparkSession
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.to_date(F.date_format(F.col(ts_col), "yyyy-MM-dd")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    span = daily.groupBy("k").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    series = (
+        span.select(
+            "k", "d0", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+        .join(daily, ["k", "day"], "left")
+        .select(
+            "k",
+            F.datediff("day", "d0").cast("bigint").alias("t"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    nst = series.groupBy("k").agg(
+        (F.max("t") + 1).cast("bigint").alias("n")
+    ).where((F.col("n") >= 2) & (F.col("n") <= HOLT_MAX_N))
+    lw = spark.createDataFrame(
+        lag_rows, "lag long, ws long, wb long"
+    )
+    iw = spark.createDataFrame(
+        init_rows, "p long, i1s long, i1b long, i2s long, i2b long"
+    )
+    # Σ_{j>=1} A^{(n-1)-j} c · y_j  (0-based j; 1-based j>=2)
+    body = (
+        series.join(nst, "k")
+        .where(F.col("t") >= 1)
+        .withColumn("lag", F.col("n") - 1 - F.col("t"))
+        .join(F.broadcast(lw), "lag")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("y") * F.col("ws")).cast("bigint").alias("bs"),
+            F.sum(F.col("y") * F.col("wb")).cast("bigint").alias("bb"),
+        )
+    )
+    # init contributions: A^{n-1} over y_0·[1,-1] and y_1·[0,1]
+    y0 = series.where(F.col("t") == 0).select("k", F.col("y").alias("y0"))
+    y1 = series.where(F.col("t") == 1).select("k", F.col("y").alias("y1"))
+    init = (
+        nst.withColumn("p", F.col("n") - 1)
+        .join(F.broadcast(iw), "p")
+        .join(y0, "k")
+        .join(y1, "k")
+        .select(
+            "k",
+            "n",
+            (F.col("y0") * F.col("i1s") + F.col("y1") * F.col("i2s"))
+            .cast("bigint")
+            .alias("is_"),
+            (F.col("y0") * F.col("i1b") + F.col("y1") * F.col("i2b"))
+            .cast("bigint")
+            .alias("ib"),
+        )
+    )
+    u = float(HOLT_UNIT)
+    j = init.join(body, "k")
+    lvl = (F.col("is_") + F.col("bs")).cast("bigint")
+    trd = (F.col("ib") + F.col("bb")).cast("bigint")
+    return j.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_days"),
+        lvl.alias("level_units"),
+        trd.alias("trend_units"),
+        F.round(lvl.cast("double") / F.lit(u), 7).alias("level"),
+        F.round(trd.cast("double") / F.lit(u), 7).alias("trend"),
+        F.round(
+            (lvl + F.lit(3) * trd).cast("double") / F.lit(u), 7
+        ).alias("forecast_3"),
+    )
+
+
+def q_trend_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return holt_linear(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+def _holt_oracle_sql() -> str:
+    lag_rows, init_rows = _holt_weight_tables(
+        HOLT_ALPHA, HOLT_BETA, HOLT_MAX_N, HOLT_UNIT
+    )
+    lw = ", ".join(f"({p}, {s}, {b})" for p, s, b in lag_rows)
+    iw = ", ".join(
+        f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in init_rows
+    )
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d')::DATE AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+span AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY k),
+spine AS (
+  SELECT k, d0, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span),
+series AS (
+  SELECT spine.k, (spine.day - spine.d0)::BIGINT AS t,
+         coalesce(daily.c, 0)::BIGINT AS y
+  FROM spine LEFT JOIN daily ON daily.k = spine.k AND daily.day = spine.day),
+nst AS (
+  SELECT k, (max(t) + 1)::BIGINT AS n FROM series GROUP BY k
+  HAVING (max(t) + 1) BETWEEN 2 AND {HOLT_MAX_N}),
+lw(lag, ws, wb) AS (VALUES {lw}),
+iw(p, i1s, i1b, i2s, i2b) AS (VALUES {iw}),
+body AS (
+  SELECT s.k, sum(s.y * lw.ws)::BIGINT AS bs,
+         sum(s.y * lw.wb)::BIGINT AS bb
+  FROM series s JOIN nst ON nst.k = s.k
+  JOIN lw ON lw.lag = nst.n - 1 - s.t
+  WHERE s.t >= 1 GROUP BY s.k),
+init AS (
+  SELECT nst.k, nst.n,
+         (y0.y * iw.i1s + y1.y * iw.i2s)::BIGINT AS is_,
+         (y0.y * iw.i1b + y1.y * iw.i2b)::BIGINT AS ib
+  FROM nst JOIN iw ON iw.p = nst.n - 1
+  JOIN series y0 ON y0.k = nst.k AND y0.t = 0
+  JOIN series y1 ON y1.k = nst.k AND y1.t = 1)
+SELECT init.k AS event_type, init.n AS n_days,
+       (init.is_ + body.bs)::BIGINT AS level_units,
+       (init.ib + body.bb)::BIGINT AS trend_units,
+       round((init.is_ + body.bs)::DOUBLE / {HOLT_UNIT}, 7) AS level,
+       round((init.ib + body.bb)::DOUBLE / {HOLT_UNIT}, 7) AS trend,
+       round((init.is_ + body.bs + 3 * (init.ib + body.bb))::DOUBLE
+             / {HOLT_UNIT}, 7) AS forecast_3
+FROM init JOIN body ON body.k = init.k
+ORDER BY event_type"""
+
+
+QUERIES["trend_holt"] = q_trend_holt
+ORACLES["trend_holt"] = _holt_oracle_sql()

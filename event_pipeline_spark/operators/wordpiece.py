@@ -219,3 +219,89 @@ FROM {final} ORDER BY word"""
 
 QUERIES["wordpiece_tokens"] = q_wordpiece_tokens
 ORACLES["wordpiece_tokens"] = _oracle_sql(FROZEN_VOCAB, 6)
+
+
+def oov_rate_by_lang(docs: DataFrame) -> DataFrame:
+    """(lang, n_types, n_occ, unk_types, unk_occ, oov_rate): per
+    language, the share of word occurrences the frozen WordPiece vocab
+    cannot segment (the ``[UNK]`` rate) — the vocabulary-coverage
+    readout a tokenizer choice is actually judged by before a training
+    run (high OOV on a language means its text degrades to UNK soup).
+
+    Scale shape: segmentation runs once per DISTINCT corpus word (the
+    memoization discipline of ``q_wordpiece_tokens``) and joins back to
+    per-(lang, word) counts; everything else is map-side-combinable
+    counting, and oov_rate is ONE division of exact BIGINTs."""
+    from event_pipeline_spark.operators.lm import whitespace_tokens
+    lang_words = (
+        docs.select(
+            "lang",
+            F.explode(whitespace_tokens(F.col("text"))).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    seg = wordpiece_segment(
+        lang_words.select("word").distinct()
+    ).select(
+        "word",
+        (F.col("pieces") == F.array(F.lit(UNK))).alias("is_unk"),
+    )
+    j = lang_words.join(seg, "word")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("n_occ"),
+            F.sum(F.col("is_unk").cast("long"))
+            .cast("bigint")
+            .alias("unk_types"),
+            F.sum(F.when(F.col("is_unk"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("unk_occ"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_occ",
+            "unk_types",
+            "unk_occ",
+            F.round(
+                F.col("unk_occ").cast("double")
+                / F.col("n_occ").cast("double"),
+                7,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_tok_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return oov_rate_by_lang(read_table(spark, sf_dir, "documents"))
+
+
+def _oov_oracle_sql(vocab: tuple[str, ...], max_pieces: int) -> str:
+    ctes, final = _ctes(vocab, max_pieces, prefix="ov")
+    return f"""
+WITH {ctes},
+lang_words AS (
+  SELECT lang, w AS word, count(*)::BIGINT AS c
+  FROM (SELECT lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY lang, w),
+seg AS (
+  SELECT word, (bad OR pos < length(word)) AS is_unk FROM {final})
+SELECT lang, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_occ,
+       sum(CASE WHEN is_unk THEN 1 ELSE 0 END)::BIGINT AS unk_types,
+       sum(CASE WHEN is_unk THEN c ELSE 0 END)::BIGINT AS unk_occ,
+       round(sum(CASE WHEN is_unk THEN c ELSE 0 END)::DOUBLE
+             / sum(c)::DOUBLE, 7) AS oov_rate
+FROM lang_words JOIN seg USING (word)
+GROUP BY lang ORDER BY lang"""
+
+
+QUERIES["tok_oov_rate"] = q_tok_oov_rate
+ORACLES["tok_oov_rate"] = _oov_oracle_sql(FROZEN_VOCAB, 6)

@@ -140,6 +140,7 @@ _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 #: format; JSONL/CSV are the arrival formats of real corpus drops.
 _TABLE_FORMATS = (
     ("parquet", ".parquet"),
+    ("orc", ".orc"),
     ("json", ".jsonl"),
     ("json", ".json"),
     ("csv", ".csv"),
@@ -183,7 +184,8 @@ def read_table(
     """Read one benchmark table as a lazy DataFrame scan.
 
     Format is detected by file extension — ``{name}.parquet`` first (the
-    benchmark's native format), then ``.jsonl``/``.json``/``.csv`` (how
+    benchmark's native format), then ``.orc`` (the columnar sibling,
+    same pushdown/pruning), then ``.jsonl``/``.json``/``.csv`` (how
     real corpus drops arrive). The normalization contract is
     format-independent: the ``events`` table's ``ts`` lands as
     TIMESTAMP_NTZ whatever the physical encoding was (three parquet
@@ -213,6 +215,11 @@ def read_table(
         if name == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # columnar sibling with the same pushdown/pruning properties;
+        # ORC TIMESTAMP is zone-less on disk, so the events
+        # normalization below lands it as TIMESTAMP_NTZ like parquet
+        df = spark.read.orc(path)
     else:
         reader = spark.read
         if schema is not None:

@@ -89,3 +89,26 @@ def test_llr_python_pin():
     strong = _llr(50, 0, 0, 50)
     assert strong > 100
     assert _llr(500, 0, 0, 500) > strong
+
+
+def test_cooccurrence_window_semantics(spark):
+    from event_pipeline_spark.operators.collocations import (
+        cooccurrence_pmi,
+    )
+
+    # 'a b c d e': within window 3, (a,e) never pairs (distance 4),
+    # (a,d) does (distance 3). Repeat the doc so min_count=5 keeps all.
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(5)], "doc_id long, text string"
+    )
+    rows = cooccurrence_pmi(docs, window=3, min_count=5, top_k=100)
+    got = {(r["a"], r["b"]): r for r in rows.collect()}
+    assert ("a", "d") in got and ("a", "e") not in got
+    assert ("b", "e") in got and ("a", "b") in got
+    # pair counts: each doc contributes exactly 1 of each in-window
+    # unordered pair (no token repeats), 5 docs -> c = 5
+    assert all(r["c"] == 5 for r in got.values())
+    # marginals count pair-slots: 'a' is in pairs (ab)(ac)(ad) -> 15
+    assert got[("a", "b")]["f_a"] == 15
+    # 'c' pairs with all four others -> 20
+    assert got[("b", "c")]["f_b"] == 20

@@ -344,3 +344,35 @@ def test_gain_deciles_tie_break_is_deterministic(spark):
             label_col="label", id_col="id").collect())
     )
     assert t1 == t2
+
+
+def test_rouge_hand_case(spark):
+    from event_pipeline_spark.operators.evaluation import rouge_n_pairs
+
+    # a: 'x y x z'  (uni: x2 y1 z1, t=4; bi: 'x y','y x','x z', t=3)
+    # b: 'x y x'    (uni: x2 y1,    t=3; bi: 'x y','y x',      t=2)
+    docs = spark.createDataFrame(
+        [(1, "x y x z"), (2, "x y x")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = {r["n"]: r for r in rouge_n_pairs(docs, pairs).collect()}
+    r1, r2 = rows[1], rows[2]
+    # unigram overlap = min(2,2)+min(1,1) = 3 (clipped multiset)
+    assert (r1["overlap"], r1["total_a"], r1["total_b"]) == (3, 4, 3)
+    assert r1["p"] == 1.0 and r1["r"] == 0.75
+    assert r1["f1"] == round(2 * 3 / 7, 7)
+    # bigram overlap = 2 ('x y', 'y x')
+    assert (r2["overlap"], r2["total_a"], r2["total_b"]) == (2, 3, 2)
+    assert r2["p"] == 1.0 and r2["r"] == round(2 / 3, 7)
+    assert r2["f1"] == 0.8
+
+
+def test_rouge_disjoint_pair_zero(spark):
+    from event_pipeline_spark.operators.evaluation import rouge_n_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    for r in rouge_n_pairs(docs, pairs).collect():
+        assert r["overlap"] == 0 and r["f1"] == 0.0

@@ -103,3 +103,32 @@ def test_woe_iv_matches_python_reference(spark):
         assert out[cat]["iv"] == round(iv, 7), cat
     assert out["a"]["woe"] > 0 > out["b"]["woe"]
     assert all(r["iv"] >= 0 or abs(r["iv"]) < 1e-9 for r in out.values())
+
+
+def test_hashing_trick_determinism_and_shape(spark):
+    from event_pipeline_spark.operators.features import (
+        FH_BUCKETS,
+        hashed_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    rows = hashed_features(docs).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < FH_BUCKETS
+        by_doc.setdefault(r["id"], {})[r["bucket"]] = r
+    # doc 1: alpha x2 + beta; doc 2: alpha + gamma. Token counts add up.
+    assert sum(r["n_terms"] for r in rows) == 5
+    # v is a SIGNED count: |v| <= n_terms cell-wise
+    assert all(abs(r["v"]) <= r["n_terms"] for r in rows)
+    # determinism: a second run hashes identically
+    again = sorted(
+        (r["id"], r["bucket"], r["n_terms"], r["v"])
+        for r in hashed_features(docs).collect()
+    )
+    assert again == sorted(
+        (r["id"], r["bucket"], r["n_terms"], r["v"]) for r in rows
+    )

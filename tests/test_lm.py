@@ -239,3 +239,24 @@ def test_kn_no_python_in_plan(spark, corpora):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_good_turing_hand_case(spark):
+    from event_pipeline_spark.operators.lm import good_turing_counts
+
+    # corpus: a a a b b c d e -> freqs: a=3, b=2, c=d=e=1
+    # N_1=3, N_2=1, N_3=1
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c d e")], "doc_id long, text string"
+    )
+    rows = {r["r"]: r for r in good_turing_counts(docs).collect()}
+    assert rows[1]["n_types"] == 3 and rows[1]["mass"] == 3
+    assert rows[2]["n_types"] == 1 and rows[2]["mass"] == 2
+    assert rows[3]["n_types"] == 1 and rows[3]["mass"] == 3
+    # r*(1) = 2 * N_2 / N_1 = 2/3; r*(2) = 3 * N_3 / N_2 = 3
+    assert rows[1]["r_star"] == round(2 / 3, 7)
+    assert rows[2]["r_star"] == 3.0
+    # no N_4 -> r*(3) is NULL (the gap simple GT regresses over)
+    assert rows[3]["r_star"] is None
+    # total mass is the token count
+    assert sum(r["mass"] for r in rows.values()) == 8

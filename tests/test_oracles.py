@@ -175,3 +175,29 @@ def test_q37_approx_within_bounds(spark, sf_dir):
         assert abs(a["approx_users"] - e["users"]) <= max(3, 0.1 * e["users"])
         assert e["q"][0] - 1e-9 <= a["p50"] <= e["q"][1] + 1e-9
         assert e["q"][2] - 1e-9 <= a["p95"] <= e["q"][3] + 1e-9
+
+
+def test_read_table_orc_parity(spark, sf_dir, tmp_path):
+    """ORC ingest parity: the columnar sibling format reads through
+    read_table with the same TIMESTAMP_NTZ normalization and value
+    equality as parquet (differential: values compared against the
+    parquet read of the same rows)."""
+    from event_pipeline_spark.session import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    sample = events.limit(300)
+    want = {r["event_id"]: r.asDict() for r in sample.collect()}
+
+    od = tmp_path / "orc"
+    sample.coalesce(1).write.orc(str(od / "tmp"))
+    orcf = next((od / "tmp").glob("part-*.orc"))
+    orcf.rename(od / "events.orc")
+
+    df = read_table(spark, str(od), "events", cached=False)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = {r["event_id"]: r.asDict() for r in df.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("ts", "event_type", "user_id", "value"):
+            assert got[k][col] == want[k][col], (k, col)
+

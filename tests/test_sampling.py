@@ -170,3 +170,34 @@ def test_weighted_sample_k_proportional_and_deterministic(spark):
         df.repartition(7), 10, "k", "w", salt="s0"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_leakage_report_hand_case(spark):
+    from event_pipeline_spark.operators.sampling import leakage_report
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (2, 5)], "id_a long, id_b long"
+    )
+    splits = spark.createDataFrame(
+        [
+            (1, "train"), (2, "train"), (3, "train"),
+            (4, "test"), (5, "val"), (6, "val"),
+        ],
+        "doc_id long, split string",
+    )
+    rows = {
+        (r["split_a"], r["split_b"]): r
+        for r in leakage_report(docs, pairs, splits).collect()
+    }
+    # (1,2) within train; (3,4) test<->train leak; (5,6) within val;
+    # (2,5) train<->val leak (canonicalized regardless of member order)
+    assert rows[("train", "train")]["n_pairs"] == 1
+    assert rows[("train", "train")]["leak"] is False
+    assert rows[("test", "train")]["n_pairs"] == 1
+    assert rows[("test", "train")]["leak"] is True
+    assert rows[("train", "val")]["n_pairs"] == 1
+    assert rows[("val", "val")]["n_pairs"] == 1
+    assert all(r["share"] == 0.25 for r in rows.values())

@@ -318,3 +318,30 @@ def test_cms_unseen_key_reads_its_collisions_only(spark):
     keys = spark.createDataFrame([("never",)], "v string")
     est = cms_estimate(cms_build(df, "v"), keys, "v").collect()[0]
     assert 0 <= est["estimate"] <= 5
+
+
+def test_ams_f2_exact_identity_and_merge(spark):
+    from event_pipeline_spark.operators.sketches import ams_f2_sketch
+    from pyspark.sql import functions as F
+
+    # 6 rows of 'x', 3 of 'y': F2 = 36 + 9 = 45
+    df = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3, "v string"
+    )
+    sk = {r["sketch"]: r for r in ams_f2_sketch(df, "v").collect()}
+    assert len(sk) == 8
+    for s, r in sk.items():
+        # z = ±6 ± 3 depending on the two hash signs
+        assert abs(r["z"]) in (3, 9)
+        assert r["estimate"] == r["z"] * r["z"]
+    # estimates are unbiased for F2=45: each is 9 or 81, both straddle
+    assert {r["estimate"] for r in sk.values()} <= {9, 81}
+
+    # linearity: sketching two halves separately and SUMMING z equals
+    # sketching the union (the mergeability contract)
+    h1 = spark.createDataFrame([("x",)] * 4, "v string")
+    h2 = spark.createDataFrame([("x",)] * 2 + [("y",)] * 3, "v string")
+    z1 = {r["sketch"]: r["z"] for r in ams_f2_sketch(h1, "v").collect()}
+    z2 = {r["sketch"]: r["z"] for r in ams_f2_sketch(h2, "v").collect()}
+    for s, r in sk.items():
+        assert z1.get(s, 0) + z2.get(s, 0) == r["z"]

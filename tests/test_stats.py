@@ -269,3 +269,23 @@ def test_wilson_interval_honest_at_extremes(spark):
     assert out["half"]["lo"] == round(center - half, 7)
     assert out["half"]["hi"] == round(center + half, 7)
     assert out["half"]["lo"] < 0.5 < out["half"]["hi"]
+
+
+def test_histogram_equidepth_hand_case(spark):
+    from event_pipeline_spark.operators.stats import histogram_equidepth
+
+    # 10 values 1..10 into 4 buckets: tiling (r-1)*4 div 10 ->
+    # sizes 3,2,3,2 with edges [1,3],[4,5],[6,8],[9,10]
+    df = spark.createDataFrame(
+        [("g", v, v) for v in range(1, 11)],
+        "g string, v long, id long",
+    )
+    rows = {
+        r["bucket"]: r
+        for r in histogram_equidepth(
+            df, group_col="g", value_col="v", id_col="id", n_buckets=4
+        ).collect()
+    }
+    assert [(rows[b]["n"], rows[b]["lo"], rows[b]["hi"]) for b in range(4)] == [
+        (3, 1, 3), (2, 4, 5), (3, 6, 8), (2, 9, 10)
+    ]

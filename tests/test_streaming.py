@@ -2267,3 +2267,78 @@ def test_stream_static_enrichment_parity_and_broadcast(spark, tmp_path):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_ab_deltas_equal_batch(spark, tmp_path):
+    """Two micro-batches of experiment events: cumulative delta sums
+    reproduce the batch ab_test_proportions counters exactly, with
+    user 3's conversion arriving a batch AFTER enrollment (only
+    carried state can know it already counted in n_b) and user 1
+    re-appearing without re-emitting."""
+    from event_pipeline_spark.operators.stats import ab_test_proportions
+    from event_pipeline_spark.streaming.abtest import (
+        streaming_ab_deltas,
+        z_from_counters,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    # (user_id, bucket, success)
+    b1 = [
+        (1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 1, 0),
+        (1, 0, 0),  # same unit twice in one batch: one enrollment
+    ]
+    b2 = [
+        (3, 1, 1),  # converts across the boundary -> (bucket 1, 0, +1)
+        (1, 0, 1),  # first conversion of an already-enrolled unit
+        (2, 0, 1),  # already converted: NO emission
+        (5, 0, 0),  # fresh enrollment in batch 2
+    ]
+    schema = "user_id long, bucket int, success int"
+    ev = spark.createDataFrame(b1 + b2, schema)
+    batch = ab_test_proportions(
+        ev, unit_col="user_id", bucket_col="bucket", success_col="success"
+    ).collect()[0]
+
+    src = f"file://{tmp_path}/ab_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_ab_deltas(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ab_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+
+    n_a = sum(r["d_n"] for r in collected if r["bucket"] == 0)
+    conv_a = sum(r["d_conv"] for r in collected if r["bucket"] == 0)
+    n_b = sum(r["d_n"] for r in collected if r["bucket"] == 1)
+    conv_b = sum(r["d_conv"] for r in collected if r["bucket"] == 1)
+    assert (n_a, conv_a, n_b, conv_b) == (
+        batch["n_a"], batch["conv_a"], batch["n_b"], batch["conv_b"]
+    )
+    assert (n_a, conv_a, n_b, conv_b) == (3, 2, 2, 1)
+    # unit 2's second success emitted nothing
+    assert len([r for r in collected if r["bucket"] == 0]) == 4
+    assert z_from_counters(n_a, conv_a, n_b, conv_b) == batch["z"]

@@ -543,3 +543,36 @@ def test_funnel_stage_times_hand_case(spark):
     assert out[3]["n_users"] == 1 and out[3]["p50_us"] == 20 * mi
     assert out[4]["n_users"] == 1 and out[4]["p50_us"] == 40 * mi
     assert 5 not in out and 1 not in out
+
+
+def test_resample_ohlc_hand_case(spark):
+    """Open/close follow (ts, tiebreak) total order, including a tie
+    on ts resolved by event_id."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import resample_ohlc
+
+    rows = [
+        # one hour bar: open=3.00 (earliest), close=1.50 (latest,
+        # tie on ts broken by higher event_id)
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 3.00, "{}"),
+        (2, datetime(2024, 1, 1, 10, 20), 1, "view", 9.25, "{}"),
+        (3, datetime(2024, 1, 1, 10, 40), 1, "view", 0.75, "{}"),
+        (4, datetime(2024, 1, 1, 10, 40), 1, "view", 1.50, "{}"),
+        # next bar, single row: OHLC all equal
+        (5, datetime(2024, 1, 1, 11, 5), 1, "view", 2.00, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r["bar"].hour: r for r in resample_ohlc(ev).collect()}
+    b10 = out[10]
+    assert (b10["n"], b10["open_cents"], b10["close_cents"]) == (4, 300, 150)
+    assert (b10["high_cents"], b10["low_cents"]) == (925, 75)
+    b11 = out[11]
+    assert (
+        b11["open_cents"], b11["high_cents"],
+        b11["low_cents"], b11["close_cents"],
+    ) == (200, 200, 200, 200)

@@ -231,3 +231,133 @@ def test_seasonal_residuals_hand_case(spark):
     assert not out["2024-01-01"]["outlier"]
     # MAD of |c-10| = [0,0,0,90] -> lower median 0; flag uses 6745*90 > 0
     assert out["2024-01-01"]["mad"] == 0
+
+
+def test_theil_sen_hand_cases(spark):
+    from event_pipeline_spark.operators.trends import theil_sen
+
+    # perfect slope 2/day: counts 1,3,5,7 -> every pairwise slope is 2
+    r = {
+        row["event_type"]: row
+        for row in theil_sen(_events(spark, [1, 3, 5, 7])).collect()
+    }["click"]
+    assert r["n_days"] == 4 and r["n_pairs"] == 6
+    assert r["slope_units"] == 20_000_000 and r["slope"] == 2.0
+
+
+def test_theil_sen_outlier_immune(spark):
+    from event_pipeline_spark.operators.trends import theil_sen
+
+    # one wild day cannot move the median slope far: 10 flat days with
+    # one spike -> most pairwise slopes are 0
+    counts = [5] * 5 + [500] + [5] * 5
+    r = theil_sen(_events(spark, counts)).collect()[0]
+    assert r["slope_units"] == 0 and r["slope"] == 0.0
+
+
+def test_theil_sen_negative_slope_truncation(spark):
+    from event_pipeline_spark.operators.trends import theil_sen
+
+    # counts 7,6,4: slopes -1, -2, -3/2 -> sorted units
+    # [-20000000, -15000000, -10000000], lower median (m=3 -> rank 2)
+    # is -15000000; -3/2 quantizes exactly (no truncation residue),
+    # and the truncating DIV matches DuckDB // by construction
+    r = theil_sen(_events(spark, [7, 6, 4])).collect()[0]
+    assert r["slope_units"] == -15_000_000
+    assert r["slope"] == -1.5
+
+
+def test_acf_alternating_series(spark):
+    from event_pipeline_spark.operators.trends import daily_acf
+
+    # alternating 2,4,2,4,... : r_1 = -1 + O(1/n) exactly computable;
+    # verify against a NumPy-free reference fold
+    counts = [2, 4] * 5
+    rows = {
+        r["lag"]: r for r in daily_acf(_events(spark, counts)).collect()
+    }
+    n = len(counts)
+    s = sum(counts)
+    ss = sum(c * c for c in counts)
+    for lag in (1, 2, 3):
+        a = sum(counts[t] * counts[t - lag] for t in range(lag, n))
+        b = sum(counts[t] + counts[t - lag] for t in range(lag, n))
+        num = n * n * a - n * s * b + (n - lag) * s * s
+        den = n * n * ss - n * s * s
+        assert rows[lag]["r"] == round(num / den, 7)
+        assert rows[lag]["n_days"] == n
+    # exact values: deviations are ±1, so r_1 = -9/10, r_2 = +8/10
+    assert rows[1]["r"] == -0.9 and rows[2]["r"] == 0.8
+
+
+def test_acf_constant_series_null_and_zero_fill(spark):
+    from event_pipeline_spark.operators.trends import daily_acf
+    import datetime as dt
+
+    # constant series -> zero variance -> NULL r at every lag
+    rows = daily_acf(_events(spark, [3, 3, 3, 3, 3])).collect()
+    assert rows and all(r["r"] is None for r in rows)
+
+    # a gap day enters as an observed zero: days 1,2,4 (day 3 empty)
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 1, 1), 0, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 3, 2, 1), 0, "click", 1.0, "{}"),
+            (3, dt.datetime(2024, 3, 4, 1), 0, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = {x["lag"]: x for x in daily_acf(df).collect()}
+    assert r[1]["n_days"] == 4  # spine covers the gap
+
+
+def test_holt_matches_recursive_fold(spark):
+    """The matrix-power closed form equals the textbook recursion run
+    in Python with the SAME quantized weights (the definitional
+    check), on an irregular series."""
+    from event_pipeline_spark.operators.trends import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_MAX_N,
+        HOLT_UNIT,
+        _holt_weight_tables,
+        holt_linear,
+    )
+
+    counts = [3, 7, 4, 9, 2, 8, 8, 1, 6]
+    r = holt_linear(_events(spark, counts)).collect()[0]
+
+    # reference: fold the weight LITERALS the operator uses (the model
+    # is Holt-with-quantized-weights; exactness claim is vs these)
+    lag_rows, init_rows = _holt_weight_tables(
+        HOLT_ALPHA, HOLT_BETA, HOLT_MAX_N, HOLT_UNIT
+    )
+    lagw = {p: (s, b) for p, s, b in lag_rows}
+    initw = {row[0]: row[1:] for row in init_rows}
+    n = len(counts)
+    i1s, i1b, i2s, i2b = initw[n - 1]
+    s_u = counts[0] * i1s + counts[1] * i2s
+    b_u = counts[0] * i1b + counts[1] * i2b
+    for j in range(1, n):
+        ws, wb = lagw[n - 1 - j]
+        s_u += counts[j] * ws
+        b_u += counts[j] * wb
+    assert (r["level_units"], r["trend_units"]) == (s_u, b_u)
+    assert r["forecast_3"] == round((s_u + 3 * b_u) / HOLT_UNIT, 7)
+
+    # and the un-quantized textbook recursion agrees to ~1e-6
+    a, b = HOLT_ALPHA, HOLT_BETA
+    s, t = counts[0], counts[1] - counts[0]
+    for y in counts[1:]:
+        s_new = a * y + (1 - a) * (s + t)
+        t = b * (s_new - s) + (1 - b) * t
+        s = s_new
+    assert abs(r["level"] - s) < 1e-5 and abs(r["trend"] - t) < 1e-5
+
+
+def test_holt_short_and_long_series_dropped(spark):
+    from event_pipeline_spark.operators.trends import holt_linear
+
+    # a single observed day has no defined trend -> no row
+    assert holt_linear(_events(spark, [5])).collect() == []

@@ -79,3 +79,26 @@ def test_full_corpus_vocabulary_covered(spark, sf_dir):
             p.removeprefix("##") for p in r["pieces"].split(" ")
         )
         assert joined == r["word"]
+
+
+def test_oov_rate_hand_case(spark):
+    from event_pipeline_spark.operators.wordpiece import oov_rate_by_lang
+
+    # 'the big hash' all segment; 'zzz' and 'qqq' cannot (no z/q##
+    # continuations); 'zzz' appears twice in de so occurrences weigh
+    docs = spark.createDataFrame(
+        [
+            (1, "the big hash", "en"),
+            (2, "zzz the zzz", "de"),
+            (3, "qqq", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in oov_rate_by_lang(docs).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_types"], en["n_occ"], en["unk_occ"]) == (3, 3, 0)
+    assert en["oov_rate"] == 0.0
+    # de: types {zzz, the, qqq}; occ = 4; unk occ = 2 (zzz) + 1 (qqq)
+    assert (de["n_types"], de["n_occ"]) == (3, 4)
+    assert (de["unk_types"], de["unk_occ"]) == (2, 3)
+    assert de["oov_rate"] == 0.75

@@ -59,6 +59,21 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sketch_theta_overlap": {
         "Exchange SinglePartition": "one-row sketch aggregates",
     },
+    "trend_acf": {
+        "BroadcastNestedLoopJoin": "broadcast max_lag(=7)-row lag spine "
+        "crossed with the daily series (bounded-domain spine; the "
+        "heavy alignment is the (key, t-L) equi-join after it)",
+    },
+    "sketch_ams_f2": {
+        "BroadcastNestedLoopJoin": "broadcast one-row exact-F2 "
+        "aggregate crossed with the n_sketches rows (rank_bm25 "
+        "one-row-stats shape)",
+    },
+    "text_cooccurrence_pmi": {
+        "BroadcastNestedLoopJoin": "broadcast window(=3)-row offset "
+        "spine fanning positions into (doc, pos) equi-join keys "
+        "(bounded-domain spine, the trend_acf shape)",
+    },
     "sim_pca_project_exact": {
         "BroadcastNestedLoopJoin": "broadcast ONE row holding the "
         "64-int mean / direction vector per power-iteration round "
@@ -103,6 +118,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "Exchange SinglePartition": "global share window over the "
         "|sources|^2 (<=300) provenance cell table — pairs collapsed "
         "in the upstream aggregate (stats_psi_bins shape)",
+    },
+    "split_leakage_report": {
+        "Exchange SinglePartition": "global share window over at most "
+        "|splits|^2 (=9) leakage cells — pairs collapsed in the "
+        "upstream aggregate (dedup_source_matrix shape)",
     },
     "stats_psi_bins": {
         "Exchange SinglePartition": "global totals window over EXACTLY "
