@@ -762,67 +762,86 @@ def rouge_n_pairs(
             lambda w: w != "",
         ).alias("toks"),
     )
-    out = None
+    from event_pipeline_spark.cache import pin
+
+    spark = docs.sparkSession
+    # ONE unioned gram table over all orders, pinned: it feeds both
+    # pair sides and the totals (3 references), and the tokenize +
+    # explode + count chain would otherwise recompute per reference
+    # (honest re-execution measured 12s at sf0.1 before pinning vs
+    # ~2s after; an earlier "pinning is slower" reading was an artifact
+    # of the bench's stale-shuffle reuse, fixed in bench.py round 9)
+    def _gram_fn(width: int):
+        # one-arg closure: a two-parameter lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument
+        return lambda i: F.array_join(F.slice("toks", i, width), " ")
+
+    gram_tbls = []
     for n in orders:
-        grams = toks.select(
-            "id",
-            F.explode(
-                F.when(
-                    F.size("toks") >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - n + 1),
-                        lambda i: F.array_join(
-                            F.slice("toks", i, n), " "
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
-        ).groupBy("id", "g").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
-        )
-        totals = grams.groupBy("id").agg(
-            F.sum("c").cast("bigint").alias("t")
-        )
-        ga = grams.select(
-            F.col("id").alias("id_a"), "g", F.col("c").alias("ca")
-        )
-        gb = grams.select(
-            F.col("id").alias("id_b"), "g", F.col("c").alias("cb")
-        )
-        ov = (
-            pairs.join(ga, "id_a")
-            .join(gb, ["id_b", "g"])
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap")
-            )
-        )
-        row = (
-            pairs.join(ov, ["id_a", "id_b"], "left")
-            .join(
-                totals.select(
-                    F.col("id").alias("id_a"), F.col("t").alias("total_a")
-                ),
-                "id_a",
-            )
-            .join(
-                totals.select(
-                    F.col("id").alias("id_b"), F.col("t").alias("total_b")
-                ),
-                "id_b",
-            )
-            .select(
-                "id_a",
-                "id_b",
+        gram_tbls.append(
+            toks.select(
                 F.lit(n).cast("int").alias("n"),
-                F.coalesce("overlap", F.lit(0))
-                .cast("bigint")
-                .alias("overlap"),
-                "total_a",
-                "total_b",
+                "id",
+                F.explode(
+                    F.when(
+                        F.size("toks") >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("toks") - n + 1),
+                            _gram_fn(n),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("g"),
             )
+            .groupBy("n", "id", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        out = row if out is None else out.unionByName(row)
+    grams = gram_tbls[0]
+    for t in gram_tbls[1:]:
+        grams = grams.unionByName(t)
+    grams = pin(grams)
+    pairs = pin(pairs)  # bounded candidate list, referenced twice
+    totals = grams.groupBy("n", "id").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    ga = grams.select(
+        "n", F.col("id").alias("id_a"), "g", F.col("c").alias("ca")
+    )
+    gb = grams.select(
+        "n", F.col("id").alias("id_b"), "g", F.col("c").alias("cb")
+    )
+    ov = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "n", "g"])
+        .groupBy("id_a", "id_b", "n")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap"))
+    )
+    order_spine = spark.createDataFrame(
+        [(int(n),) for n in orders], "n int"
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(order_spine))  # |orders|-row spine
+        .join(ov, ["id_a", "id_b", "n"], "left")
+        .join(
+            totals.select(
+                "n", F.col("id").alias("id_a"), F.col("t").alias("total_a")
+            ),
+            ["id_a", "n"],
+        )
+        .join(
+            totals.select(
+                "n", F.col("id").alias("id_b"), F.col("t").alias("total_b")
+            ),
+            ["id_b", "n"],
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n",
+            F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+            "total_a",
+            "total_b",
+        )
+    )
     ovc = F.col("overlap").cast("double")
     return out.select(
         "id_a",
@@ -859,6 +878,9 @@ def q_eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_pipeline_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents")
+    # the pair chain appears once per union branch, but the subtrees
+    # are identical and ReuseExchange shares them — pinning measured
+    # slower (4.8s vs 3.6s at sf0.1)
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.5, group_col="source"
     ).select("id_a", "id_b")
@@ -924,4 +946,93 @@ SELECT id_a, id_b, n::INT AS n, overlap, total_a, total_b,
             THEN round(2 * overlap::DOUBLE
                        / (total_a + total_b)::DOUBLE, 7) END AS f1
 FROM base ORDER BY id_a, id_b, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: inverse-propensity scoring (replay)
+# ---------------------------------------------------------------------------
+
+
+def ips_uniform_value(
+    df: DataFrame,
+    *,
+    action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """(action, n_a, n, k, sum_cents, p_hat, w, contrib_cents): the
+    inverse-propensity-scoring estimate of a UNIFORM target policy's
+    value from logged bandit data (Li et al. 2011 replay; Horvitz–
+    Thompson weighting) — the offline answer to "what would we earn if
+    we served all K actions equally?" without an online test. Behavior
+    propensities are the empirical action shares p̂(a) = n_a/n (the
+    logged-policy-is-stationary assumption, stated); the importance
+    weight w = (1/K)/p̂ then collapses per action to
+
+        contrib(a) = Σ_{i: a_i=a} r_i / (K·n_a)
+
+    — ONE exact division of BIGINT cents per action. The total IPS
+    value is the SUM over rows (left to the consumer so every emitted
+    number stays a single correctly-rounded division). Rewards are
+    integer cents; n, n_a, K exact.
+
+    Scale shape: one map-side-combinable groupBy to K cells + two
+    broadcast scalars; nothing per-row after the aggregate."""
+    cents = F.floor(F.col(reward_col) * 100 + F.lit(0.5)).cast("bigint")
+    per = df.groupBy(F.col(action_col).alias("action")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))  # one-row totals (bm25 shape)
+    return j.select(
+        "action",
+        "n_a",
+        "n",
+        "k",
+        "sum_cents",
+        F.round(
+            F.col("n_a").cast("double") / F.col("n").cast("double"), 7
+        ).alias("p_hat"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("k") * F.col("n_a")).cast("double"),
+            7,
+        ).alias("w"),
+        F.round(
+            F.col("sum_cents").cast("double")
+            / (F.col("k") * F.col("n_a")).cast("double"),
+            7,
+        ).alias("contrib_cents"),
+    )
+
+
+def q_eval_ips_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS replay value of serving event types uniformly, from the
+    logged event stream (action = event_type, reward = value)."""
+    from event_pipeline_spark.session import read_table
+
+    return ips_uniform_value(
+        read_table(spark, sf_dir, "events"),
+        action_col="event_type",
+        reward_col="value",
+    ).orderBy("action")
+
+
+QUERIES["eval_ips_uniform"] = q_eval_ips_uniform
+ORACLES["eval_ips_uniform"] = """
+WITH per AS (
+  SELECT event_type AS action, count(*)::BIGINT AS n_a,
+         sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+  FROM events GROUP BY event_type),
+tot AS (SELECT sum(n_a)::BIGINT AS n, count(*)::BIGINT AS k FROM per)
+SELECT action, n_a, tot.n, tot.k, sum_cents,
+       round(n_a::DOUBLE / tot.n::DOUBLE, 7) AS p_hat,
+       round(tot.n::DOUBLE / (tot.k * n_a)::DOUBLE, 7) AS w,
+       round(sum_cents::DOUBLE / (tot.k * n_a)::DOUBLE, 7)
+         AS contrib_cents
+FROM per CROSS JOIN tot ORDER BY action
 """

@@ -312,3 +312,96 @@ SELECT key AS event_type,
                       ELSE -{1.0 / DP_EPS} * mag END, 4) AS noisy_count
 FROM noised ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# DP top-k (exponential mechanism via Gumbel noise)
+# ---------------------------------------------------------------------------
+
+DP_TOPK = 3
+DP_TOPK_SALT = "dp-topk-r9"
+
+
+def dp_topk(
+    df: DataFrame,
+    *,
+    key_col: str,
+    k: int = DP_TOPK,
+    epsilon: float = 1.0,
+    salt: str = DP_TOPK_SALT,
+) -> DataFrame:
+    """(rank, key): the ε-DP top-k most frequent keys via the
+    exponential mechanism in its Gumbel-noise form (Durfee & Rogers
+    2019): rank keys by ε·count/2 + Gumbel(0,1) and release the top k
+    — equivalent to k rounds of the exponential mechanism peeling
+    (count utility, sensitivity 1). Only the RANKING is released;
+    counts and scores stay inside the mechanism (the ``dp_counts``
+    release discipline — publishing the noisy score beside the rank
+    would spend extra budget).
+
+    The Gumbel draw is the deterministic md5 recipe every sampling
+    operator here uses (u from low-53 bits of md5(key‖salt), g =
+    −ln(−ln(u)) rounded 6dp), so the release replays exactly in the
+    oracle and in reruns — with the same stated seeding caveat as
+    ``dp_counts``: production rotates the salt per release and
+    accounts ε.
+
+    Scale shape: one map-side-combinable count per key, then
+    TakeOrdered over |keys| scored rows — no full sort."""
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from event_pipeline_spark.operators.dsir import _md5_low64
+
+    u = (
+        (
+            _md5_low64(F.concat(F.col("key").cast("string"), F.lit(salt)))
+            % F.lit(1 << 53)
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 53))
+    g = -F.log(-F.log(u))
+    scored = per.select(
+        "key",
+        F.round(
+            F.lit(float(epsilon) / 2.0) * F.col("c").cast("double") + g, 6
+        ).alias("_score"),
+    )
+    ranked = (
+        scored.orderBy(F.desc("_score"), F.col("key")).limit(k)
+    )
+    from pyspark.sql import Window
+
+    return ranked.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("_score"), F.col("key")))
+        .cast("int")
+        .alias("rank"),
+        F.col("key").alias(key_col),
+    )
+
+
+def q_privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return dp_topk(
+        read_table(spark, sf_dir, "events"), key_col="event_type"
+    ).orderBy("rank")
+
+
+QUERIES["privacy_dp_topk"] = q_privacy_dp_topk
+ORACLES["privacy_dp_topk"] = f"""
+WITH per AS (
+  SELECT event_type AS key, count(*)::BIGINT AS c
+  FROM events GROUP BY event_type),
+scored AS (
+  SELECT key,
+         round(0.5 * c::DOUBLE
+               + (-ln(-ln(((md5_number_lower(key || '{DP_TOPK_SALT}')
+                            ::HUGEINT % {1 << 53})::DOUBLE + 0.5)
+                          / {float(1 << 53)}))), 6) AS s
+  FROM per)
+SELECT row_number() OVER (ORDER BY s DESC, key)::INT AS rank, key
+  AS event_type
+FROM scored ORDER BY s DESC, key LIMIT {DP_TOPK}
+"""

@@ -2770,3 +2770,136 @@ SELECT n_a, n_b,
 FROM agg, ns
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mutual-kNN (reciprocal) pairs — the kNN-graph dedup signal
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_exact(
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(query_id, corpus_id, cosine, rank): every vector's IVF-exact
+    top-k over the SAME corpus — the kNN graph. Unlike
+    ``ivf_topk_exact`` (few queries, broadcast), the self-join form
+    joins corpus cells to probe cells as a plain equi-join: both sides
+    co-partition on the cell id, nothing corpus-sized broadcasts —
+    the shape that survives when "queries" is the whole 100 TB corpus.
+    """
+    centroids = IVF_EXACT_CENTROIDS if centroids is None else centroids
+    cells = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        assign_fixed_centroids(vec_col, centroids).alias("cell"),
+    )
+    probes = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            probe_fixed_centroids(vec_col, centroids, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        cells.join(probes, "cell")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine_batch(F.col("cv"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def reciprocal_pairs(knn: DataFrame) -> DataFrame:
+    """(id_a, id_b, cosine, rank_ab, rank_ba): pairs that appear in
+    EACH OTHER's top-k — the mutual-kNN filter. One-directional kNN
+    membership is asymmetric around hubs (a hub vector is in
+    everyone's top-k without being close to any of them); mutuality is
+    the standard cheap symmetrization a kNN-graph dedup or clustering
+    step runs first (the reciprocal-NN rule). ONE self-join of the
+    bounded k·n kNN table on the swapped key pair."""
+    a = knn.select(
+        F.col("query_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    ).where(F.col("id_a") < F.col("id_b"))
+    b = knn.select(
+        F.col("query_id").alias("id_b"),
+        F.col("corpus_id").alias("id_a"),
+        F.col("rank").alias("rank_ba"),
+    ).where(F.col("id_a") < F.col("id_b"))
+    return a.join(b, ["id_a", "id_b"])
+
+
+def q_sim_reciprocal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pairs of the embedding corpus (IVF-exact k=5)."""
+    emb = _emb(spark, sf_dir)
+    return reciprocal_pairs(knn_graph_exact(emb, k=5, n_probe=3)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_register(
+    "sim_reciprocal_pairs",
+    q_sim_reciprocal_pairs,
+    f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cid, cv) AS (
+  VALUES {_cents_values(IVF_EXACT_CENTROIDS)}
+),
+csim AS (
+  SELECT c.id, ct.cid,
+         round(list_inner_product(c.v, ct.cv)
+               / (sqrt(list_inner_product(c.v, c.v)) * 8.0), 7) AS sim
+  FROM corpus c CROSS JOIN cents ct),
+cc AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim) WHERE rk = 1),
+qc AS (
+  SELECT id AS query_id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (
+        PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+    FROM csim) WHERE rk <= 3),
+cand AS (
+  SELECT DISTINCT qc.query_id, cc.id AS corpus_id
+  FROM qc JOIN cc USING (cell)
+  WHERE qc.query_id != cc.id),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         ROUND(list_cosine_similarity(c.v, q2.v), 6) AS cosine
+  FROM cand
+  JOIN corpus c ON c.id = cand.corpus_id
+  JOIN corpus q2 ON q2.id = cand.query_id),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored) WHERE rank <= 5)
+SELECT a.query_id AS id_a, a.corpus_id AS id_b, a.cosine,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM knn a JOIN knn b
+  ON b.query_id = a.corpus_id AND b.corpus_id = a.query_id
+WHERE a.query_id < a.corpus_id
+ORDER BY id_a, id_b
+""",
+)

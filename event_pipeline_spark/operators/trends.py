@@ -1030,3 +1030,175 @@ ORDER BY event_type"""
 
 QUERIES["trend_holt"] = q_trend_holt
 ORACLES["trend_holt"] = _holt_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# single change-point (binary segmentation step)
+# ---------------------------------------------------------------------------
+
+CHANGEPOINT_UNIT = 100
+
+
+def changepoint_split(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, n_days, split_day, n_left, n_right, mean_left,
+    mean_right, score_units, gain_units): the best SINGLE split of each
+    key's zero-filled daily count series — one step of binary
+    segmentation (Scott & Knott 1974), the offline change-point
+    locator beside the online ``daily_cusum``: CUSUM says "a shift is
+    happening"; this says WHERE the level shifted, in hindsight.
+
+    Splitting at s minimizes total within-segment SSE, equivalently
+    maximizes f(s) = Sl²/nl + Sr²/nr. Cross-multiplying onto the
+    common denominator nl·nr gives the integer-exact objective
+    (Sl²·nr + Sr²·nl)·UNIT DIV (nl·nr) — truncating division (Spark
+    `DIV` == DuckDB `//` on non-negatives), a monotone map, so the
+    argmax with the (score desc, s asc) tiebreak picks the identical
+    split in both engines; splits whose objectives differ by less
+    than 1/UNIT may tie and resolve by the earliest day (documented
+    quantization, the theil_sen discipline). gain = score −
+    S²·UNIT DIV n is the improvement over no split, in the same
+    units. DECIMAL(38) intermediates keep Sl²·nr exact far past 2^63.
+
+    Scale shape: corpus rows collapse to the daily spine; candidate
+    scores come from ONE key-partitioned cumulative window over ≤
+    |days| rows; the argmax is a second window over the same rows."""
+    daily = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.to_date(F.date_format(F.col(ts_col), "yyyy-MM-dd")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    span = daily.groupBy("k").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    series = (
+        span.select(
+            "k", "d0", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+        .join(daily, ["k", "day"], "left")
+        .select(
+            "k",
+            "day",
+            F.datediff("day", "d0").cast("bigint").alias("t"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    kw = Window.partitionBy("k")
+    cum = kw.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    scored = series.select(
+        "k",
+        "day",
+        "t",
+        F.sum("y").over(cum).cast("decimal(38,0)").alias("sl"),
+        F.sum("y").over(kw).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(kw).cast("bigint").alias("n"),
+    ).where(
+        F.col("t") < F.col("n") - 1  # split AFTER day t: left = 0..t
+    )
+    nl = (F.col("t") + 1).cast("decimal(38,0)")
+    nr = (F.col("n") - F.col("t") - 1).cast("decimal(38,0)")
+    sr = F.col("s") - F.col("sl")
+    score = F.expr(
+        f"CAST((sl * sl * CAST(n - t - 1 AS DECIMAL(38,0))"
+        f" + (s - sl) * (s - sl) * CAST(t + 1 AS DECIMAL(38,0)))"
+        f" * {CHANGEPOINT_UNIT}"
+        f" div (CAST(t + 1 AS DECIMAL(38,0))"
+        f"      * CAST(n - t - 1 AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    cand = scored.select(
+        "k",
+        "day",
+        "t",
+        "n",
+        "sl",
+        "s",
+        nl.cast("bigint").alias("nl"),
+        nr.cast("bigint").alias("nr"),
+        score.alias("score_units"),
+        F.expr(
+            f"CAST(s * s * {CHANGEPOINT_UNIT}"
+            f" div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("base_units"),
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            kw.orderBy(F.desc("score_units"), F.asc("t"))
+        ),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        F.col("k").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.date_format(F.date_add("day", 1), "yyyy-MM-dd").alias(
+            "split_day"
+        ),
+        "nl",
+        "nr",
+        F.round(
+            F.col("sl").cast("double") / F.col("nl").cast("double"), 7
+        ).alias("mean_left"),
+        F.round(
+            (F.col("s") - F.col("sl")).cast("double")
+            / F.col("nr").cast("double"),
+            7,
+        ).alias("mean_right"),
+        "score_units",
+        (F.col("score_units") - F.col("base_units")).alias("gain_units"),
+    )
+
+
+def q_trend_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return changepoint_split(read_table(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["trend_changepoint"] = q_trend_changepoint
+ORACLES["trend_changepoint"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS k, strftime(ts, '%Y-%m-%d')::DATE AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+span AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY k),
+spine AS (
+  SELECT k, d0, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span),
+series AS (
+  SELECT spine.k, spine.day, (spine.day - spine.d0)::BIGINT AS t,
+         coalesce(daily.c, 0)::BIGINT AS y
+  FROM spine LEFT JOIN daily ON daily.k = spine.k AND daily.day = spine.day),
+scored AS (
+  SELECT k, day, t,
+         sum(y) OVER (PARTITION BY k ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::HUGEINT AS sl,
+         sum(y) OVER (PARTITION BY k)::HUGEINT AS s,
+         count(*) OVER (PARTITION BY k)::BIGINT AS n
+  FROM series),
+cand AS (
+  SELECT k, day, t, n, sl, s,
+         (t + 1)::BIGINT AS nl, (n - t - 1)::BIGINT AS nr,
+         ((sl * sl * (n - t - 1)::HUGEINT
+           + (s - sl) * (s - sl) * (t + 1)::HUGEINT)
+          * {CHANGEPOINT_UNIT}
+          // ((t + 1)::HUGEINT * (n - t - 1)::HUGEINT))::BIGINT
+           AS score_units,
+         (s * s * {CHANGEPOINT_UNIT} // n::HUGEINT)::BIGINT AS base_units
+  FROM scored WHERE t < n - 1),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY k
+                               ORDER BY score_units DESC, t) AS rn
+  FROM cand)
+SELECT k AS event_type, n AS n_days,
+       strftime(day + INTERVAL 1 DAY, '%Y-%m-%d') AS split_day,
+       nl, nr,
+       round(sl::DOUBLE / nl::DOUBLE, 7) AS mean_left,
+       round((s - sl)::DOUBLE / nr::DOUBLE, 7) AS mean_right,
+       score_units, (score_units - base_units)::BIGINT AS gain_units
+FROM best WHERE rn = 1 ORDER BY event_type
+"""

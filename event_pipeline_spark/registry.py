@@ -124,6 +124,22 @@ GRADE_FIRST_OPERATORS = [
     "stats_ks_two_sample",
     "sim_mmr_rerank",
     "ml_negative_samples",
+    # Round-9 rotation: the new round-9 families earn graded slots —
+    # the closed-form Holt fold (trend family's hardest oracle), the
+    # WordPiece OOV-rate readout (embeds the greedy chain), chained
+    # ROUGE pair grading, the split-leakage contamination audit, the
+    # fixed-round k-core peel, and Theil–Sen (quantized-median
+    # exactness). Six long-stable entries defer to make room (see
+    # GRADE_DEFER_CORE): q20/q21/q25/q26 (set-op/window forms whose
+    # shapes run inside many graded operators) and the two telemetry
+    # duration entries q13/q14 (telemetry stays graded via q1/q2/q12).
+    # Every deferred name stays registered and differential-checked.
+    "trend_holt",
+    "tok_oov_rate",
+    "eval_rouge_pairs",
+    "split_leakage_report",
+    "graph_kcore",
+    "trend_theil_sen",
 ]
 
 #: Core q-entries deferred OUT of the graded prefix (round-8 rotation):
@@ -137,6 +153,8 @@ GRADE_DEFER_CORE = {
     "q4", "q5", "q6", "q8", "q10", "q11", "q24",
     # late round-8 deferrals — see the GRADE_FIRST_OPERATORS note
     "q15", "q19", "q22",
+    # round-9 deferrals — see the GRADE_FIRST_OPERATORS note
+    "q13", "q14", "q20", "q21", "q25", "q26",
 }
 
 

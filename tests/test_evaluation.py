@@ -376,3 +376,30 @@ def test_rouge_disjoint_pair_zero(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     for r in rouge_n_pairs(docs, pairs).collect():
         assert r["overlap"] == 0 and r["f1"] == 0.0
+
+
+def test_ips_uniform_hand_case(spark):
+    """Uniform-policy IPS on a skewed log: the rare action's rewards
+    up-weight; the total equals the mean of per-action mean rewards."""
+    from event_pipeline_spark.operators.evaluation import (
+        ips_uniform_value,
+    )
+
+    # action A logged 3x with rewards 1.00; action B once with 4.00
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("A", 1.0), ("B", 4.0)],
+        "a string, r double",
+    )
+    rows = {
+        r["action"]: r
+        for r in ips_uniform_value(
+            df, action_col="a", reward_col="r"
+        ).collect()
+    }
+    a, b = rows["A"], rows["B"]
+    assert (a["n_a"], a["n"], a["k"], a["sum_cents"]) == (3, 4, 2, 300)
+    assert a["p_hat"] == 0.75 and a["w"] == round(4 / 6, 7)
+    # contrib = sum_r/(K*n_a): A -> 300/6 = 50; B -> 400/2 = 200
+    assert a["contrib_cents"] == 50.0 and b["contrib_cents"] == 200.0
+    # total 250 cents == mean of per-action means (100 + 400)/2
+    assert a["contrib_cents"] + b["contrib_cents"] == 250.0

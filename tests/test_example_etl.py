@@ -117,3 +117,14 @@ def test_web_corpus_curation_composes(spark, sf_dir):
     # (every selected doc has n_tokens >= 1, so a loose fill would
     # show total far under budget only if the corpus ran dry)
     assert total > 5_000 - max(r["n_tokens"] for r in out)
+
+
+def test_trend_monitoring_example(spark, sf_dir, capsys):
+    import importlib
+
+    mod = importlib.import_module("examples.trend_monitoring")
+    mod.main(sf_dir)
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l]
+    assert len(lines) == 5  # one verdict per event type
+    assert all("best split" in l and "holt forecast" in l for l in lines)

@@ -189,3 +189,32 @@ def test_dp_counts_epsilon_scales_noise(spark):
     ma_loose = sum(abs(r["noisy_count"] - 5) for r in loose) / len(loose)
     # same uniforms, scale differs by exactly 4x (up to rounding)
     assert abs(ma_loose / ma_tight - 4.0) < 0.01
+
+
+def test_dp_topk_mechanism(spark):
+    from event_pipeline_spark.operators.privacy import dp_topk
+
+    # widely separated counts: gumbel noise (stddev ~1.28 on scores
+    # eps*c/2) cannot reorder 1000 vs 10 -> the true top-2 release
+    rows = (
+        [("big",)] * 1000 + [("mid",)] * 500 + [("small",)] * 10
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = [r["k"] for r in dp_topk(df, key_col="k", k=2).collect()]
+    assert out == ["big", "mid"]
+
+    # deterministic replay: same salt, same release
+    again = [r["k"] for r in dp_topk(df, key_col="k", k=2).collect()]
+    assert again == out
+
+    # near-ties: the release is noise-determined and salt rotation can
+    # flip it — assert both salts give a valid 2-subset, not equality
+    tie = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 5 + [("c",)] * 5, "k string"
+    )
+    for salt in ("s1", "s2"):
+        rel = [
+            r["k"]
+            for r in dp_topk(tie, key_col="k", k=2, salt=salt).collect()
+        ]
+        assert len(rel) == 2 and len(set(rel)) == 2

@@ -1002,3 +1002,27 @@ def test_embedding_drift_detects_rotation(spark):
     den = 0.5**2 + 0.25**2 + 0.125**2 + 0.0625**2
     assert abs(out["cos_means"] - num / den) < 1e-6
     assert out["norm_ratio"] == 1.0
+
+
+def test_reciprocal_pairs_mutuality(spark):
+    """Reciprocal pairs are exactly the mutual edges of the kNN table;
+    a hub in someone's top-k without reciprocity is excluded."""
+    from event_pipeline_spark.operators.similarity import (
+        reciprocal_pairs,
+    )
+
+    knn = spark.createDataFrame(
+        [
+            # 1 and 2 mutual; 3 lists 1 but 1 does not list 3
+            (1, 2, 0.9, 1), (2, 1, 0.9, 1),
+            (3, 1, 0.8, 1), (1, 4, 0.7, 2), (4, 1, 0.7, 3),
+        ],
+        "query_id long, corpus_id long, cosine double, rank int",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in reciprocal_pairs(knn).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 4)}
+    assert rows[(1, 2)]["rank_ab"] == 1 and rows[(1, 2)]["rank_ba"] == 1
+    assert rows[(1, 4)]["rank_ab"] == 2 and rows[(1, 4)]["rank_ba"] == 3

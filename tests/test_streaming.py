@@ -2342,3 +2342,81 @@ def test_streaming_ab_deltas_equal_batch(spark, tmp_path):
     # unit 2's second success emitted nothing
     assert len([r for r in collected if r["bucket"] == 0]) == 4
     assert z_from_counters(n_a, conv_a, n_b, conv_b) == batch["z"]
+
+
+def test_streaming_retention_equals_batch(spark, tmp_path):
+    """Counting the live (cohort, offset) marks reproduces the batch
+    retention triangle, with user 1's day-2 return arriving a batch
+    after enrollment and a same-(user, offset) re-arrival emitting
+    nothing."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import events_retention
+    from event_pipeline_spark.streaming.retention import (
+        streaming_retention,
+    )
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    d = lambda dom, h=9: datetime(2024, 3, dom, h)  # noqa: E731
+    b1 = [
+        (1, d(1), 1, "view"), (2, d(1), 2, "view"),
+        (3, d(2), 2, "view"),            # user 2 returns at offset 1
+        (4, d(1, 15), 1, "view"),        # same (user, offset 0): silent
+        (5, d(2), 3, "view"),            # user 3 joins on day 2
+    ]
+    b2 = [
+        (6, d(3), 1, "view"),            # user 1 offset 2, cross-batch
+        (7, d(3), 2, "view"),            # user 2 offset 2
+        (8, d(2, 18), 2, "view"),        # (user 2, offset 1) again: silent
+        (9, d(4), 3, "view"),            # user 3 offset 2
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    ev = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        (r["cohort_day"], r["day_offset"]): r["n_active"]
+        for r in events_retention(ev).collect()
+    }
+
+    src = f"file://{tmp_path}/ret_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_retention(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ret_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+
+    import collections as _c
+    from datetime import date, timedelta
+
+    got = _c.Counter()
+    for r in collected:
+        cohort = (
+            date(1970, 1, 1) + timedelta(days=int(r["cohort_day"]))
+        ).strftime("%Y-%m-%d")
+        got[(cohort, r["day_offset"])] += 1
+    assert dict(got) == batch
+    assert got[("2024-03-01", 0)] == 2 and got[("2024-03-02", 2)] == 1

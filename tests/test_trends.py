@@ -361,3 +361,21 @@ def test_holt_short_and_long_series_dropped(spark):
 
     # a single observed day has no defined trend -> no row
     assert holt_linear(_events(spark, [5])).collect() == []
+
+
+def test_changepoint_hand_case(spark):
+    from event_pipeline_spark.operators.trends import changepoint_split
+
+    # clean level shift 5 -> 15 after three days: the split lands
+    # exactly at the boundary with segment means 5 and 15
+    r = changepoint_split(_events(spark, [5, 5, 5, 15, 15])).collect()[0]
+    assert (r["nl"], r["nr"]) == (3, 2)
+    assert r["split_day"] == "2024-03-04"
+    assert (r["mean_left"], r["mean_right"]) == (5.0, 15.0)
+    # f(best) = 225/3 + 900/2 = 525 vs baseline 2025/5 = 405
+    assert r["score_units"] == 52500 and r["gain_units"] == 12000
+
+    # constant series: every split has zero gain; tiebreak picks the
+    # earliest day
+    c = changepoint_split(_events(spark, [4, 4, 4, 4])).collect()[0]
+    assert c["gain_units"] == 0 and c["split_day"] == "2024-03-02"

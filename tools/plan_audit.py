@@ -59,6 +59,16 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sketch_theta_overlap": {
         "Exchange SinglePartition": "one-row sketch aggregates",
     },
+    "privacy_dp_topk": {
+        "Exchange SinglePartition": "global rank window over the "
+        "ALREADY-LIMITED k(=3) released rows (TakeOrdered upstream; "
+        "the corpus collapsed to |keys| cells before it)",
+    },
+    "eval_ips_uniform": {
+        "BroadcastNestedLoopJoin": "broadcast one-row (n, K) totals "
+        "crossed with the K action cells (rank_bm25 one-row-stats "
+        "shape)",
+    },
     "trend_acf": {
         "BroadcastNestedLoopJoin": "broadcast max_lag(=7)-row lag spine "
         "crossed with the daily series (bounded-domain spine; the "
