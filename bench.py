@@ -86,6 +86,26 @@ OPERATORS = [
 ]
 
 
+def _bench_plan_overrides():
+    """name -> alternate plan builder for TIMED samples only.
+
+    graph_kcore's registered form uses checkpoint_every=2, and
+    localCheckpoint is EAGER: peeling rounds 1-4 execute and persist at
+    plan-BUILD time, and ``_drop_all_shuffle_outputs`` cannot
+    invalidate checkpointed RDD blocks — timing that plan measures only
+    round 5 + the final aggregate (the exact stage-reuse under-report
+    the round-9 rework eliminated). The bench therefore times a
+    checkpoint-free build; the differential/gate path keeps
+    checkpoint_every=2 where it only bounds plan depth."""
+    from event_pipeline_spark.operators.graphrank import q_graph_kcore
+
+    return {
+        "graph_kcore": lambda spark, sf_dir: q_graph_kcore(
+            spark, sf_dir, checkpoint_every=0
+        ),
+    }
+
+
 def _static_clone(spark, plan):
     """A NEW Dataset over ``plan``'s analyzed plan, physical-planned
     with AQE DISABLED — the bench's measurable steady-state form.
@@ -520,10 +540,13 @@ def main() -> None:
         medians[name] = round(_median(xs), 4)
 
     # operator set: same steady-state protocol (warm once, then timed
-    # re-execution with shuffle outputs dropped)
+    # re-execution with shuffle outputs dropped). Overridden entries
+    # (eagerly-checkpointing plans) are rebuilt in a timeable form —
+    # see _bench_plan_overrides.
+    overrides = _bench_plan_overrides()
     op_timings: dict[str, float] = {}
     for name in (n for n in OPERATORS if n in queries):
-        plan = queries[name](spark, sf_dir)
+        plan = overrides.get(name, queries[name])(spark, sf_dir)
         plan.toPandas()
         op_timings[name] = round(min(_samples(plan)), 4)
 

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_pipeline_spark.cache import pin
+
 QUERIES = {}
 ORACLES = {}
 
@@ -188,6 +190,11 @@ def cooccurrence_pmi(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    # three consumers read the pair table — the eager total, the
+    # marginals (twice via the union), and the scored join; without the
+    # pin each rebuilds tokenize -> offset-join -> groupBy from scratch
+    # (the evaluation.py pinned-gram-table discipline)
+    pairs = pin(pairs)
     total = pairs.agg(F.sum("c").cast("bigint").alias("p")).collect()[0][
         "p"
     ] or 0

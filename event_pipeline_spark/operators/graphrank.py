@@ -516,9 +516,19 @@ def kcore_adjacency(
     return alive
 
 
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_kcore(
+    spark: SparkSession, sf_dir: str, *, checkpoint_every: int = 2
+) -> DataFrame:
     """75-core of the co-purchase graph after 5 peeling sweeps (the
-    fixpoint on this corpus — asserted in tests)."""
+    fixpoint on this corpus — asserted in tests).
+
+    ``checkpoint_every=2`` bounds unrolled-plan depth on the gate and
+    differential paths — but localCheckpoint is EAGER: rounds up to
+    the last checkpoint execute and persist at plan-BUILD time, and
+    dropping shuffle outputs does not invalidate checkpointed RDD
+    blocks. A timing harness must therefore build with
+    ``checkpoint_every=0`` (bench.py does) or it times only the
+    post-checkpoint rounds."""
     from event_pipeline_spark.session import read_table
 
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -537,7 +547,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint_every=2 keeps the unrolled-plan depth bounded (the
     # optimizer otherwise re-plans a 15-join tree; measured 14x faster
     # at gate scale with identical results)
-    return kcore_members(edges, checkpoint_every=2).orderBy("node")
+    return kcore_members(
+        edges, checkpoint_every=checkpoint_every
+    ).orderBy("node")
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:

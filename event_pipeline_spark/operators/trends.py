@@ -817,7 +817,11 @@ ORDER BY event_type, lag
 
 HOLT_ALPHA = 0.5
 HOLT_BETA = 0.2
-HOLT_MAX_N = 64
+# 366 covers a full (leap) year of daily observations; the weight
+# spine stays a <=366-row broadcast and the A^p weights decay at
+# spectral radius sqrt(1-alpha+alpha*beta) ~ 0.707 per lag, so the
+# far tail rounds to 0 units — no growth, no overflow
+HOLT_MAX_N = 366
 HOLT_UNIT = 1_000_000_000
 
 
@@ -886,11 +890,11 @@ def holt_linear(
     model is exactly "Holt with weights quantized to 1e-9".
 
     Scale shape: corpus rows collapse to the daily spine; the fold is
-    ONE equi-join of the series against a ≤64-row broadcast weight
+    ONE equi-join of the series against a ≤366-row broadcast weight
     spine and a map-side-combinable sum per key. Keys with fewer than
-    2 observed days (no trend is defined) or spans beyond 64 days
-    (outside the precomputed table — extend HOLT_MAX_N) are dropped
-    with the bound documented here."""
+    2 observed days (no trend is defined) or spans beyond a leap year
+    (366 days — outside the precomputed table; extend HOLT_MAX_N) are
+    dropped with the bound documented here."""
     lag_rows, init_rows = _holt_weight_tables(
         alpha, beta, HOLT_MAX_N, HOLT_UNIT
     )

@@ -9,14 +9,16 @@ they happen. Per-user value state holds exactly two integers
 
 — the epoch day of the user's first seen activity and a bitmask of
 the day offsets already emitted, bounded to ``horizon_days`` (≤ 63)
-bits, so state is constant per user regardless of stream length (the
-``streaming/abtest.py`` per-unit posture).
+bits — bits 0..horizon_days-1 — so state is constant per user
+regardless of stream length (the ``streaming/abtest.py`` per-unit
+posture).
 
 Contract: emits ``(cohort_day, day_offset)`` ONCE per (user, offset)
 — offset 0 on first sight, each later offset the first time the user
-is active that many days after joining; offsets beyond the horizon
-never emit (the monitor's stated window; the batch triangle is
-unbounded). Counting emissions therefore reproduces the batch
+is active that many days after joining; offsets at or beyond the
+horizon never emit (EXCLUSIVE bound — ``horizon_days=63`` emits
+offsets 0..62, so the highest mask bit is 62 and the signed-long
+value state never overflows; the batch triangle is unbounded). Counting emissions therefore reproduces the batch
 operator within the horizon: per-(cohort, offset) counts equal
 ``n_active`` and the offset-0 counts are the cohort sizes, row for
 row (asserted by the stream==batch test, including a return arriving
@@ -57,8 +59,13 @@ def _make_retention_processor(horizon_days: int):
             out = []
             for d in days:
                 off = d - cohort
-                if off < 0 or off > horizon_days:
-                    continue  # pre-cohort arrival / beyond the window
+                if off < 0 or off >= horizon_days:
+                    # pre-cohort arrival / beyond the window; the
+                    # EXCLUSIVE bound keeps the highest mask bit at
+                    # horizon_days-1 <= 62, so the signed-long value
+                    # state never needs bit 63 (1 << 63 would overflow
+                    # int64 and crash the query on day exactly 63).
+                    continue
                 bit = 1 << off
                 if mask & bit:
                     continue

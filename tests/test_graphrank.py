@@ -158,8 +158,9 @@ def test_kcore_hand_case_and_fixpoint(spark):
         r["node"]
         for r in kcore_members(edges, k=3, rounds=1).collect()
     }
-    assert 10 not in core and 10 not in early or True  # 10 dies r1? no:
-    # degree(10)=2 < 3 -> dies in round 1 actually; use k=2 for cascade
+    # degree(10)=2 < 3, so 10 peels in round 1 at k=3; the multi-round
+    # cascade needs k=2 below
+    assert 10 not in core and 10 not in early
     core2 = {
         r["node"]: r["degree"]
         for r in kcore_members(edges, k=2, rounds=1).collect()

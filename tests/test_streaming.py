@@ -2420,3 +2420,47 @@ def test_streaming_retention_equals_batch(spark, tmp_path):
         got[(cohort, r["day_offset"])] += 1
     assert dict(got) == batch
     assert got[("2024-03-01", 0)] == 2 and got[("2024-03-02", 2)] == 1
+
+
+def test_streaming_retention_horizon_bound_is_exclusive():
+    """Offset exactly horizon_days must be skipped, not emitted: at the
+    default horizon 63 an inclusive bound would set mask bit 63 and
+    overflow the signed-long value state. The highest bit ever set is
+    horizon_days-1."""
+    import pandas as pd
+
+    from event_pipeline_spark.streaming.retention import (
+        _make_retention_processor,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            assert -(1 << 63) <= int(v[1]) < (1 << 63), "mask overflowed int64"
+            self._v = tuple(v)
+
+    class _FakeHandle:
+        def __init__(self, st):
+            self._st = st
+
+        def getValueState(self, name, schema):
+            return self._st
+
+    st = _FakeState()
+    proc = _make_retention_processor(63)
+    proc.init(_FakeHandle(st))
+    rows = [pd.DataFrame({"day": [1000, 1062, 1063, 1064]})]
+    out = list(proc.handleInputRows((1,), rows, None))
+    emitted = [tuple(r) for pdf in out for r in pdf.itertuples(index=False)]
+    # offsets 0 and 62 emit; 63 (== horizon) and 64 are silent
+    assert emitted == [(1000, 0), (1000, 62)]
+    cohort, mask = st.get()
+    assert cohort == 1000 and mask == (1 | (1 << 62))

@@ -363,6 +363,51 @@ def test_holt_short_and_long_series_dropped(spark):
     assert holt_linear(_events(spark, [5])).collect() == []
 
 
+def test_holt_year_long_series(spark):
+    """A 100-day series (beyond the old 64-day cap) produces a row and
+    matches the un-quantized textbook recursion — HOLT_MAX_N=366
+    covers the common year-long daily case."""
+    from event_pipeline_spark.operators.trends import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_MAX_N,
+        holt_linear,
+    )
+
+    assert HOLT_MAX_N >= 366
+    counts = [(i * 7 + 3) % 11 + 1 for i in range(100)]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 3, 1, 12) + dt.timedelta(days=day),
+                    eid % 7,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = holt_linear(ev).collect()
+    assert len(got) == 1 and got[0]["n_days"] == 100
+    a, b = HOLT_ALPHA, HOLT_BETA
+    s, t = counts[0], counts[1] - counts[0]
+    for y in counts[1:]:
+        s_new = a * y + (1 - a) * (s + t)
+        t = b * (s_new - s) + (1 - b) * t
+        s = s_new
+    assert abs(got[0]["level"] - s) < 1e-5
+    assert abs(got[0]["trend"] - t) < 1e-5
+
+
 def test_changepoint_hand_case(spark):
     from event_pipeline_spark.operators.trends import changepoint_split
 

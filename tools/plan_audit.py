@@ -59,10 +59,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sketch_theta_overlap": {
         "Exchange SinglePartition": "one-row sketch aggregates",
     },
-    "privacy_dp_topk": {
-        "Exchange SinglePartition": "global rank window over the "
-        "ALREADY-LIMITED k(=3) released rows (TakeOrdered upstream; "
-        "the corpus collapsed to |keys| cells before it)",
+    "eval_rouge_pairs": {
+        "BroadcastNestedLoopJoin": "broadcast 2-row n-gram-order spine "
+        "crossed with the bounded candidate pair list (trend_acf "
+        "bounded-domain-spine shape)",
     },
     "eval_ips_uniform": {
         "BroadcastNestedLoopJoin": "broadcast one-row (n, K) totals "
