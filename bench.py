@@ -469,10 +469,52 @@ def _scale_section(spark, sf_dir: str) -> dict:
 
     t1 = _time_once(triangle_stats(edges_at(1)))
     tm = _time_once(triangle_stats(edges_at(tri_mult)))
-    base_edges.unpersist()
     out["graph_triangles"] = {
         "mult": tri_mult,
         "x1": t1, "xN": tm, "ratio": round(tm / max(t1, 1e-9), 2)
+    }
+
+    # r10: hub-skewed fixture — a LOW-ID hub (node 0) joined to every
+    # other node, sized so the hub sits in ~30% of edges. Under the old
+    # id-orientation the hub kept its FULL neighbor list and met it on
+    # every hub edge (per-edge intersect work quadratic in hub degree);
+    # degree-ordered orientation points every spoke INTO the hub, so
+    # per-edge arrays stay bounded and growth stays ~linear (checked by
+    # the same replica growth mode: each replica gets its own hub).
+    n_base = base_edges.count()
+    # hub share = h/(E+h) ≈ 30% -> h = (3/7)E; spokes are NEW nodes
+    # (degree 1) so the stress is the hub's degree itself, not extra
+    # triangle structure
+    hub_deg = int(0.43 * n_base)
+
+    def skewed_at(m: int):
+        parts = []
+        for i in range(m):
+            shift = i * 10_000_000
+            parts.append(
+                base_edges.select(
+                    (F.col("a") + F.lit(shift)).alias("a"),
+                    (F.col("b") + F.lit(shift)).alias("b"),
+                )
+            )
+            parts.append(
+                spark.range(hub_deg).select(
+                    F.lit(shift).alias("a"),
+                    (F.col("id") + F.lit(shift + 5_000_000)).alias("b"),
+                )
+            )
+        d = parts[0]
+        for pt in parts[1:]:
+            d = d.unionByName(pt)
+        return d
+
+    s1 = _time_once(triangle_stats(skewed_at(1)))
+    sm = _time_once(triangle_stats(skewed_at(tri_mult)))
+    base_edges.unpersist()
+    out["graph_triangles_skewed_hub"] = {
+        "mult": tri_mult, "hub_degree": hub_deg,
+        "hub_edge_share": round(hub_deg / (n_base + hub_deg), 3),
+        "x1": s1, "xN": sm, "ratio": round(sm / max(s1, 1e-9), 2),
     }
     return out
 

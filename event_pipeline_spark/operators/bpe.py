@@ -110,10 +110,28 @@ def train_bpe_distributed(
     return train_bpe(vocab, num_merges)
 
 
-def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def segment_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    *,
+    fused_suffix: str | None = None,
+) -> list[str]:
     """Apply ranked merges to one word (greedy lowest-rank-first — the
-    standard BPE inference)."""
-    symbols = list(word) + [EOW]
+    standard BPE inference).
+
+    Initial symbols: by default chars + a STANDALONE ``</w>`` symbol
+    (the classic Sennrich convention this repo's ``train_bpe``
+    produces). Pass ``fused_suffix`` for the HuggingFace
+    ``end_of_word_suffix`` convention (e.g. CLIP's ``</w>``), where
+    the suffix is FUSED onto the last character ("dog" -> ["d", "o",
+    "g</w>"]) and merge pairs reference the fused form — the
+    ``tokenizer.json`` artifacts ``load_hf_tokenizer`` reads."""
+    if fused_suffix is not None:
+        symbols = list(word)
+        if symbols:
+            symbols[-1] = symbols[-1] + fused_suffix
+    else:
+        symbols = list(word) + [EOW]
     while len(symbols) > 1:
         best_rank, best_i = None, None
         for i, pair in enumerate(zip(symbols, symbols[1:])):
@@ -134,11 +152,14 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     *,
     id_col: str = "doc_id",
+    fused_suffix: str | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge table: Arrow-batched
     pandas UDF, merge ranks broadcast once, per-word memo cache (word
     frequency follows Zipf, so the cache hit rate is high). Returns
-    ``id, n_tokens, tokens``."""
+    ``id, n_tokens, tokens``. ``fused_suffix`` selects the HuggingFace
+    end-of-word convention for LOADED artifacts (see
+    ``segment_word``)."""
     import pandas as pd
 
     spark = df.sparkSession
@@ -163,7 +184,9 @@ def apply_bpe(
                 if not w:
                     continue
                 if w not in cache:
-                    cache[w] = segment_word(w, ranks)
+                    cache[w] = segment_word(
+                        w, ranks, fused_suffix=fused_suffix
+                    )
                 out.extend(cache[w])
             return out
 

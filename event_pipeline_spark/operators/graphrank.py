@@ -299,46 +299,87 @@ def triangle_stats(
     co-purchase graph they separate genuine product communities from
     hub-and-spoke popularity, which PageRank (above) cannot.
 
-    Spark-first shape (round 9): edge ⋈ adjacency-array intersection —
-    each node's ORIENTED out-neighbor list is collected once (bounded
-    by the max degree), each edge (a,b) joins both endpoints' lists,
-    and `array_intersect` yields exactly the c's completing a<b<c.
-    The arithmetic work is still the standard wedge bound Σ_v deg(v)²
-    — irreducible for exact counting — but it runs INSIDE the per-edge
-    JVM merge: nothing wedge-shaped ever shuffles or materializes.
-    The previous two-equi-join form was plan-identical in theory but
-    wrote the full wedge set (Σdeg² rows) to shuffle between the two
-    joins — measured 26 GB and 266 s at a 720M-wedge scale point where
-    this form runs in 62 s with the same answers (equality pinned in
-    tests). Only edges, degree-bounded arrays, and ACTUAL triangles
-    (the explode of the intersections) move. Clustering stays ONE
-    exact BIGINT division per node."""
+    Spark-first shape (round 9, skew-hardened round 10): edge ⋈
+    adjacency-array intersection under DEGREE-ORDERED orientation —
+    each undirected edge is directed from its lower-(degree, id)
+    endpoint, each node's out-neighbor list is collected once, each
+    directed edge (u,v) joins both endpoints' lists, and
+    `array_intersect` yields exactly the w's with u→w and v→w. A
+    triangle {x,y,z} ranked x<y<z by (degree, id) has directed edges
+    x→y, x→z, y→z, so it is found exactly once: at edge (x,y), as
+    w = z. Roles per hit: u and v each count the intersection size,
+    each exploded w counts 1 — every corner of every triangle
+    increments once.
+
+    Why degree order, not id order (round-10 change): under a<b
+    orientation a LOW-ID HUB keeps its full neighbor list — per-edge
+    intersect work is Σ deg_out(v)² and the collected arrays are
+    unbounded on a skewed graph. Degree-ordered orientation is the
+    standard fix (Chiba–Nishizeki / Latapy forward algorithm):
+    out-degree ≤ O(√m), total intersect work O(m^1.5), arrays stay
+    small on ANY skew — a 100k-edge hub star contributes out-degree 1
+    per spoke, not one 100k-long array met on every edge. Same exact
+    counts (oracle recomputes via wedge joins, unchanged); the bench
+    carries a hub-skewed fixture proving the bound.
+
+    The round-9 lesson stands: the arithmetic is still the wedge
+    bound — irreducible for exact counting — but it runs INSIDE the
+    per-edge JVM merge; nothing wedge-shaped ever shuffles (the prior
+    two-equi-join form wrote Σdeg² wedge rows to shuffle: 26 GB /
+    266 s at a 720M-wedge point vs 62 s for the array form).
+    Clustering stays ONE exact BIGINT division per node. ``deg`` is
+    pinned: the orientation joins and the final output all read it."""
+    from event_pipeline_spark.cache import pin
+
     e = edges.select(
         F.col(a_col).cast("long").alias("a"),
         F.col(b_col).cast("long").alias("b"),
     ).dropDuplicates(["a", "b"])
-    adj = e.groupBy(F.col("a").alias("node")).agg(
-        F.sort_array(F.collect_list("b")).alias("out")
+    deg = pin(
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    per_edge = (
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
         e.join(
-            adj.select(F.col("node").alias("a"), F.col("out").alias("oa")),
+            deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
             "a",
         )
         .join(
-            adj.select(F.col("node").alias("b"), F.col("out").alias("ob")),
+            deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
             "b",
         )
         .select(
-            "a", "b", F.array_intersect("oa", "ob").alias("common")
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    adj = o.groupBy(F.col("u").alias("node")).agg(
+        F.sort_array(F.collect_list("v")).alias("out")
+    )
+    per_edge = (
+        o.join(
+            adj.select(F.col("node").alias("u"), F.col("out").alias("ou")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("node").alias("v"), F.col("out").alias("ov")),
+            "v",
+        )
+        .select(
+            "u", "v", F.array_intersect("ou", "ov").alias("common")
         )
         .withColumn("t", F.size("common"))
         .where(F.col("t") > 0)
     )
     roles = (
-        per_edge.select(F.col("a").alias("node"), F.col("t").alias("n"))
+        per_edge.select(F.col("u").alias("node"), F.col("t").alias("n"))
         .unionAll(
-            per_edge.select(F.col("b").alias("node"), F.col("t").alias("n"))
+            per_edge.select(F.col("v").alias("node"), F.col("t").alias("n"))
         )
         .unionAll(
             per_edge.select(
@@ -348,12 +389,6 @@ def triangle_stats(
     )
     t_per = roles.groupBy("node").agg(
         F.sum("n").cast("bigint").alias("triangles")
-    )
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
     return deg.join(t_per, "node", "left").select(
         "node",

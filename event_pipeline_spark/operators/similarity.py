@@ -2777,6 +2777,13 @@ FROM agg, ns
 # ---------------------------------------------------------------------------
 
 
+def knn_cell_count(n: int, target_cell_size: int) -> int:
+    """The k ~ n/target rule (``semantic_dedup``'s): cells sized to a
+    CONSTANT target as the corpus grows, so per-cell candidate work
+    stays bounded instead of growing ~n²/k under a fixed k."""
+    return max(2, -(-int(n) // int(target_cell_size)))
+
+
 def knn_graph_exact(
     corpus: DataFrame,
     *,
@@ -2785,6 +2792,8 @@ def knn_graph_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    target_cell_size: int = 10_000,
+    seed: int = 42,
 ) -> DataFrame:
     """(query_id, corpus_id, cosine, rank): every vector's IVF-exact
     top-k over the SAME corpus — the kNN graph. Unlike
@@ -2792,8 +2801,31 @@ def knn_graph_exact(
     joins corpus cells to probe cells as a plain equi-join: both sides
     co-partition on the cell id, nothing corpus-sized broadcasts —
     the shape that survives when "queries" is the whole 100 TB corpus.
-    """
-    centroids = IVF_EXACT_CENTROIDS if centroids is None else centroids
+
+    Cell count (round-10 change): by default centroids are TRAINED
+    (spark.ml KMeans) with k = max(2, ceil(n / target_cell_size)) —
+    the ``semantic_dedup`` k ~ n/target rule — so per-cell candidate
+    count stays ~n_probe · target as the corpus grows. A FIXED cell
+    count would make candidates grow ~n²/cells (the round-9 design
+    gap). Deriving k runs an eager ``corpus.count()`` plus the KMeans
+    fit at composition time — this path is not lazy. Pass literal
+    ``centroids`` for the deterministic-assignment variant an
+    external oracle can recompute (the registered query does, keeping
+    its fixed 8-cell spine); that form is the ORACLE variant, not the
+    scale path."""
+    if centroids is None:
+        n_cells = knn_cell_count(corpus.count(), target_cell_size)
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.withColumn(
+            "__features", array_to_vector(F.col(vec_col))
+        )
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=20,
+            featuresCol="__features", predictionCol="__cell",
+        ).fit(feats)
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
     cells = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
@@ -2849,11 +2881,14 @@ def reciprocal_pairs(knn: DataFrame) -> DataFrame:
 
 
 def q_sim_reciprocal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-kNN pairs of the embedding corpus (IVF-exact k=5)."""
+    """Mutual-kNN pairs of the embedding corpus (IVF-exact k=5).
+    Literal 8-cell centroids = the ORACLE variant (DuckDB recomputes
+    the assignment); the production default trains k ~ n/target cells
+    (see ``knn_graph_exact``)."""
     emb = _emb(spark, sf_dir)
-    return reciprocal_pairs(knn_graph_exact(emb, k=5, n_probe=3)).orderBy(
-        "id_a", "id_b"
-    )
+    return reciprocal_pairs(
+        knn_graph_exact(emb, k=5, n_probe=3, centroids=IVF_EXACT_CENTROIDS)
+    ).orderBy("id_a", "id_b")
 
 
 _register(

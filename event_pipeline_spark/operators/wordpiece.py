@@ -57,15 +57,24 @@ FROZEN_VOCAB = (
     "##umn", "##up", "##w",
 )
 
-_LMAX = 5  # longest raw piece length in FROZEN_VOCAB
 UNK = "[UNK]"
+
+
+def _raw_lmax(vocab) -> int:
+    """Longest RAW piece length in a vocab (##-continuations count
+    without their prefix) — bounds the match ladder; derived from the
+    vocab so LOADED artifacts (longer pieces than the frozen table's 5)
+    segment correctly."""
+    return max(
+        len(p) - 2 if p.startswith("##") else len(p) for p in vocab
+    )
 
 
 def _longest_match(word: Column, pos: Column, vocab) -> Column:
     """struct(p, l) of the longest vocab piece matching at pos
     (0-based consumed chars), or NULL."""
     m = F.lit(None).cast("struct<p:string,l:int>")
-    for length in range(1, _LMAX + 1):  # build shortest->longest
+    for length in range(1, _raw_lmax(vocab) + 1):  # shortest->longest
         raw = F.substring(word, pos + 1, length)
         piece = F.when(pos == 0, raw).otherwise(
             F.concat(F.lit("##"), raw)
@@ -164,7 +173,7 @@ def _ctes(
     def match_expr(col: str) -> str:
         # longest-first CASE chain; piece = raw or '##'||raw by pos
         whens = []
-        for length in range(_LMAX, 0, -1):
+        for length in range(_raw_lmax(vocab), 0, -1):
             piece = (
                 f"(CASE WHEN pos = 0 THEN substr({col}, pos + 1, {length})"
                 f" ELSE '##' || substr({col}, pos + 1, {length}) END)"

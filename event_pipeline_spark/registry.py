@@ -73,21 +73,29 @@ GRADE_FIRST_OPERATORS = [
     # on top); interval_join -> wordpiece_tokens (temporal joins stay
     # represented by asof_join; the tokenizer family gains its second
     # production contract beside the BPE pair).
-    "extract_html_text",
+    # Round-10 rotation: the round-9-late families earn graded slots
+    # (all judge-green in the round-9 differential) — binary-seg
+    # change-point, IPS off-policy eval, DP top-k release, mutual-kNN
+    # pairs, the hashing trick, and the equi-depth histogram. Six
+    # long-stable entries defer to make room, each family keeping a
+    # graded representative: extract_html_text (extraction since r7;
+    # stays sf-scaled + differential-checked), rank_phrase_search
+    # (ranking keeps rank_rrf_fusion, whose oracle embeds BM25+QL
+    # verbatim), fuzzy_name_pairs_bounded (fuzzy keeps
+    # fuzzy_sorted_neighborhood), dedup_lines_docs (dedup keeps
+    # substring/winnow/jaccard/semantic slots), sketch_theta_kmv_exact
+    # (sketches keep sketch_cms_events), dsir_sample (sampling keeps
+    # split_leakage_report). Every deferred name stays registered and
+    # differential-checked at both SFs every round.
     "langid_score",
-    "rank_phrase_search",
     "lm_doc_perplexity",
-    "fuzzy_name_pairs_bounded",
     "sim_semantic_dedup_exact",
-    "dedup_lines_docs",
     "dedup_substring_spans",
     "fp_winnow_pairs",
     "dedup_ngram_jaccard",
     "decontam_semantic",
-    "sketch_theta_kmv_exact",
     "wordpiece_tokens",
     "text_segments_udtf",
-    "dsir_sample",
     "curate_funnel",
     "rank_rrf_fusion",
     "cdc_pit_purchases",
@@ -140,6 +148,13 @@ GRADE_FIRST_OPERATORS = [
     "split_leakage_report",
     "graph_kcore",
     "trend_theil_sen",
+    # round-10 rotation (see note above)
+    "trend_changepoint",
+    "eval_ips_uniform",
+    "privacy_dp_topk",
+    "sim_reciprocal_pairs",
+    "feat_hashing_trick",
+    "stats_histogram_equidepth",
 ]
 
 #: Core q-entries deferred OUT of the graded prefix (round-8 rotation):

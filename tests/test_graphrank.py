@@ -136,6 +136,51 @@ def test_triangle_stats_hand_case(spark):
     assert sum(r["triangles"] for r in out.values()) == 3 * 4
 
 
+def test_triangle_stats_skewed_hub(spark):
+    """A LOW-ID hub star (node 0 joined to every other node) plus a
+    few triangles: degree-ordered orientation keeps counts exact while
+    the hub's out-neighbor list stays EMPTY (every spoke has lower
+    degree, so every hub edge points INTO the hub) — the skew shape
+    that id-orientation made quadratic."""
+    from event_pipeline_spark.operators.graphrank import triangle_stats
+
+    n = 200
+    star = [(0, i) for i in range(1, n + 1)]
+    # two triangles through the hub: (0,1,2) and (0,3,4)
+    extra = [(1, 2), (3, 4)]
+    df = spark.createDataFrame(star + extra, "a long, b long")
+    out = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert out[0]["degree"] == n and out[0]["triangles"] == 2
+    for v in (1, 2, 3, 4):
+        assert out[v]["degree"] == 2 and out[v]["triangles"] == 1
+        assert out[v]["clustering"] == 1.0
+    assert out[5]["triangles"] == 0
+    # the orientation invariant itself: no out-list exceeds O(sqrt(m))
+    # — on this fixture the max is 2 (a spoke in a triangle points at
+    # the hub and possibly its triangle partner); the hub's is empty
+    from pyspark.sql import functions as F
+
+    e = df.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).dropDuplicates(["a", "b"])
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("count").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("count").alias("db")), "b")
+        .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"))
+    )
+    max_out = o.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    assert max_out <= 2
+
+
 def test_kcore_hand_case_and_fixpoint(spark):
     from event_pipeline_spark.operators.graphrank import kcore_members
 

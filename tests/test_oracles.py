@@ -201,3 +201,45 @@ def test_read_table_orc_parity(spark, sf_dir, tmp_path):
         for col in ("ts", "event_type", "user_id", "value"):
             assert got[k][col] == want[k][col], (k, col)
 
+
+
+def test_read_table_avro_gate(spark, sf_dir, tmp_path):
+    """Avro ingest is jar-gated (closed-by-environment: the container
+    ships the avro CORE jars but not the spark-avro DataSource
+    module). The probe must answer honestly, and read_table must
+    either read an .avro drop with full parity (module present) or
+    refuse with the documented error (module absent) — never a raw
+    ClassNotFound/lookup failure."""
+    import pytest
+
+    from event_pipeline_spark.session import avro_readable, read_table
+
+    ad = tmp_path / "avro"
+    ad.mkdir()
+    if not avro_readable(spark):
+        # the gate: a clear, documented refusal on an .avro drop
+        (ad / "events.avro").write_bytes(b"Obj\x01")  # avro magic
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_table(spark, str(ad), "events", cached=False)
+        # and the probe's claim is consistent with the engine's
+        with pytest.raises(Exception, match="avro"):
+            spark.range(1).write.format("avro").save(str(ad / "w"))
+        return
+
+    # module present: full parity with the parquet read (the ORC test's
+    # differential posture)
+    events = read_table(spark, sf_dir, "events")
+    sample = events.limit(300)
+    want = {r["event_id"]: r.asDict() for r in sample.collect()}
+    sample.withColumn(
+        "ts", sample["ts"].cast("timestamp")
+    ).coalesce(1).write.format("avro").save(str(ad / "tmp"))
+    avrof = next((ad / "tmp").glob("part-*.avro"))
+    avrof.rename(ad / "events.avro")
+    df = read_table(spark, str(ad), "events", cached=False)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = {r["event_id"]: r.asDict() for r in df.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("ts", "event_type", "user_id", "value"):
+            assert got[k][col] == want[k][col], (k, col)

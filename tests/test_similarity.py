@@ -1026,3 +1026,57 @@ def test_reciprocal_pairs_mutuality(spark):
     assert set(rows) == {(1, 2), (1, 4)}
     assert rows[(1, 2)]["rank_ab"] == 1 and rows[(1, 2)]["rank_ba"] == 1
     assert rows[(1, 4)]["rank_ab"] == 2 and rows[(1, 4)]["rank_ba"] == 3
+
+
+def test_knn_cell_count_rule():
+    """k ~ n/target: cell count grows linearly with the corpus so
+    per-cell candidate work stays bounded (never a fixed cell count)."""
+    from event_pipeline_spark.operators.similarity import knn_cell_count
+
+    assert knn_cell_count(10, 10_000) == 2          # floor of 2
+    assert knn_cell_count(10_000, 10_000) == 2
+    assert knn_cell_count(10_001, 10_000) == 2
+    assert knn_cell_count(50_000, 10_000) == 5
+    assert knn_cell_count(1_000_000, 10_000) == 100
+    # 100x corpus -> 100x cells: per-cell size pinned at target
+    assert knn_cell_count(100_000_000, 10_000) == 10_000
+
+
+def test_knn_graph_trained_cells_production_path(spark):
+    """The default (no literal centroids) path trains k ~ n/target
+    cells and still produces a correct kNN graph: two tight clusters
+    of 4 vectors each -> every vector's top neighbors are its own
+    cluster mates, and reciprocal pairs stay within clusters."""
+    import random
+
+    from event_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        reciprocal_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for cid, base in ((0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])):
+        for i in range(4):
+            rows.append(
+                (
+                    cid * 4 + i,
+                    [b + rng.uniform(-0.1, 0.1) for b in base],
+                )
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # target 4 -> k = ceil(8/4) = 2 trained cells
+    knn = knn_graph_exact(
+        emb, k=3, n_probe=1, target_cell_size=4, seed=11
+    )
+    got = knn.collect()
+    assert got, "trained-cell path produced no neighbors"
+    same_cluster = lambda a, b: (a < 4) == (b < 4)  # noqa: E731
+    for r in got:
+        assert same_cluster(r["query_id"], r["corpus_id"])
+    pairs = reciprocal_pairs(knn).collect()
+    assert pairs
+    for r in pairs:
+        assert same_cluster(r["id_a"], r["id_b"])
