@@ -83,6 +83,11 @@ OPERATORS = [
     "graph_kcore",
     "eval_rouge_pairs",
     "text_cooccurrence_pmi",
+    # round-10 additions: the 100-replicate bootstrap fan-out and the
+    # corpus-sized novelty gram join — the new shapes most worth
+    # watching at scale
+    "stats_bootstrap_ci",
+    "decontam_novelty",
 ]
 
 

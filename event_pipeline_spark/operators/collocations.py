@@ -161,11 +161,14 @@ def cooccurrence_pmi(
     ONE division of exact BIGINT products, rounded 7 dp; ordering is
     the total order (pmi desc, a, b) both engines agree on.
 
-    Scale shape: positions fan out ``window`` offset keys each and
-    pair up by EQUI-join on (doc, position) — no range predicate, no
-    per-doc quadratic blowup; everything after is map-side-combinable
-    counting. The offset spine is a ``window``-row broadcast."""
-    spark = docs.sparkSession
+    Scale shape: positions fan out ``window`` offset keys each via
+    ``explode(sequence(1, window))`` — NOT a broadcast-spine cross
+    join: a BroadcastNestedLoopJoin breaks whole-stage codegen and
+    leaves every downstream expression interpreted (the round-10
+    stats_bootstrap_ci lesson: identical arithmetic 43.7s vs 6.0s at
+    sf0.1) — and pair up by EQUI-join on (doc, position); no range
+    predicate, no per-doc quadratic blowup; everything after is
+    map-side-combinable counting."""
     # doc identity must be deterministic (pos joins against itself);
     # monotonically_increasing_id would re-draw per join branch
     pos = docs.select(
@@ -174,10 +177,12 @@ def cooccurrence_pmi(
             "i", "w"
         ),
     ).where(F.col("w") != "")
-    offs = spark.range(1, window + 1).select(
-        F.col("id").cast("int").alias("d")
-    )
-    a = pos.crossJoin(F.broadcast(offs)).select(
+    a = pos.select(
+        "did",
+        "i",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("d"),
+    ).select(
         "did", (F.col("i") + F.col("d")).alias("j"), F.col("w").alias("wa")
     )
     b = pos.select("did", F.col("i").alias("j"), F.col("w").alias("wb"))

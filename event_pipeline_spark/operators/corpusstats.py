@@ -493,3 +493,210 @@ FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 '''
+
+
+# ---------------------------------------------------------------------------
+# per-document lexical entropy & richness (quality signals)
+# ---------------------------------------------------------------------------
+
+ENTROPY_UNIT = 10_000_000
+
+
+def doc_lexical_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_types, ttr, hapax_share, entropy): per-document
+    token-level Shannon entropy and lexical-richness signals — the
+    repetitive/templated-text detectors a quality funnel thresholds on
+    (low entropy = keyword stuffing / boilerplate; TTR and hapax share
+    are the classic richness measures; entropy is the principled
+    summary the Gopher repetition rules approximate).
+
+    Exactness: H = ln(n) − (Σ_types c·ln c)/n is computed with each
+    per-type term QUANTIZED to integer 1e-7 units first
+    (round(c·ln(c)·1e7) — both engines round the identical
+    correctly-rounded double), so the sum is an exact BIGINT and the
+    final expression is a fixed shape over exact integers; ttr and
+    hapax_share are single exact divisions. All rounded 7 dp.
+
+    Scale shape: one explode + two map-side-combinable groupBys
+    ((doc, token) then doc) — the corpus never pairs with anything."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_type = toks.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(float(ENTROPY_UNIT))
+    ).cast("bigint")
+    agg = per_type.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_types"),
+        F.sum(u).cast("bigint").alias("sum_clnc_units"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / n, 7).alias("ttr"),
+        F.round(
+            F.col("hapax_types").cast("double")
+            / F.col("n_types").cast("double"),
+            7,
+        ).alias("hapax_share"),
+        F.round(
+            F.log(n)
+            - F.col("sum_clnc_units").cast("double")
+            / (n * F.lit(float(ENTROPY_UNIT))),
+            7,
+        ).alias("entropy"),
+    )
+
+
+def q_corpus_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return doc_lexical_stats(
+        read_table(spark, sf_dir, "documents")
+    ).orderBy("id")
+
+
+QUERIES["corpus_doc_entropy"] = q_corpus_doc_entropy
+ORACLES["corpus_doc_entropy"] = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, t.tok FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''),
+per_type AS (
+  SELECT id, tok, count(*)::BIGINT AS c FROM toks GROUP BY id, tok),
+agg AS (
+  SELECT id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_types,
+         sum(CAST(round(c::DOUBLE * ln(c::DOUBLE) * {ENTROPY_UNIT})
+                  AS BIGINT))::BIGINT AS su
+  FROM per_type GROUP BY id)
+SELECT id, n_tokens, n_types,
+       round(n_types::DOUBLE / n_tokens::DOUBLE, 7) AS ttr,
+       round(hapax_types::DOUBLE / n_types::DOUBLE, 7) AS hapax_share,
+       round(ln(n_tokens::DOUBLE)
+             - su::DOUBLE / (n_tokens::DOUBLE * {ENTROPY_UNIT}), 7)
+         AS entropy
+FROM agg ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source token concentration (Gini + head coverage)
+# ---------------------------------------------------------------------------
+
+
+def token_concentration(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """(source, n_tokens, n_types, gini, top_share): how concentrated
+    each slice's token mass is — the templated/boilerplate-source
+    detector at corpus granularity (a crawler stuck on one template
+    shows near-1 Gini and a fat head; per-doc ``doc_lexical_stats`` is
+    the document-level sibling). ``gini`` is the Gini coefficient over
+    type frequencies; ``top_share`` the token share of the ``top_k``
+    most frequent types.
+
+    Exactness: with frequencies ranked ascending by the (count, token)
+    TOTAL order, G = (2·Σ i·c_i − (m+1)·Σc) / (m·Σc) — all-BIGINT
+    numerator/denominator, ONE division each, rounded 7 dp.
+
+    Scale shape: corpus collapses to (source, type) counts
+    (map-side-combinable); rank windows partition by source over the
+    vocabulary-sized frequency table — never the corpus."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    types = toks.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_asc = Window.partitionBy("g").orderBy("c", "tok")
+    w_desc = Window.partitionBy("g").orderBy(F.desc("c"), "tok")
+    ranked = types.withColumn(
+        "i", F.row_number().over(w_asc).cast("bigint")
+    ).withColumn("rd", F.row_number().over(w_desc))
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("i") * F.col("c")).cast(dec)).alias("sic"),
+        F.sum(
+            F.when(F.col("rd") <= top_k, F.col("c")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c_top"),
+    )
+    num = (
+        F.lit(2) * F.col("sic")
+        - (F.col("n_types").cast(dec) + F.lit(1))
+        * F.col("n_tokens").cast(dec)
+    ).cast("double")
+    den = (
+        F.col("n_types").cast(dec) * F.col("n_tokens").cast(dec)
+    ).cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.round(num / den, 7).alias("gini"),
+        F.round(
+            F.col("c_top").cast("double")
+            / F.col("n_tokens").cast("double"),
+            7,
+        ).alias("top_share"),
+    )
+
+
+def q_corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return token_concentration(
+        read_table(spark, sf_dir, "documents")
+    ).orderBy("source")
+
+
+QUERIES["corpus_token_concentration"] = q_corpus_concentration
+ORACLES["corpus_token_concentration"] = r"""
+WITH toks AS (
+  SELECT source AS g, t.tok FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''),
+types AS (
+  SELECT g, tok, count(*)::BIGINT AS c FROM toks GROUP BY g, tok),
+ranked AS (
+  SELECT g, c,
+         row_number() OVER (PARTITION BY g ORDER BY c, tok) AS i,
+         row_number() OVER (PARTITION BY g ORDER BY c DESC, tok) AS rd
+  FROM types),
+agg AS (
+  SELECT g, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(i::HUGEINT * c::HUGEINT)::HUGEINT AS sic,
+         sum(CASE WHEN rd <= 10 THEN c ELSE 0 END)::BIGINT AS c_top
+  FROM ranked GROUP BY g)
+SELECT g AS source, n_tokens, n_types,
+       round((2::HUGEINT * sic
+              - (n_types::HUGEINT + 1) * n_tokens::HUGEINT)::DOUBLE
+             / (n_types::HUGEINT * n_tokens::HUGEINT)::DOUBLE, 7)
+         AS gini,
+       round(c_top::DOUBLE / n_tokens::DOUBLE, 7) AS top_share
+FROM agg ORDER BY source
+"""

@@ -445,3 +445,136 @@ GROUP BY id ORDER BY vec_id
 
 
 _register("decontam_semantic", q_decontam_semantic, _sem_oracle())
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: the converse of contamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_novel, novelty): per-doc share of DISTINCT token
+    n-grams absent from a reference corpus — the memorization/novelty
+    readout dual to ``ngram_decontaminate`` (that flags eval docs the
+    train set CONTAINS; this scores how much of a doc the reference
+    has never seen — near-zero novelty means the doc is effectively a
+    recombination of reference text). Docs shorter than ``n`` tokens
+    produce no grams and are absent (the decontam convention).
+
+    Scale shape: digest-only frames; the reference gram set stays
+    DISTRIBUTED (plain equi-join on the gram hash — the reference is a
+    train corpus, never broadcast-sized); counting is
+    map-side-combinable; novelty is one exact division, rounded 7 dp."""
+    doc_g = _gram_hashes(docs, text_col, id_col, n).dropDuplicates(
+        [id_col, "gram_hash"]
+    )
+    ref_g = (
+        _gram_hashes(
+            reference.select(
+                F.lit(0).alias("__rid"),
+                F.col(ref_text_col or text_col).alias("__rtext"),
+            ),
+            "__rtext",
+            "__rid",
+            n,
+        )
+        .select("gram_hash")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return (
+        doc_g.join(ref_g, "gram_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                7,
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_decontam_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram novelty of every val/test doc against the train split —
+    chains the deterministic split with the novelty readout: a
+    low-novelty eval doc is train text in disguise even when no single
+    8-gram matches (the decontam_scan trigger)."""
+    from event_pipeline_spark.operators.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    splits = split_assign(
+        docs.select("doc_id", "source"), "source", "doc_id"
+    ).select("doc_id", "split")
+    ev = docs.join(
+        splits.where(F.col("split") != "train"), "doc_id"
+    )
+    train = docs.join(
+        splits.where(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    rep = ngram_novelty(ev.select("doc_id", "text"), train, n=3)
+    return (
+        rep.join(ev.select("doc_id", "split"), "doc_id")
+        .select("doc_id", "split", "n_grams", "n_novel", "novelty")
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "decontam_novelty",
+    q_decontam_novelty,
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN rk <= (n * 10) // 100 THEN 'val'
+              WHEN rk <= (n * 10) // 100 + (n * 10) // 100 THEN 'test'
+              ELSE 'train' END AS split
+  FROM ranked),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS g
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)),
+ref AS (
+  SELECT DISTINCT g FROM grams JOIN splits USING (doc_id)
+  WHERE split = 'train'),
+ev AS (
+  SELECT gr.doc_id, s.split, gr.g
+  FROM grams gr JOIN splits s USING (doc_id)
+  WHERE s.split <> 'train')
+SELECT e.doc_id, e.split, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 7) AS novelty
+FROM ev e LEFT JOIN ref r ON r.g = e.g
+GROUP BY e.doc_id, e.split
+ORDER BY e.doc_id
+""",
+)

@@ -1036,3 +1036,170 @@ SELECT action, n_a, tot.n, tot.k, sum_cents,
          AS contrib_cents
 FROM per CROSS JOIN tot ORDER BY action
 """
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score
+# ---------------------------------------------------------------------------
+
+
+def brier_decomposition(
+    df: DataFrame,
+    *,
+    p_units_col: str,
+    label_col: str,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """One row (n, brier, reliability, resolution, uncertainty,
+    within_bin_var): Murphy (1973) decomposition of the Brier score
+    over equal-width forecast bins — brier ≈ REL − RES + UNC, the
+    standard split of "how wrong" into "mis-calibrated" (REL, lower
+    better), "discriminating" (RES, higher better), and the
+    irreducible base-rate term (UNC). ``within_bin_var`` is the exact
+    remainder brier − (REL − RES + UNC) ≥ 0 — zero when forecasts are
+    constant within bins, i.e. the decomposition's identity error from
+    binning continuous forecasts, reported rather than hidden.
+
+    Exactness: probabilities arrive in 1e-7 integer units (the
+    ``calibration_bins`` contract). Per-bin rational terms are
+    quantized by TRUNCATING decimal DIV (verified Spark ``div`` ==
+    DuckDB ``//`` on non-negative DECIMAL/HUGEINT), summed exactly,
+    and divided ONCE by N·P1² — never a float sum over bins (a 10-row
+    double sum has engine-dependent order). All outputs rounded 7 dp.
+
+    Scale shape: one map-side-combinable groupBy to ≤n_bins cells, a
+    one-row total cross (documented allowance), fixed-shape
+    arithmetic."""
+    width = _P_ONE // n_bins
+    p = F.col(p_units_col).cast("long")
+    y = F.col(label_col).cast("long")
+    b = F.least(
+        F.floor(p / F.lit(width)).cast("int"), F.lit(n_bins - 1)
+    )
+    dec = "decimal(38,0)"
+    r = (p - y * F.lit(_P_ONE)).cast(dec)
+    cells = (
+        df.select(b.alias("bin"), p.alias("p"), y.alias("y"), r.alias("r"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum(F.col("p").cast(dec)).alias("sk"),
+            F.sum("y").cast("bigint").alias("yk"),
+            F.sum(F.col("r") * F.col("r")).cast(dec).alias("bk"),
+        )
+    )
+    # per-bin integer units: rel_k = (S_k - Y_k P1)^2 div n_k,
+    # res-part_k = (Y_k P1)^2 div n_k (the Y^2/N term subtracts after)
+    d = (F.col("sk") - F.col("yk").cast(dec) * F.lit(_P_ONE)).cast(dec)
+    yp = (F.col("yk").cast(dec) * F.lit(_P_ONE)).cast(dec)
+    per = cells.select(
+        "nk",
+        "yk",
+        "bk",
+        d.alias("dnum"),
+        yp.alias("ypnum"),
+    ).select(
+        "nk",
+        "yk",
+        "bk",
+        F.expr(f"CAST(dnum * dnum AS {dec}) div CAST(nk AS {dec})").alias(
+            "rel_u"
+        ),
+        F.expr(
+            f"CAST(ypnum * ypnum AS {dec}) div CAST(nk AS {dec})"
+        ).alias("res_u"),
+    )
+    tot = per.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("yk").cast("bigint").alias("ny"),
+        F.sum(F.col("rel_u")).cast(dec).alias("rel_sum"),
+        F.sum(F.col("res_u")).cast(dec).alias("res_sum"),
+        F.sum("bk").cast(dec).alias("brier_sum"),
+    )
+    nn = F.col("n").cast("double")
+    p1sq = F.lit(float(_P_ONE)) * F.lit(float(_P_ONE))
+    ybar_num = F.col("ny").cast("double")
+    brier = F.col("brier_sum").cast("double") / (nn * p1sq)
+    rel = F.col("rel_sum").cast("double") / (nn * p1sq)
+    # RES = (Σ_k (Y_k P1)^2/n_k - (Y P1)^2/N) / (N P1^2)
+    res = (
+        F.col("res_sum").cast("double")
+        - (ybar_num * F.lit(float(_P_ONE))) ** 2 / nn
+    ) / (nn * p1sq)
+    unc = (ybar_num * (nn - ybar_num)) / (nn * nn)
+    return tot.select(
+        "n",
+        F.round(brier, 7).alias("brier"),
+        F.round(rel, 7).alias("reliability"),
+        F.round(res, 7).alias("resolution"),
+        F.round(unc, 7).alias("uncertainty"),
+        F.round(brier - rel + res - unc, 7).alias("within_bin_var"),
+    )
+
+
+def q_eval_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the capped length score predicting
+    lang == 'en' (the eval_calibration fixture, now summarized)."""
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.least(
+            F.col("n_chars").cast("long") * 10000, F.lit(_P_ONE)
+        ).alias("p_units"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return brier_decomposition(
+        docs, p_units_col="p_units", label_col="label"
+    )
+
+
+QUERIES["eval_brier_decomposition"] = q_eval_brier_decomposition
+ORACLES["eval_brier_decomposition"] = f"""
+WITH base AS (
+  SELECT least(n_chars::BIGINT * 10000, {_P_ONE}) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+binned AS (
+  SELECT least((p // {_P_ONE // N_BINS})::INT, {N_BINS - 1}) AS bin,
+         p, y, (p - y * {_P_ONE})::HUGEINT AS r
+  FROM base),
+cells AS (
+  SELECT bin, count(*)::HUGEINT AS nk, sum(p)::HUGEINT AS sk,
+         sum(y)::HUGEINT AS yk, sum(r * r)::HUGEINT AS bk
+  FROM binned GROUP BY bin),
+per AS (
+  SELECT nk, yk, bk,
+         ((sk - yk * {_P_ONE}) * (sk - yk * {_P_ONE})) // nk AS rel_u,
+         ((yk * {_P_ONE}) * (yk * {_P_ONE})) // nk AS res_u
+  FROM cells),
+tot AS (
+  SELECT sum(nk)::BIGINT AS n, sum(yk)::BIGINT AS ny,
+         sum(rel_u)::HUGEINT AS rel_sum, sum(res_u)::HUGEINT AS res_sum,
+         sum(bk)::HUGEINT AS brier_sum
+  FROM per)
+SELECT n,
+       round(brier_sum::DOUBLE / (n::DOUBLE * {_P_ONE}::DOUBLE
+             * {_P_ONE}::DOUBLE), 7) AS brier,
+       round(rel_sum::DOUBLE / (n::DOUBLE * {_P_ONE}::DOUBLE
+             * {_P_ONE}::DOUBLE), 7) AS reliability,
+       round((res_sum::DOUBLE
+              - (ny::DOUBLE * {_P_ONE}::DOUBLE)
+                * (ny::DOUBLE * {_P_ONE}::DOUBLE) / n::DOUBLE)
+             / (n::DOUBLE * {_P_ONE}::DOUBLE * {_P_ONE}::DOUBLE), 7)
+         AS resolution,
+       round(ny::DOUBLE * (n::DOUBLE - ny::DOUBLE)
+             / (n::DOUBLE * n::DOUBLE), 7) AS uncertainty,
+       round(brier_sum::DOUBLE / (n::DOUBLE * {_P_ONE}::DOUBLE
+               * {_P_ONE}::DOUBLE)
+             - rel_sum::DOUBLE / (n::DOUBLE * {_P_ONE}::DOUBLE
+               * {_P_ONE}::DOUBLE)
+             + (res_sum::DOUBLE
+                - (ny::DOUBLE * {_P_ONE}::DOUBLE)
+                  * (ny::DOUBLE * {_P_ONE}::DOUBLE) / n::DOUBLE)
+               / (n::DOUBLE * {_P_ONE}::DOUBLE * {_P_ONE}::DOUBLE)
+             - ny::DOUBLE * (n::DOUBLE - ny::DOUBLE)
+               / (n::DOUBLE * n::DOUBLE), 7) AS within_bin_var
+FROM tot
+"""

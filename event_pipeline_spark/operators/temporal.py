@@ -1218,3 +1218,227 @@ SELECT k AS event_type, strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar,
 FROM ranked GROUP BY k, bar
 ORDER BY event_type, bar
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov event-transition matrix + k-step state distribution
+# ---------------------------------------------------------------------------
+
+MARKOV_UNIT = 1_000_000_000
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(prev_type, next_type, n, p): the first-order Markov transition
+    matrix of per-user event sequences — the product-analytics "what
+    happens after X" readout (and the model behind next-event
+    prediction baselines). Consecutive events pair under the
+    (ts, event_id) TOTAL order per user (the resample_ohlc tiebreak
+    discipline — never an unordered lag on tied timestamps); p is the
+    row-normalized share, ONE exact division per cell rounded 7 dp.
+
+    Scale shape: one lag window partitioned by user (the sessionize
+    shuffle), then map-side-combinable pair counting; the normalizing
+    window runs over the aggregated |types|² cell table partitioned by
+    prev_type — bounded domain, never corpus-sized."""
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    row_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(row_w).cast("double"),
+            7,
+        ).alias("p"),
+    )
+
+
+def markov_kstep_distribution(
+    events: DataFrame,
+    *,
+    k_steps: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(step, event_type, prob_units, prob): the state distribution
+    after 0..k_steps Markov steps, starting from the empirical
+    FIRST-event distribution — "where do users end up k events into a
+    session". Fixed unrolled step count both engines replay (the
+    pagerank/k-core discipline).
+
+    Exactness: probabilities live in 1e-9 integer units; each step is
+    units'(t) = Σ_s (units(s)·n(s,t)) DIV tot(s) — a truncating
+    integer division per cell (Spark ``DIV`` == DuckDB ``//`` on
+    non-negatives), then an exact BIGINT sum, so every iteration is
+    engine-identical. Each step is one equi-join of the ≤|types|-row
+    state vector against the |types|² cell table — broadcast-sized at
+    any corpus scale (types are an enum, not a corpus)."""
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("s"),
+    )
+    seq = base.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("s").over(w)
+    )
+    from event_pipeline_spark.cache import pin
+
+    trans = pin(
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("s"), F.col("nxt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = trans.groupBy("s").agg(F.sum("c").cast("bigint").alias("tot"))
+    tcell = trans.join(tot, "s")
+    firsts = seq.where(F.col("rk") == 1)
+    n_users = firsts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    state = (
+        firsts.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "s",
+            F.expr(f"cnt * {MARKOV_UNIT} div nu")
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    out = [
+        state.select(
+            F.lit(0).cast("int").alias("step"),
+            F.col("s").alias("event_type"),
+            F.col("units").alias("prob_units"),
+        )
+    ]
+    for i in range(1, k_steps + 1):
+        state = (
+            state.join(tcell, "s")
+            .select(
+                F.col("nxt").alias("s"),
+                F.expr("units * c div tot").cast("bigint").alias("u1"),
+            )
+            .groupBy("s")
+            .agg(F.sum("u1").cast("bigint").alias("units"))
+        )
+        out.append(
+            state.select(
+                F.lit(i).cast("int").alias("step"),
+                F.col("s").alias("event_type"),
+                F.col("units").alias("prob_units"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "step",
+        "event_type",
+        "prob_units",
+        F.round(
+            F.col("prob_units").cast("double") / F.lit(float(MARKOV_UNIT)),
+            7,
+        ).alias("prob"),
+    )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return event_transitions(read_table(spark, sf_dir, "events")).orderBy(
+        "prev_type", "next_type"
+    )
+
+
+QUERIES["events_markov_transitions"] = q_events_transitions
+ORACLES["events_markov_transitions"] = """
+WITH pairs AS (
+  SELECT prev_type, next_type, count(*)::BIGINT AS n FROM (
+    SELECT lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events)
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n,
+       round(n::DOUBLE
+             / sum(n) OVER (PARTITION BY prev_type)::DOUBLE, 7) AS p
+FROM pairs ORDER BY prev_type, next_type
+"""
+
+
+def q_events_markov_ksteps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return markov_kstep_distribution(
+        read_table(spark, sf_dir, "events"), k_steps=3
+    ).orderBy("step", "event_type")
+
+
+def _markov_oracle_sql(k_steps: int) -> str:
+    sql = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS s,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+trans AS MATERIALIZED (
+  SELECT s, nxt, count(*)::BIGINT AS c FROM seq
+  WHERE nxt IS NOT NULL GROUP BY s, nxt),
+tot AS (SELECT s, sum(c)::BIGINT AS tot FROM trans GROUP BY s),
+tcell AS (SELECT t.s, t.nxt, t.c, tt.tot
+          FROM trans t JOIN tot tt ON tt.s = t.s),
+st0 AS MATERIALIZED (
+  SELECT s, (count(*)::BIGINT * {MARKOV_UNIT}
+             // (SELECT count(*) FROM seq WHERE rk = 1))::BIGINT
+           AS units
+  FROM seq WHERE rk = 1 GROUP BY s)"""
+    prev = "st0"
+    for i in range(1, k_steps + 1):
+        sql += f""",
+st{i} AS MATERIALIZED (
+  SELECT tcell.nxt AS s,
+         sum((p.units * tcell.c) // tcell.tot)::BIGINT AS units
+  FROM {prev} p JOIN tcell ON tcell.s = p.s
+  GROUP BY tcell.nxt)"""
+        prev = f"st{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i}::INT AS step, s AS event_type, units AS prob_units "
+        f"FROM st{i}"
+        for i in range(k_steps + 1)
+    )
+    return f"""{sql}
+SELECT step, event_type, prob_units,
+       round(prob_units::DOUBLE / {MARKOV_UNIT}, 7) AS prob
+FROM ({selects}) ORDER BY step, event_type"""
+
+
+QUERIES["events_markov_ksteps"] = q_events_markov_ksteps
+ORACLES["events_markov_ksteps"] = _markov_oracle_sql(3)

@@ -148,3 +148,77 @@ def test_source_overlap_counts_shared_units_once(spark):
         for r in source_overlap(df).collect()
     }
     assert out == {("a", "b"): 1}
+
+
+def test_doc_lexical_stats_hand_case(spark):
+    from event_pipeline_spark.operators.corpusstats import (
+        doc_lexical_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a a  a a")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in doc_lexical_stats(docs).collect()}
+    # doc 1: p = (2/3, 1/3) -> H = ln3 - (2 ln2)/3
+    assert got[1]["n_tokens"] == 3 and got[1]["n_types"] == 2
+    assert got[1]["ttr"] == 0.6666667 and got[1]["hapax_share"] == 0.5
+    assert abs(got[1]["entropy"] - 0.6365142) < 1e-6
+    # doc 2: uniform -> H = ln 3, all hapax
+    assert got[2]["entropy"] == round(__import__("math").log(3), 7)
+    assert got[2]["ttr"] == 1.0 and got[2]["hapax_share"] == 1.0
+    # doc 3: constant (double space collapses) -> H = 0, TTR 1/4
+    assert got[3]["n_tokens"] == 4 and got[3]["entropy"] == 0.0
+    assert got[3]["hapax_share"] == 0.0
+
+
+def test_token_concentration_hand_case(spark):
+    """Gini by hand: a uniform 2-type slice scores (2*(1*1+2*1) -
+    3*2)/(2*2) = 0; an all-one-type slice scores (2*1*4 - 2*4)/(1*4)
+    = 0 (m=1 degenerate); a skewed slice matches the formula."""
+    from event_pipeline_spark.operators.corpusstats import (
+        token_concentration,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("u", "a b"),          # uniform: gini 0
+            ("s", "a a a b"),      # c=(1,3): (2*(1+6)-3*4)/(2*4)=0.25
+            ("m", "a a a"),        # single type: 0
+        ],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in token_concentration(docs).collect()}
+    assert got["u"]["gini"] == 0.0 and got["u"]["top_share"] == 1.0
+    assert got["s"]["gini"] == 0.25
+    assert got["m"]["gini"] == 0.0 and got["m"]["n_types"] == 1
+
+
+def test_brier_decomposition_hand_case(spark):
+    """Constant-within-bin forecasts: the Murphy identity holds
+    EXACTLY (within_bin_var = 0) and each term matches the hand
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    # bin 0.1: p=0.15, 4 rows, 1 positive; bin 0.8: p=0.85, 4 rows,
+    # 3 positive
+    rows = [(1_500_000, y) for y in (1, 0, 0, 0)] + [
+        (8_500_000, y) for y in (1, 1, 1, 0)
+    ]
+    df = spark.createDataFrame(rows, "p_units long, label int")
+    r = brier_decomposition(
+        df, p_units_col="p_units", label_col="label"
+    ).collect()[0]
+    # hand: ybar=0.5 -> UNC=0.25; REL=(4*(.15-.25)^2+4*(.85-.75)^2)/8
+    # = 0.01; RES=(4*(.25-.5)^2+4*(.75-.5)^2)/8 = 0.0625
+    # brier = REL - RES + UNC = 0.1975
+    assert r["n"] == 8
+    assert r["uncertainty"] == 0.25
+    assert r["reliability"] == 0.01
+    assert r["resolution"] == 0.0625
+    assert r["brier"] == 0.1975
+    assert r["within_bin_var"] == 0.0

@@ -289,3 +289,63 @@ def test_histogram_equidepth_hand_case(spark):
     assert [(rows[b]["n"], rows[b]["lo"], rows[b]["hi"]) for b in range(4)] == [
         (3, 1, 3), (2, 4, 5), (3, 6, 8), (2, 9, 10)
     ]
+
+
+def test_bootstrap_poisson_weight_ladder(spark):
+    """The threshold ladder draws Poisson(1)-distributed weights:
+    mean weight ~ 1, P(0) ~ e^-1, over a large deterministic draw."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.sketches import _md5_low64_col
+    from event_pipeline_spark.operators.stats import _poisson1_weight
+
+    from event_pipeline_spark.operators.stats import POISSON1_DRAW_BITS
+
+    n = 20_000
+    draws = spark.range(n).select(
+        _poisson1_weight(
+            (
+                _md5_low64_col(
+                    F.concat(F.col("id").cast("string"), F.lit(":0"))
+                )
+                % F.lit(str(1 << POISSON1_DRAW_BITS)).cast("decimal(20,0)")
+            ).cast("bigint")
+        ).alias("w")
+    )
+    agg = draws.agg(
+        F.avg("w").alias("m"),
+        F.avg((F.col("w") == 0).cast("double")).alias("p0"),
+        F.max("w").alias("mx"),
+    ).collect()[0]
+    assert abs(agg["m"] - 1.0) < 0.02
+    assert abs(agg["p0"] - 0.3679) < 0.01
+    assert agg["mx"] <= 8
+
+
+def test_bootstrap_ci_constant_series_and_order(spark):
+    """All-equal values -> every replicate mean equals the value, so
+    lo == mean == hi exactly; on a spread series lo <= mean <= hi."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.stats import bootstrap_mean_ci
+
+    const = spark.range(200).select(
+        F.lit("a").alias("k"), F.col("id").alias("id"),
+        F.lit(500).alias("x"),
+    )
+    r = bootstrap_mean_ci(
+        const, key_col="k", id_col="id", value_col="x"
+    ).collect()[0]
+    assert (r["mean"], r["boot_lo"], r["boot_hi"]) == (500.0, 500.0, 500.0)
+    assert r["n"] == 200 and r["n_replicates"] == 100
+
+    spread = spark.range(500).select(
+        F.lit("b").alias("k"), F.col("id").alias("id"),
+        (F.col("id") % 100).cast("bigint").alias("x"),
+    )
+    r2 = bootstrap_mean_ci(
+        spread, key_col="k", id_col="id", value_col="x"
+    ).collect()[0]
+    assert r2["boot_lo"] < r2["mean"] < r2["boot_hi"]
+    # a 95% CI of a mean of 500 draws from [0,100) is a few units wide
+    assert r2["boot_hi"] - r2["boot_lo"] < 15

@@ -2464,3 +2464,74 @@ def test_streaming_retention_horizon_bound_is_exclusive():
     assert emitted == [(1000, 0), (1000, 62)]
     cohort, mask = st.get()
     assert cohort == 1000 and mask == (1 | (1 << 62))
+
+
+def test_streaming_transitions_equals_batch(spark, tmp_path):
+    """Counting the live (prev, next) pairs reproduces the batch
+    transition matrix, with user 1's chain continued across
+    micro-batches and a tied timestamp broken by event_id."""
+    from datetime import datetime
+
+    from event_pipeline_spark.operators.temporal import event_transitions
+    from event_pipeline_spark.streaming.runner import read_parquet_stream
+    from event_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+    from event_pipeline_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    t = lambda h: datetime(2024, 3, 1, h)  # noqa: E731
+    b1 = [
+        (1, t(9), 1, "x"), (2, t(10), 1, "x"), (3, t(10), 1, "y"),
+        (4, t(9), 2, "y"),
+    ]
+    b2 = [
+        (5, t(12), 1, "x"),          # chain x->y->(cross-batch)->x
+        (6, t(11), 2, "x"),
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    ev = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(ev).collect()
+    }
+
+    src = f"file://{tmp_path}/tr_src"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    collected: list = []
+    try:
+        q = (
+            streaming_transitions(
+                read_parquet_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/tr_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for s in spark.streams.active:
+            s.stop()
+
+    import collections as _c
+
+    got = _c.Counter(
+        (r["prev_type"], r["next_type"]) for r in collected
+    )
+    assert dict(got) == batch
+    # the cross-batch pair specifically: user 1's y (batch 1 tail)
+    # -> x (batch 2)
+    assert got[("y", "x")] >= 1

@@ -576,3 +576,64 @@ def test_resample_ohlc_hand_case(spark):
         b11["open_cents"], b11["high_cents"],
         b11["low_cents"], b11["close_cents"],
     ) == (200, 200, 200, 200)
+
+
+def test_event_transitions_hand_case(spark):
+    """Two users' sequences, tied timestamps broken by event_id; the
+    matrix counts and row-normalized shares by hand."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.temporal import event_transitions
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+    rows = [
+        # user 1: x -> x -> y (second/third share a timestamp: id order)
+        (1, t0, 1, "x"), (2, t0.replace(hour=10), 1, "x"),
+        (3, t0.replace(hour=10), 1, "y"),
+        # user 2: y -> x
+        (4, t0, 2, "y"), (5, t0.replace(hour=11), 2, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("x", "x"): (1, 0.5),
+        ("x", "y"): (1, 0.5),
+        ("y", "x"): (1, 1.0),
+    }
+
+
+def test_markov_ksteps_hand_case(spark):
+    """The integer-unit chain on a 2-state fixture, every step checked
+    against the hand-computed truncating-DIV arithmetic."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.temporal import (
+        markov_kstep_distribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+    rows = [
+        (1, t0, 1, "x"), (2, t0.replace(hour=10), 1, "x"),
+        (3, t0.replace(hour=11), 1, "y"),
+        (4, t0, 2, "y"), (5, t0.replace(hour=11), 2, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["step"], r["event_type"]): r["prob_units"]
+        for r in markov_kstep_distribution(ev, k_steps=3).collect()
+    }
+    # firsts: u1->x, u2->y  (500M units each)
+    assert got[(0, "x")] == 500_000_000 and got[(0, "y")] == 500_000_000
+    # trans: x->{x:1, y:1} tot 2; y->{x:1} tot 1
+    assert got[(1, "x")] == 750_000_000 and got[(1, "y")] == 250_000_000
+    assert got[(2, "x")] == 625_000_000 and got[(2, "y")] == 375_000_000
+    assert got[(3, "x")] == 687_500_000 and got[(3, "y")] == 312_500_000

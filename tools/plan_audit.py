@@ -69,6 +69,11 @@ ALLOWED: dict[str, dict[str, str]] = {
         "crossed with the K action cells (rank_bm25 one-row-stats "
         "shape)",
     },
+    "events_markov_ksteps": {
+        "BroadcastNestedLoopJoin": "broadcast one-row user-count total "
+        "crossed with the |types|-row first-event cells (rank_bm25 "
+        "one-row-stats shape)",
+    },
     "trend_acf": {
         "BroadcastNestedLoopJoin": "broadcast max_lag(=7)-row lag spine "
         "crossed with the daily series (bounded-domain spine; the "
@@ -78,11 +83,6 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast one-row exact-F2 "
         "aggregate crossed with the n_sketches rows (rank_bm25 "
         "one-row-stats shape)",
-    },
-    "text_cooccurrence_pmi": {
-        "BroadcastNestedLoopJoin": "broadcast window(=3)-row offset "
-        "spine fanning positions into (doc, pos) equi-join keys "
-        "(bounded-domain spine, the trend_acf shape)",
     },
     "sim_pca_project_exact": {
         "BroadcastNestedLoopJoin": "broadcast ONE row holding the "
