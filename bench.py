@@ -175,6 +175,7 @@ def _scale_section(spark, sf_dir: str) -> dict:
     """
     from pyspark.sql import functions as F
 
+    from event_pipeline_spark.cache import release_pins
     from event_pipeline_spark.operators.dedup import ngram_jaccard_pairs
     from event_pipeline_spark.operators.fuzzy import fuzzy_pairs
     from event_pipeline_spark.session import read_table
@@ -186,7 +187,20 @@ def _scale_section(spark, sf_dir: str) -> dict:
         _drop_all_shuffle_outputs(spark)
         t0 = time.perf_counter()
         timed.toPandas()
-        return round(time.perf_counter() - t0, 4)
+        out = round(time.perf_counter() - t0, 4)
+        # scale-section entries call operators DIRECTLY (not through
+        # the registry wrapper that auto-releases at the next query's
+        # entry), so operator-internal pin()s would otherwise
+        # accumulate across the section — at 10x fixture sizes enough
+        # cached partitions to push later entries into memory pressure
+        # (observed: interval_join xN 51.6s mid-section vs 20.2s in
+        # isolation, ratio inflated 6.8 -> 57.7). The pins belong to
+        # already-materialized plans here, so releasing after each
+        # timed execution is safe; intentional cross-entry persists
+        # (the triangle base_edges fixture) are NOT pin-registered and
+        # survive.
+        release_pins()
+        return out
 
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"

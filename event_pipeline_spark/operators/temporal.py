@@ -1442,3 +1442,73 @@ FROM ({selects}) ORDER BY step, event_type"""
 
 QUERIES["events_markov_ksteps"] = q_events_markov_ksteps
 ORACLES["events_markov_ksteps"] = _markov_oracle_sql(3)
+
+
+def event_paths(
+    events: DataFrame,
+    *,
+    k: int = 3,
+    top: int = 50,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(path, n_users): the ``top`` most common first-``k`` event-type
+    journeys — the product-analytics "what do users actually DO first"
+    readout beside ``event_transitions``'s one-step matrix (the matrix
+    averages over positions; paths keep the sequence). Users with
+    fewer than k events contribute their full shorter path.
+
+    Scale shape: one rank window partitioned by user (the sessionize
+    shuffle), a per-user fold to ONE bounded string (k ≤ a handful),
+    then a map-side-combinable count over at most |types|^k cells and
+    a TakeOrdered top-``top`` — no global window, no share division."""
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    firsts = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+    paths = firsts.groupBy("u").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "s"))),
+                lambda x: x["s"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(top)
+    )
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_pipeline_spark.session import read_table
+
+    return event_paths(read_table(spark, sf_dir, "events"), k=3, top=50)
+
+
+QUERIES["events_top_paths"] = q_events_top_paths
+ORACLES["events_top_paths"] = """
+WITH ranked AS (
+  SELECT user_id AS u, event_type AS s,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events),
+paths AS (
+  SELECT u, string_agg(s, '>' ORDER BY rk) AS path
+  FROM ranked WHERE rk <= 3 GROUP BY u)
+SELECT path, count(*)::BIGINT AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path LIMIT 50
+"""

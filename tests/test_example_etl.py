@@ -128,3 +128,16 @@ def test_trend_monitoring_example(spark, sf_dir, capsys):
     lines = [l for l in out.strip().splitlines() if l]
     assert len(lines) == 5  # one verdict per event type
     assert all("best split" in l and "holt forecast" in l for l in lines)
+
+
+def test_tokenizer_artifacts_example(spark, sf_dir, capsys):
+    import importlib
+
+    mod = importlib.import_module("examples.tokenizer_artifacts_pipeline")
+    mod.main(sf_dir)
+    out = capsys.readouterr().out
+    assert "loaded tokenizer.json: BPE, 3 merges" in out
+    assert "under the LOADED merge table" in out
+    assert "'the' -> ['the'] (logp_units=-20000000)" in out
+    assert "'and' -> ['and']" in out
+    assert "'than' -> ['[UNK]']" in out  # 'h' uncovered: honest UNK

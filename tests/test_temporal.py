@@ -637,3 +637,27 @@ def test_markov_ksteps_hand_case(spark):
     assert got[(1, "x")] == 750_000_000 and got[(1, "y")] == 250_000_000
     assert got[(2, "x")] == 625_000_000 and got[(2, "y")] == 375_000_000
     assert got[(3, "x")] == 687_500_000 and got[(3, "y")] == 312_500_000
+
+
+def test_event_paths_hand_case(spark):
+    """First-3 journeys with a short user contributing a shorter path
+    and ties broken by event_id."""
+    import datetime as dt
+
+    from event_pipeline_spark.operators.temporal import event_paths
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+    rows = [
+        (1, t0, 1, "x"), (2, t0, 1, "y"),      # tie: id order -> x>y
+        (3, t0.replace(hour=10), 1, "z"),
+        (4, t0.replace(hour=11), 1, "q"),       # 4th event: ignored
+        (5, t0, 2, "x"), (6, t0.replace(hour=10), 2, "y"),
+        (7, t0.replace(hour=11), 2, "z"),
+        (8, t0, 3, "x"),                        # short user
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r["path"]: r["n_users"] for r in event_paths(ev, k=3).collect()}
+    assert got == {"x>y>z": 2, "x": 1}
