@@ -517,10 +517,18 @@ def doc_lexical_stats(
 
     Exactness: H = ln(n) − (Σ_types c·ln c)/n is computed with each
     per-type term QUANTIZED to integer 1e-7 units first
-    (round(c·ln(c)·1e7) — both engines round the identical
-    correctly-rounded double), so the sum is an exact BIGINT and the
-    final expression is a fixed shape over exact integers; ttr and
+    (round(c·ln(c)·1e7)), so the sum is an exact BIGINT and the final
+    expression is a fixed shape over exact integers; ttr and
     hapax_share are single exact divisions. All rounded 7 dp.
+
+    WEAKER contract than the shared-integer-literal discipline
+    (ndcg's DISCOUNT_UNITS): each engine computes ln(c) with its own
+    libm, so a one-ulp difference at a value landing exactly on a
+    x.5e-7 rounding tie COULD flip one unit across engines. No such
+    tie exists for any c the test corpora produce (and a single-unit
+    flip is absorbed by the 7-dp final rounding except at another
+    exact tie), but unlike the integer-literal operators this is
+    probabilistic, not structural, cross-engine equality.
 
     Scale shape: one explode + two map-side-combinable groupBys
     ((doc, token) then doc) — the corpus never pairs with anything."""

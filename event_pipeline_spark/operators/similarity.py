@@ -2814,7 +2814,16 @@ def knn_graph_exact(
     its fixed 8-cell spine); that form is the ORACLE variant, not the
     scale path."""
     if centroids is None:
-        n_cells = knn_cell_count(corpus.count(), target_cell_size)
+        n = corpus.count()
+        if n < 2:
+            raise ValueError(
+                f"knn_graph_exact needs a corpus of >= 2 vectors to "
+                f"train centroids (got {n}); pass literal centroids "
+                f"for degenerate corpora"
+            )
+        # clamp to n: KMeans fails opaquely when k exceeds the number
+        # of (distinct) points (round-10 ADVICE)
+        n_cells = min(knn_cell_count(n, target_cell_size), n)
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 

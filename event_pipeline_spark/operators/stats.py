@@ -1590,6 +1590,17 @@ def bootstrap_mean_ci(
 
     if not 0 < alpha_pct < 100:
         raise ValueError("alpha_pct must be in (0, 100)")
+    if not 1 <= replicates <= 128:
+        # the signed-long-safety invariant g_b = (h_lo mod 2^62) +
+        # b*(h_hi mod 2^55) < 2^63 holds only for b <= 127: the max
+        # stride term is 127*(2^55-1) < 2^62, so the sum stays under
+        # 2^63. b = 128 would reach 2^62 + 2^62 = 2^63 and overflow
+        # BIGINT under ANSI mode at runtime.
+        raise ValueError(
+            "replicates must be in [1, 128] (the signed-long "
+            "double-hash draw g_b = h_lo%2^62 + b*(h_hi%2^55) "
+            "overflows BIGINT for b >= 128)"
+        )
     lo_rank = -(-replicates * alpha_pct // 200)  # ceil(B * alpha/2)
     hi_rank = replicates + 1 - lo_rank
     x = F.col(value_col).cast("bigint")

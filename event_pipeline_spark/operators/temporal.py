@@ -1324,7 +1324,7 @@ def markov_kstep_distribution(
         .crossJoin(F.broadcast(n_users))
         .select(
             "s",
-            F.expr(f"cnt * {MARKOV_UNIT} div nu")
+            F.expr(f"cast(cnt as decimal(38,0)) * {MARKOV_UNIT} div nu")
             .cast("bigint")
             .alias("units"),
         )
@@ -1341,7 +1341,13 @@ def markov_kstep_distribution(
             state.join(tcell, "s")
             .select(
                 F.col("nxt").alias("s"),
-                F.expr("units * c div tot").cast("bigint").alias("u1"),
+                # product in DECIMAL(38,0): units reach 1e9 and a cell
+                # count above ~9.2e9 would overflow BIGINT under ANSI
+                # mode (the corr_ols_by_group sum discipline; DuckDB's
+                # HUGEINT covers the oracle side already)
+                F.expr(
+                    "cast(units as decimal(38,0)) * c div tot"
+                ).cast("bigint").alias("u1"),
             )
             .groupBy("s")
             .agg(F.sum("u1").cast("bigint").alias("units"))
@@ -1367,7 +1373,10 @@ def markov_kstep_distribution(
     )
 
 
-def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # named distinctly from the round-7 q_events_transitions above:
+    # both used to share a module-scope name (the registry captured the
+    # right objects, but the shadowing was a debugger trap)
     from event_pipeline_spark.session import read_table
 
     return event_transitions(read_table(spark, sf_dir, "events")).orderBy(
@@ -1375,7 +1384,7 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["events_markov_transitions"] = q_events_transitions
+QUERIES["events_markov_transitions"] = q_events_markov_transitions
 ORACLES["events_markov_transitions"] = """
 WITH pairs AS (
   SELECT prev_type, next_type, count(*)::BIGINT AS n FROM (

@@ -117,10 +117,19 @@ def load_hf_tokenizer(path: str) -> HFTokenizerArtifact:
         prefix = model.get("continuing_subword_prefix", "##")
         vocab = dict(model.get("vocab", {}))
         unk = model.get("unk_token", "[UNK]")
+        # only the artifact's DECLARED specials are unsegmentable: the
+        # unk token plus added_tokens entries marked special. The old
+        # startswith('[')/endswith(']') heuristic silently dropped
+        # legitimate vocab pieces like '[laughs]' (round-10 ADVICE).
+        specials = {unk} | {
+            t.get("content")
+            for t in doc.get("added_tokens", [])
+            if t.get("special")
+        }
         pieces = []
         for p in sorted(vocab, key=vocab.get):
-            if p == unk or (p.startswith("[") and p.endswith("]")):
-                continue  # special tokens never match inside a word
+            if p in specials:
+                continue  # declared specials never match inside a word
             if prefix and p.startswith(prefix) and prefix != "##":
                 p = "##" + p[len(prefix):]
             pieces.append(p)
@@ -186,6 +195,10 @@ def unigram_units(
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift, val = 0, 0
     while True:
+        if i >= len(buf):
+            raise ValueError(
+                "truncated protobuf: varint runs past end of buffer"
+            )
         b = buf[i]
         val |= (b & 0x7F) << shift
         i += 1
@@ -235,20 +248,27 @@ def load_sentencepiece_model(
         buf = f.read()
     scores: dict[str, float] = {}
     kept_types = {1} | ({4} if include_user_defined else set())
-    for fnum, wtype, val in _iter_fields(buf):
-        if fnum != 1 or wtype != 2:
-            continue  # not a SentencePiece submessage
-        piece, score, ptype = None, None, 1
-        for sf, swt, sval in _iter_fields(val):
-            if sf == 1 and swt == 2:
-                piece = sval.decode("utf-8")
-            elif sf == 2 and swt == 5:
-                score = struct.unpack("<f", sval.to_bytes(4, "little"))[0]
-            elif sf == 3 and swt == 0:
-                ptype = sval
-        if piece is None or score is None or ptype not in kept_types:
-            continue
-        scores[piece] = score
+    try:
+        for fnum, wtype, val in _iter_fields(buf):
+            if fnum != 1 or wtype != 2:
+                continue  # not a SentencePiece submessage
+            piece, score, ptype = None, None, 1
+            for sf, swt, sval in _iter_fields(val):
+                if sf == 1 and swt == 2:
+                    piece = sval.decode("utf-8")
+                elif sf == 2 and swt == 5:
+                    score = struct.unpack(
+                        "<f", sval.to_bytes(4, "little")
+                    )[0]
+                elif sf == 3 and swt == 0:
+                    ptype = sval
+            if piece is None or score is None or ptype not in kept_types:
+                continue
+            scores[piece] = score
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt or truncated SentencePiece model {path!r}: {e}"
+        ) from e
     return unigram_units(
         scores, unit=unit, strip_space_marker=strip_space_marker
     )

@@ -1080,3 +1080,18 @@ def test_knn_graph_trained_cells_production_path(spark):
     assert pairs
     for r in pairs:
         assert same_cluster(r["id_a"], r["id_b"])
+
+
+def test_knn_graph_degenerate_corpus_raises(spark):
+    """Trained-centroid default needs >= 2 vectors; a 1-row corpus gets
+    a clear ValueError instead of an opaque KMeans failure (round-10
+    ADVICE)."""
+    import pytest
+
+    from event_pipeline_spark.operators.similarity import knn_graph_exact
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="2 vectors"):
+        knn_graph_exact(one, k=1)

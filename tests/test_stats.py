@@ -349,3 +349,20 @@ def test_bootstrap_ci_constant_series_and_order(spark):
     assert r2["boot_lo"] < r2["mean"] < r2["boot_hi"]
     # a 95% CI of a mean of 500 draws from [0,100) is a few units wide
     assert r2["boot_hi"] - r2["boot_lo"] < 15
+
+
+def test_bootstrap_replicates_bound():
+    """replicates > 128 would overflow the signed-long double-hash
+    draw under ANSI mode (round-10 ADVICE) — refused up front."""
+    import pytest
+
+    from event_pipeline_spark.operators.stats import bootstrap_mean_ci
+
+    with pytest.raises(ValueError, match="replicates"):
+        bootstrap_mean_ci(
+            None, key_col="k", id_col="i", value_col="v", replicates=129
+        )
+    with pytest.raises(ValueError, match="replicates"):
+        bootstrap_mean_ci(
+            None, key_col="k", id_col="i", value_col="v", replicates=0
+        )

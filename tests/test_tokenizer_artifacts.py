@@ -285,3 +285,50 @@ def test_sentencepiece_drives_viterbi(spark, tmp_path):
     ).collect()[0]
     assert got["pieces"] == ["the"]
     assert got["logp_units"] == -25_000_000
+
+
+def test_wordpiece_bracket_piece_kept_unless_declared_special(tmp_path):
+    """Only DECLARED specials (unk + added_tokens marked special) are
+    unsegmentable; a legitimate bracketed vocab piece like '[laughs]'
+    stays loadable (round-10 ADVICE: the old bracket heuristic
+    silently dropped it)."""
+    from event_pipeline_spark.operators.tokenizer_artifacts import (
+        load_hf_tokenizer,
+    )
+
+    doc = {
+        "added_tokens": [
+            {"content": "[CLS]", "special": True},
+            {"content": "[NEWDOMAIN]", "special": False},
+        ],
+        "model": {
+            "type": "WordPiece",
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+            "vocab": {
+                "[UNK]": 0, "[CLS]": 1, "[laughs]": 2, "un": 3,
+                "[NEWDOMAIN]": 4,
+            },
+        },
+    }
+    art = load_hf_tokenizer(_write_json(tmp_path, "wp3.json", doc))
+    assert "[laughs]" in art.wordpiece_vocab
+    assert "[NEWDOMAIN]" in art.wordpiece_vocab  # declared but NOT special
+    assert "[CLS]" not in art.wordpiece_vocab
+    assert "[UNK]" not in art.wordpiece_vocab
+
+
+def test_sentencepiece_truncated_model_raises_valueerror(tmp_path):
+    """A truncated .model raises ValueError naming the file, not a bare
+    IndexError (round-10 VERDICT hygiene item)."""
+    import pytest
+
+    from event_pipeline_spark.operators.tokenizer_artifacts import (
+        load_sentencepiece_model,
+    )
+
+    blob = _spm_model([("▁the", -2.5, 1), ("he", -3.0, 1)])
+    p = tmp_path / "trunc.model"
+    p.write_bytes(blob[:-3])  # cut mid-submessage
+    with pytest.raises(ValueError, match="trunc.model"):
+        load_sentencepiece_model(str(p))
