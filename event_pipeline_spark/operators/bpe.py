@@ -38,6 +38,51 @@ ORACLES = {}
 EOW = "</w>"
 
 
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte -> printable-code-point table (openai/gpt-2
+    ``encoder.py::bytes_to_unicode``; identical in every ByteLevel
+    HuggingFace tokenizer): the 188 printable latin-1 bytes map to
+    themselves, the other 68 bytes map to U+0100.. in ascending byte
+    order — so 0x20 (space) -> 'Ġ' (U+0120), 0x0A (newline) -> 'Ċ'.
+    Byte-level merge tables and vocabs are written over this alphabet;
+    the mapping is a bijection, so token text round-trips to exact
+    bytes via the inverse table."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+BYTE_ENCODER = bytes_to_unicode()
+BYTE_DECODER = {c: b for b, c in BYTE_ENCODER.items()}
+#: byte 0x20 under the table — GPT-2's word-initial space marker
+BYTE_SPACE = BYTE_ENCODER[0x20]
+
+
+def byte_level_encode(word: str) -> list[str]:
+    """A word's UTF-8 bytes as byte-level initial symbols (one mapped
+    code point per byte — multi-byte UTF-8 chars span several
+    symbols)."""
+    return [BYTE_ENCODER[b] for b in word.encode("utf-8")]
+
+
+def byte_level_decode(tokens: list[str]) -> str:
+    """Inverse of the byte-level alphabet: token text -> original
+    UTF-8 string (the round-trip the table's bijectivity guarantees)."""
+    return bytes(
+        BYTE_DECODER[c] for t in tokens for c in t
+    ).decode("utf-8")
+
+
 def word_vocab(
     df: DataFrame, text_col: str, *, min_count: int = 1, top_k: int | None = None
 ) -> DataFrame:
@@ -115,6 +160,7 @@ def segment_word(
     ranks: dict[tuple[str, str], int],
     *,
     fused_suffix: str | None = None,
+    byte_level: bool = False,
 ) -> list[str]:
     """Apply ranked merges to one word (greedy lowest-rank-first — the
     standard BPE inference).
@@ -124,9 +170,20 @@ def segment_word(
     produces). Pass ``fused_suffix`` for the HuggingFace
     ``end_of_word_suffix`` convention (e.g. CLIP's ``</w>``), where
     the suffix is FUSED onto the last character ("dog" -> ["d", "o",
-    "g</w>"]) and merge pairs reference the fused form — the
-    ``tokenizer.json`` artifacts ``load_hf_tokenizer`` reads."""
-    if fused_suffix is not None:
+    "g</w>"]) and merge pairs reference the fused form. Pass
+    ``byte_level`` for the GPT-2 family: initial symbols are the
+    word's UTF-8 bytes under the public ``bytes_to_unicode`` alphabet
+    (no end-of-word symbol — word boundaries live in the Ġ space
+    marker the CALLER prepends to non-initial words). Both parameters
+    come from ``tokenizer_artifacts.load_hf_tokenizer``."""
+    if byte_level:
+        if fused_suffix is not None:
+            raise ValueError(
+                "byte_level and fused_suffix are mutually exclusive "
+                "(no ByteLevel artifact uses an end-of-word suffix)"
+            )
+        symbols = byte_level_encode(word)
+    elif fused_suffix is not None:
         symbols = list(word)
         if symbols:
             symbols[-1] = symbols[-1] + fused_suffix
@@ -153,13 +210,23 @@ def apply_bpe(
     *,
     id_col: str = "doc_id",
     fused_suffix: str | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge table: Arrow-batched
     pandas UDF, merge ranks broadcast once, per-word memo cache (word
     frequency follows Zipf, so the cache hit rate is high). Returns
     ``id, n_tokens, tokens``. ``fused_suffix`` selects the HuggingFace
-    end-of-word convention for LOADED artifacts (see
-    ``segment_word``)."""
+    end-of-word convention, ``byte_level`` the GPT-2 family convention,
+    for LOADED artifacts (see ``segment_word``).
+
+    Byte-level word boundaries: GPT-2 attaches each space to the
+    FOLLOWING word (" world" -> Ġworld), so non-initial words segment
+    with the Ġ marker prepended — matching hand-applied HF vectors on
+    single-space-separated text. The engine's ``\\s+`` word split
+    means a RUN of whitespace (or a newline) collapses to one Ġ;
+    corpora where tab-vs-space distinctions must survive tokenization
+    are outside the whitespace-word contract every operator here
+    shares."""
     import pandas as pd
 
     spark = df.sparkSession
@@ -171,23 +238,32 @@ def apply_bpe(
         import re
 
         ranks = ranks_bc.value
-        cache: dict[str, list[str]] = {}
+        cache: dict[tuple[str, bool], list[str]] = {}
         # ASCII-whitespace split, matching word_vocab's Java-regex
         # F.split(r'\s+') and the oracles' RE2 '\s+' (both ASCII-only);
         # Python str.split() would also split on U+00A0 etc. and
         # silently diverge from the trained vocab + the oracles
         ws = re.compile(r"\s+", re.ASCII)
 
+        def seg(w: str, lead_space: bool) -> list[str]:
+            key = (w, lead_space)
+            if key not in cache:
+                cache[key] = segment_word(
+                    (" " + w) if lead_space else w,
+                    ranks,
+                    fused_suffix=fused_suffix,
+                    byte_level=byte_level,
+                )
+            return cache[key]
+
         def tok(text: str) -> list[str]:
             out: list[str] = []
+            first = True
             for w in ws.split(text or ""):
                 if not w:
                     continue
-                if w not in cache:
-                    cache[w] = segment_word(
-                        w, ranks, fused_suffix=fused_suffix
-                    )
-                out.extend(cache[w])
+                out.extend(seg(w, byte_level and not first))
+                first = False
             return out
 
         for pdf in batches:
@@ -729,4 +805,94 @@ SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens, b.src_budget
 FROM ranked r JOIN b USING (source)
 WHERE r.cum_tokens <= b.src_budget
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 family) — round 11
+#
+# Oracle story: for text whose every char is printable ASCII (including
+# space), the bytes_to_unicode alphabet is the IDENTITY on word chars
+# (words never contain the space byte), so byte-level initial symbols
+# == the word's chars, with Ġ prepended to every non-initial word (the
+# GPT-2 space-attaches-forward convention apply_bpe implements). The
+# same replace-chain rank-order equivalence as FROZEN_MERGES then
+# applies. Non-ASCII docs are filtered IDENTICALLY on both engines
+# (same regex class, Java and RE2 agree on '^[ -~]*$'), keeping the
+# oracle exact without expressing the multi-byte remap in SQL — the
+# multi-byte path is covered by UTF-8 round-trip unit tests
+# (tests/test_tokenizer_artifacts.py).
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style byte-level merges over the mapped alphabet (Ġ = byte
+#: 0x20), hand-frozen in dependency order: common English fragments
+#: with their word-initial Ġ forms — the shape a real GPT-2 table has.
+FROZEN_BYTE_MERGES: list[tuple[str, str]] = [
+    ("Ġ", "t"), ("t", "h"), ("th", "e"), ("Ġt", "h"), ("Ġth", "e"),
+    ("Ġ", "a"), ("a", "n"), ("an", "d"), ("Ġa", "n"), ("Ġan", "d"),
+    ("i", "n"), ("Ġ", "i"), ("Ġi", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("o", "r"), ("Ġ", "o"), ("Ġo", "f"), ("Ġ", "s"),
+    ("Ġ", "w"), ("e", "s"), ("a", "t"), ("Ġw", "h"), ("s", "t"),
+    ("e", "n"), ("o", "u"), ("Ġ", "c"), ("Ġc", "o"), ("a", "r"),
+]
+
+
+def q_bpe_byte_level_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII documents tokenized with the frozen BYTE-LEVEL merge
+    table — Ġ-marked non-initial words, full token strings compared."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("text").rlike(r"^[ -~]*$"))
+    )
+    out = apply_bpe(docs, "text", FROZEN_BYTE_MERGES, byte_level=True)
+    return (
+        out.where(F.col("n_tokens") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.array_join("tokens", " ").alias("toks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _byte_seg_sql() -> str:
+    """DuckDB expression: replace-chain byte-level segmentation of one
+    (word, lead) pair — symbols are the word's chars plus an optional
+    leading Ġ."""
+    expr = (
+        "',,' || CASE WHEN lead THEN 'Ġ,,' ELSE '' END || "
+        "array_to_string(string_split(w, ''), ',,') || ',,'"
+    )
+    for x, y in FROZEN_BYTE_MERGES:
+        assert "," not in x + y, f"merge symbol contains delimiter: {(x, y)}"
+        expr = f"replace({expr}, ',{x},,{y},', ',{x}{y},')"
+    return expr
+
+
+QUERIES["bpe_byte_level_tokens"] = q_bpe_byte_level_tokens
+ORACLES["bpe_byte_level_tokens"] = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE regexp_matches(text, '^[ -~]*$')),
+words AS (
+  SELECT doc_id, i AS wi, a[i] AS w
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS a FROM docs),
+       LATERAL unnest(generate_series(1, len(a))) AS t(i)
+  WHERE a[i] != ''),
+lwords AS (
+  SELECT doc_id, wi, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wi) > 1 AS lead
+  FROM words),
+wordseg AS (
+  SELECT w, lead, string_split({_byte_seg_sql()}, ',,') AS seg
+  FROM (SELECT DISTINCT w, lead FROM lwords)),
+postok AS (
+  SELECT l.doc_id, l.wi, t.si, seg[t.si] AS tok
+  FROM lwords l JOIN wordseg s USING (w, lead),
+       LATERAL unnest(generate_series(2, len(seg) - 1)) AS t(si))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY wi, si) AS toks
+FROM postok GROUP BY doc_id ORDER BY doc_id
 """

@@ -15,12 +15,14 @@ tokenizer's segmentation. These loaders parse the public file formats
 execution paths are unchanged and already scale-shaped (broadcast
 tables, per-distinct-word memoization).
 
-Honest gates: byte-level BPE (GPT-2-family ``ByteLevel``
-pre-tokenizers) re-maps bytes to printable code points BEFORE merging;
-reproducing that remapping is a separate contract, so the loader
-REFUSES those artifacts with a clear error instead of silently
-mis-tokenizing. Classic BPE (``end_of_word_suffix`` convention, e.g.
-CLIP), WordPiece, and Unigram artifacts load fully.
+Supported families: classic BPE (``end_of_word_suffix`` convention,
+e.g. CLIP), byte-level BPE (GPT-2/RoBERTa ``ByteLevel``
+pre-tokenization — words segment over the public ``bytes_to_unicode``
+alphabet with the Ġ space marker on non-initial words; see
+``bpe.apply_bpe(byte_level=True)``), WordPiece, and Unigram. Honest
+gates remain for ``byte_fallback`` artifacts (<0xNN> decomposition of
+unknown pieces) and ByteLevel paired with a non-BPE model — both
+refuse with a clear error instead of silently mis-tokenizing.
 
 Reference parity: the reference pipeline (nexus/) has no tokenizer
 surface at all — this is part of the [ext] LLM-data-pipeline mandate.
@@ -66,6 +68,9 @@ class HFTokenizerArtifact:
     unk_token: str | None = None
     continuing_subword_prefix: str | None = None
     end_of_word_suffix: str | None = None
+    #: GPT-2 family: merges/vocab live over the bytes_to_unicode
+    #: alphabet — pass ``byte_level=True`` to apply_bpe/segment_word
+    byte_level: bool = False
 
 
 def _pretokenizer_types(pre) -> list[str]:
@@ -91,12 +96,19 @@ def load_hf_tokenizer(path: str) -> HFTokenizerArtifact:
     model = doc.get("model") or {}
     mtype = model.get("type", "")
     pre_types = _pretokenizer_types(doc.get("pre_tokenizer"))
-    if "ByteLevel" in pre_types or model.get("byte_fallback"):
+    byte_level = "ByteLevel" in pre_types
+    if model.get("byte_fallback"):
         raise NotImplementedError(
-            "byte-level BPE artifacts (GPT-2-family ByteLevel "
-            "pre-tokenizer / byte_fallback) remap bytes to code points "
-            "before merging; that remapping is not implemented — "
-            "load a char-level BPE, WordPiece, or Unigram artifact"
+            "byte_fallback artifacts decompose UNKNOWN pieces to <0xNN> "
+            "byte tokens at segmentation time; that fallback path is "
+            "not implemented — load a BPE (char- or byte-level), "
+            "WordPiece, or plain Unigram artifact"
+        )
+    if byte_level and mtype != "BPE":
+        raise NotImplementedError(
+            f"ByteLevel pre-tokenization with a {mtype or 'missing'} "
+            "model is not implemented (the GPT-2 family is ByteLevel "
+            "+ BPE, which loads fully)"
         )
     if mtype == "BPE":
         merges = []
@@ -106,12 +118,19 @@ def load_hf_tokenizer(path: str) -> HFTokenizerArtifact:
             else:  # >=0.20 format: ["a", "b"]
                 a, b = m[0], m[1]
             merges.append((a, b))
+        if byte_level and model.get("end_of_word_suffix"):
+            raise ValueError(
+                "artifact declares both ByteLevel pre-tokenization and "
+                "an end_of_word_suffix — no published tokenizer does; "
+                "refusing a format guess"
+            )
         return HFTokenizerArtifact(
             model_type="BPE",
             vocab=dict(model.get("vocab", {})),
             merges=merges,
             unk_token=model.get("unk_token"),
             end_of_word_suffix=model.get("end_of_word_suffix") or None,
+            byte_level=byte_level,
         )
     if mtype == "WordPiece":
         prefix = model.get("continuing_subword_prefix", "##")

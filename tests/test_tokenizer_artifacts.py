@@ -65,10 +65,10 @@ def test_load_hf_bpe_list_merge_format(tmp_path):
     assert art.merges == [("l", "o"), ("e", "s")]
 
 
-def test_byte_level_bpe_refused(tmp_path):
-    """GPT-2-family ByteLevel artifacts must refuse loudly, not
-    silently mis-tokenize (the byte->code-point remap is a separate
-    contract)."""
+def test_byte_fallback_and_bytelevel_nonbpe_refused(tmp_path):
+    """The remaining honest gates: byte_fallback (<0xNN> decomposition
+    of unknown pieces) and ByteLevel paired with a non-BPE model both
+    refuse loudly instead of silently mis-tokenizing."""
     import pytest
 
     from event_pipeline_spark.operators.tokenizer_artifacts import (
@@ -76,12 +76,25 @@ def test_byte_level_bpe_refused(tmp_path):
     )
 
     doc = json.loads(json.dumps(_BPE_DOC))
-    doc["pre_tokenizer"] = {
+    doc["model"]["byte_fallback"] = True
+    with pytest.raises(NotImplementedError, match="byte_fallback"):
+        load_hf_tokenizer(_write_json(tmp_path, "bf.json", doc))
+
+    uni = {
+        "model": {"type": "Unigram", "vocab": [["a", -1.0]]},
+        "pre_tokenizer": {"type": "ByteLevel"},
+    }
+    with pytest.raises(NotImplementedError, match="ByteLevel"):
+        load_hf_tokenizer(_write_json(tmp_path, "blu.json", uni))
+
+    # contradictory combo no published tokenizer produces
+    mixed = json.loads(json.dumps(_BPE_DOC))
+    mixed["pre_tokenizer"] = {
         "type": "Sequence",
         "pretokenizers": [{"type": "ByteLevel"}],
     }
-    with pytest.raises(NotImplementedError, match="byte-level"):
-        load_hf_tokenizer(_write_json(tmp_path, "bl.json", doc))
+    with pytest.raises(ValueError, match="end_of_word_suffix"):
+        load_hf_tokenizer(_write_json(tmp_path, "blx.json", mixed))
 
 
 def test_apply_bpe_with_loaded_artifact(spark, tmp_path):
@@ -332,3 +345,119 @@ def test_sentencepiece_truncated_model_raises_valueerror(tmp_path):
     p.write_bytes(blob[:-3])  # cut mid-submessage
     with pytest.raises(ValueError, match="trunc.model"):
         load_sentencepiece_model(str(p))
+
+
+# -- Byte-level BPE (GPT-2 family) ------------------------------------------
+
+
+def test_bytes_to_unicode_table_properties():
+    """The public GPT-2 table: a 256-entry bijection, printable bytes
+    map to themselves, the 68 non-printables map to U+0100.. in byte
+    order (space -> Ġ, newline -> Ċ, 0x00 -> Ā)."""
+    from event_pipeline_spark.operators.bpe import (
+        BYTE_SPACE,
+        bytes_to_unicode,
+    )
+
+    t = bytes_to_unicode()
+    assert len(t) == 256
+    assert len(set(t.values())) == 256  # bijective
+    assert t[ord("h")] == "h" and t[ord("!")] == "!" and t[0xFF] == "ÿ"
+    assert t[0x20] == "Ġ" == BYTE_SPACE  # Ġ
+    assert t[0x0A] == "Ċ"  # Ċ
+    assert t[0x00] == "Ā"  # Ā
+
+
+def test_byte_level_segment_hand_vector():
+    """GPT-2-style merges over the remapped alphabet: "the cat" with
+    the space attached to the following word -> [the, Ġcat]."""
+    from event_pipeline_spark.operators.bpe import (
+        BYTE_SPACE as G,
+    )
+    from event_pipeline_spark.operators.bpe import (
+        segment_word,
+    )
+
+    merges = [
+        ("t", "h"), ("th", "e"), (G, "c"), (G + "c", "a"),
+        (G + "ca", "t"),
+    ]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert segment_word("the", ranks, byte_level=True) == ["the"]
+    assert segment_word(" cat", ranks, byte_level=True) == [G + "cat"]
+    # partial merges only: "that" -> th + a + t
+    assert segment_word("that", ranks, byte_level=True) == ["th", "a", "t"]
+
+
+def test_byte_level_multibyte_utf8_roundtrip():
+    """Emoji (4 UTF-8 bytes) and CJK (3 bytes) segment into per-byte
+    symbols that merge and DECODE back to the exact original string —
+    the bijection contract."""
+    from event_pipeline_spark.operators.bpe import (
+        BYTE_ENCODER,
+        byte_level_decode,
+        segment_word,
+    )
+
+    thumbs = "👍"  # F0 9F 91 8D
+    cjk = "中文"   # E4 B8 AD  E6 96 87
+    b = thumbs.encode("utf-8")
+    assert len(b) == 4
+    # no merges: one symbol per byte
+    syms = segment_word(thumbs, {}, byte_level=True)
+    assert len(syms) == 4
+    assert byte_level_decode(syms) == thumbs
+    # a merge joining the emoji's first two bytes still round-trips
+    ranks = {(BYTE_ENCODER[b[0]], BYTE_ENCODER[b[1]]): 0}
+    merged = segment_word(thumbs, ranks, byte_level=True)
+    assert len(merged) == 3
+    assert byte_level_decode(merged) == thumbs
+    assert byte_level_decode(segment_word(cjk, {}, byte_level=True)) == cjk
+
+
+def test_apply_bpe_byte_level_loaded_artifact(spark, tmp_path):
+    """End-to-end: a ByteLevel tokenizer.json LOADS (the round-10 #1
+    gap) and drives the Arrow apply path — non-initial words carry the
+    Ġ marker, tokens decode back to the text."""
+    from event_pipeline_spark.operators.bpe import (
+        BYTE_SPACE as G,
+    )
+    from event_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        byte_level_decode,
+    )
+    from event_pipeline_spark.operators.tokenizer_artifacts import (
+        load_hf_tokenizer,
+    )
+
+    doc = {
+        "model": {
+            "type": "BPE",
+            "vocab": {
+                "t": 0, "h": 1, "e": 2, "c": 3, "a": 4, G: 5,
+                "th": 6, "the": 7, G + "c": 8, G + "ca": 9,
+                G + "cat": 10,
+            },
+            "merges": [
+                "t h", "th e", f"{G} c", f"{G}c a", f"{G}ca t",
+                f"{G} the",
+            ],
+        },
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False},
+    }
+    art = load_hf_tokenizer(_write_json(tmp_path, "gpt2ish.json", doc))
+    assert art.byte_level and art.model_type == "BPE"
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "cat the cat")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r["tokens"]
+        for r in apply_bpe(
+            docs, "text", art.merges, byte_level=art.byte_level
+        ).collect()
+    }
+    assert out[1] == ["the", G + "cat"]
+    # word-initial "cat" has no space marker; later ones do
+    assert out[2] == ["c", "a", "t", G + "the", G + "cat"]
+    assert byte_level_decode(out[1]) == "the cat"
+    assert byte_level_decode(out[2]) == "cat the cat"
