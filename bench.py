@@ -164,127 +164,126 @@ def _drop_all_shuffle_outputs(spark) -> None:
         cleaner.doCleanupShuffle(shuffle_id, True)
 
 
-def _scale_section(spark, sf_dir: str) -> dict:
-    """Time fuzzy_pairs and ngram_jaccard_pairs at 1× and 10× input.
+def _time_once(spark, plan) -> float:
+    """One reuse-proof steady-state timing of ``plan`` (static clone,
+    shuffle outputs dropped), releasing operator-internal pins after.
 
-    10× is built by replicating the sf tables with replica-unique block
-    keys (fuzzy) / replica-prefixed tokens and groups (jaccard): the
+    Scale-section entries call operators DIRECTLY (not through the
+    registry wrapper that auto-releases at the next query's entry), so
+    operator-internal pin()s would otherwise accumulate across an
+    entry — releasing after each timed execution is safe because the
+    pins belong to already-materialized plans here."""
+    from event_pipeline_spark.cache import release_pins
+
+    timed = _static_clone(spark, plan)  # warmed; reuse-proof
+    _drop_all_shuffle_outputs(spark)
+    t0 = time.perf_counter()
+    timed.toPandas()
+    out = round(time.perf_counter() - t0, 4)
+    release_pins()
+    return out
+
+
+def _cust_at(spark, sf_dir: str, m: int):
+    """m× customer replicas with replica-unique ids and block keys: the
     realistic growth mode — more blocks of the same size, not one block
-    10× deeper (an all-pairs block of millions is out of contract at any
-    scale; see operators/fuzzy.py docstring).
-    """
+    m× deeper (an all-pairs block of millions is out of contract at any
+    scale; see operators/fuzzy.py docstring)."""
     from pyspark.sql import functions as F
 
-    from event_pipeline_spark.cache import release_pins
-    from event_pipeline_spark.operators.dedup import ngram_jaccard_pairs
-    from event_pipeline_spark.operators.fuzzy import fuzzy_pairs
     from event_pipeline_spark.session import read_table
-
-    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "10"))
-
-    def _time_once(plan) -> float:
-        timed = _static_clone(spark, plan)  # warmed; reuse-proof
-        _drop_all_shuffle_outputs(spark)
-        t0 = time.perf_counter()
-        timed.toPandas()
-        out = round(time.perf_counter() - t0, 4)
-        # scale-section entries call operators DIRECTLY (not through
-        # the registry wrapper that auto-releases at the next query's
-        # entry), so operator-internal pin()s would otherwise
-        # accumulate across the section — at 10x fixture sizes enough
-        # cached partitions to push later entries into memory pressure
-        # (observed: interval_join xN 51.6s mid-section vs 20.2s in
-        # isolation, ratio inflated 6.8 -> 57.7). The pins belong to
-        # already-materialized plans here, so releasing after each
-        # timed execution is safe; intentional cross-entry persists
-        # (the triangle base_edges fixture) are NOT pin-registered and
-        # survive.
-        release_pins()
-        return out
 
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * 10_000_000)).alias("id"),
+            F.col("c_name").alias("name"),
+            (F.col("c_nationkey") * m + i).alias("blk"),
+        )
+        for i in range(m)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _docs_at(spark, sf_dir: str, m: int):
+    """m× documents with replica-unique tokens: shingle sets are
+    disjoint across replicas, so dup structure repeats per replica
+    instead of multiplying across them."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.session import read_table
+
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(F.lit(f"r{i}_"), w),
+                ),
+            ).alias("text"),
+            F.concat(F.lit(f"r{i}_"), F.col("source")).alias("source"),
+        )
+        for i in range(m)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
-    def cust_at(m: int):
-        parts = [
-            cust.select(
-                (F.col("c_custkey") + F.lit(i * 10_000_000)).alias("id"),
-                F.col("c_name").alias("name"),
-                (F.col("c_nationkey") * m + i).alias("blk"),
-            )
-            for i in range(m)
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
 
-    def docs_at(m: int):
-        parts = [
-            docs.select(
-                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                # replica-unique tokens: shingle sets are disjoint across
-                # replicas, so dup structure repeats per replica instead
-                # of multiplying across them
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.split("text", " "),
-                        lambda w: F.concat(F.lit(f"r{i}_"), w),
-                    ),
-                ).alias("text"),
-                F.concat(F.lit(f"r{i}_"), F.col("source")).alias("source"),
-            )
-            for i in range(m)
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
+def _scale_fuzzy(spark, sf_dir: str, mult: int) -> dict:
+    from event_pipeline_spark.operators.fuzzy import fuzzy_pairs
 
-    out = {"mult": mult}
-    f1 = _time_once(
-        fuzzy_pairs(cust_at(1), "id", "name", max_dist=2, block_cols=["blk"])
-    )
-    fm = _time_once(
-        fuzzy_pairs(cust_at(mult), "id", "name", max_dist=2, block_cols=["blk"])
-    )
-    out["fuzzy_name_pairs"] = {
-        "x1": f1, "xN": fm, "ratio": round(fm / max(f1, 1e-9), 2)
-    }
-    j1 = _time_once(
-        ngram_jaccard_pairs(docs_at(1), threshold=0.5, group_col="source")
-    )
-    jm = _time_once(
-        ngram_jaccard_pairs(docs_at(mult), threshold=0.5, group_col="source")
-    )
-    out["dedup_ngram_jaccard"] = {
-        "x1": j1, "xN": jm, "ratio": round(jm / max(j1, 1e-9), 2)
-    }
-    spark.catalog.clearCache()  # drop the jaccard operator's persists
+    f1 = _time_once(spark, fuzzy_pairs(
+        _cust_at(spark, sf_dir, 1), "id", "name",
+        max_dist=2, block_cols=["blk"],
+    ))
+    fm = _time_once(spark, fuzzy_pairs(
+        _cust_at(spark, sf_dir, mult), "id", "name",
+        max_dist=2, block_cols=["blk"],
+    ))
+    return {"x1": f1, "xN": fm, "ratio": round(fm / max(f1, 1e-9), 2)}
 
+
+def _scale_jaccard(spark, sf_dir: str, mult: int) -> dict:
+    from event_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    j1 = _time_once(spark, ngram_jaccard_pairs(
+        _docs_at(spark, sf_dir, 1), threshold=0.5, group_col="source"
+    ))
+    jm = _time_once(spark, ngram_jaccard_pairs(
+        _docs_at(spark, sf_dir, mult), threshold=0.5, group_col="source"
+    ))
+    return {"x1": j1, "xN": jm, "ratio": round(jm / max(j1, 1e-9), 2)}
+
+
+def _scale_fuzzy_salted(spark, sf_dir: str, mult: int) -> dict:
     # r5: the salted/sub-blocked fuzzy form must not grow WORSE than the
     # plain blocked form (VERDICT r4 task 3's acceptance bar).
-    s1 = _time_once(
-        fuzzy_pairs(
-            cust_at(1), "id", "name", max_dist=2, block_cols=["blk"],
-            block_salt=4,
-        )
-    )
-    sm = _time_once(
-        fuzzy_pairs(
-            cust_at(mult), "id", "name", max_dist=2, block_cols=["blk"],
-            block_salt=4,
-        )
-    )
-    out["fuzzy_name_pairs_salted"] = {
-        "x1": s1, "xN": sm, "ratio": round(sm / max(s1, 1e-9), 2)
-    }
+    from event_pipeline_spark.operators.fuzzy import fuzzy_pairs
 
+    s1 = _time_once(spark, fuzzy_pairs(
+        _cust_at(spark, sf_dir, 1), "id", "name",
+        max_dist=2, block_cols=["blk"], block_salt=4,
+    ))
+    sm = _time_once(spark, fuzzy_pairs(
+        _cust_at(spark, sf_dir, mult), "id", "name",
+        max_dist=2, block_cols=["blk"], block_salt=4,
+    ))
+    return {"x1": s1, "xN": sm, "ratio": round(sm / max(s1, 1e-9), 2)}
+
+
+def _scale_fuzzy_hot_block(spark, sf_dir: str, mult: int) -> dict:
     # what salting is FOR: a HOT-BLOCK corpus (2 blocks carry all the
     # rows, so the plain shuffled join runs 2 giant kernel tasks while
     # 30 cores idle; salt 8 splits each block into 36 cell-pair tasks).
@@ -297,6 +296,12 @@ def _scale_section(spark, sf_dir: str) -> dict:
     #   1 partition (it sees bytes, not the quadratic kernel behind
     #   them); disabled for this entry to emulate production shuffle
     #   sizes, where coalescing would never engage.
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.fuzzy import fuzzy_pairs
+    from event_pipeline_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
     hot = cust.where(F.col("c_custkey") < 8000).select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
@@ -310,47 +315,49 @@ def _scale_section(spark, sf_dir: str) -> dict:
     )
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
-        hp = _time_once(
-            fuzzy_pairs(
-                hot, "id", "name", max_dist=1, block_cols=["blk"],
-                broadcast_build=False,
-            )
-        )
-        hs = _time_once(
-            fuzzy_pairs(
-                hot, "id", "name", max_dist=1, block_cols=["blk"],
-                block_salt=8, broadcast_build=False,
-            )
-        )
+        hp = _time_once(spark, fuzzy_pairs(
+            hot, "id", "name", max_dist=1, block_cols=["blk"],
+            broadcast_build=False,
+        ))
+        hs = _time_once(spark, fuzzy_pairs(
+            hot, "id", "name", max_dist=1, block_cols=["blk"],
+            block_salt=8, broadcast_build=False,
+        ))
     finally:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", _coalesce_prior
         )
-    out["fuzzy_hot_block"] = {
+    return {
         "plain_sec": hp, "salted_sec": hs,
         "speedup": round(hp / max(hs, 1e-9), 2),
     }
 
-    # r5: next most expensive pair/explode shapes (VERDICT r4 task 8)
+
+def _scale_minhash(spark, sf_dir: str, mult: int) -> dict:
     from event_pipeline_spark.operators.dedup import minhash_near_duplicates
-    from event_pipeline_spark.operators.ranking import bm25_topk
-    from event_pipeline_spark.operators.temporal import interval_join
 
-    n1 = _time_once(minhash_near_duplicates(docs_at(1)))
-    nm = _time_once(minhash_near_duplicates(docs_at(mult)))
-    out["dedup_minhash_pairs"] = {
-        "x1": n1, "xN": nm, "ratio": round(nm / max(n1, 1e-9), 2)
-    }
-    spark.catalog.clearCache()
+    n1 = _time_once(spark, minhash_near_duplicates(
+        _docs_at(spark, sf_dir, 1)
+    ))
+    nm = _time_once(spark, minhash_near_duplicates(
+        _docs_at(spark, sf_dir, mult)
+    ))
+    return {"x1": n1, "xN": nm, "ratio": round(nm / max(n1, 1e-9), 2)}
 
+
+def _scale_minhash_hot_bucket(spark, sf_dir: str, mult: int) -> dict:
     # what the max_bucket cap is FOR: a boilerplate flood (B identical
     # docs) fills whole LSH buckets, and the band self-join's OUTPUT is
     # B(B-1)/2 candidate pairs per bucket — AQE skew-split redistributes
     # that work but cannot shrink it; only dropping the bucket does.
     # Candidates must collapse from ~quadratic-in-B to the organic count
     # and the join must get faster, not slower, on the dirty corpus.
-    from event_pipeline_spark.operators.dedup import minhash_candidate_pairs
+    from pyspark.sql import functions as F
 
+    from event_pipeline_spark.operators.dedup import minhash_candidate_pairs
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
     flood_b = 2000
     flood = spark.range(10_000_000, 10_000_000 + flood_b).select(
         F.col("id").alias("doc_id"),
@@ -364,19 +371,27 @@ def _scale_section(spark, sf_dir: str) -> dict:
     capped_plan = minhash_candidate_pairs(dirty, max_bucket=100)
     u_pairs = uncapped_plan.count()
     c_pairs = capped_plan.count()
-    ut = _time_once(uncapped_plan)
-    ct = _time_once(capped_plan)
-    out["minhash_hot_bucket"] = {
+    ut = _time_once(spark, uncapped_plan)
+    ct = _time_once(spark, capped_plan)
+    return {
         "flood_docs": flood_b,
         "uncapped_pairs": u_pairs, "capped_pairs": c_pairs,
         "uncapped_sec": ut, "capped_sec": ct,
         "speedup": round(ut / max(ct, 1e-9), 2),
     }
-    spark.catalog.clearCache()
+
+
+def _scale_bm25(spark, sf_dir: str, mult: int) -> dict:
+    # BM25 growth mode: same vocabulary, m× documents — postings per
+    # query term grow with the corpus (the realistic shape)
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.ranking import bm25_topk
+    from event_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
 
     def docs_same_vocab_at(m: int):
-        # BM25 growth mode: same vocabulary, m× documents — postings
-        # per query term grow with the corpus (the realistic shape)
         parts = [
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
@@ -389,15 +404,17 @@ def _scale_section(spark, sf_dir: str) -> dict:
             df = df.unionByName(p)
         return df
 
-    b1 = _time_once(
-        bm25_topk(docs_same_vocab_at(1), ["spark", "table", "shuffle", "join"])
-    )
-    bm = _time_once(
-        bm25_topk(docs_same_vocab_at(mult), ["spark", "table", "shuffle", "join"])
-    )
-    out["rank_bm25_topk"] = {
-        "x1": b1, "xN": bm, "ratio": round(bm / max(b1, 1e-9), 2)
-    }
+    terms = ["spark", "table", "shuffle", "join"]
+    b1 = _time_once(spark, bm25_topk(docs_same_vocab_at(1), terms))
+    bm = _time_once(spark, bm25_topk(docs_same_vocab_at(mult), terms))
+    return {"x1": b1, "xN": bm, "ratio": round(bm / max(b1, 1e-9), 2)}
+
+
+def _scale_interval_join(spark, sf_dir: str, mult: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.temporal import interval_join
+    from event_pipeline_spark.session import read_table
 
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -427,40 +444,32 @@ def _scale_section(spark, sf_dir: str) -> dict:
             df = df.unionByName(p)
         return df
 
-    i1 = _time_once(
-        interval_join(
-            intervals_at(1, "a"), intervals_at(1, "b"),
-            l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
-            bin_width=10.0,
-        )
-    )
-    im = _time_once(
-        interval_join(
-            intervals_at(mult, "a"), intervals_at(mult, "b"),
-            l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
-            bin_width=10.0,
-        )
-    )
-    out["interval_join"] = {
-        "x1": i1, "xN": im, "ratio": round(im / max(i1, 1e-9), 2)
-    }
+    i1 = _time_once(spark, interval_join(
+        intervals_at(1, "a"), intervals_at(1, "b"),
+        l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+        bin_width=10.0,
+    ))
+    im = _time_once(spark, interval_join(
+        intervals_at(mult, "a"), intervals_at(mult, "b"),
+        l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+        bin_width=10.0,
+    ))
+    return {"x1": i1, "xN": im, "ratio": round(im / max(i1, 1e-9), 2)}
 
-    # r8/r9: triangle counting — growth mode is m× more communities of
-    # the same size (replica-unique node keys over a base edge list
-    # MATERIALIZED outside the timed region), so per-copy work is
-    # constant and total work ~m. Triangle work is Θ(Σ deg²) — the
-    # sf0.1 co-purchase graph packs 72M wedge-operations per copy, so
-    # the multiplier is capped at 3 here (x10 is ~720M merge steps ≈
-    # a minute of honest arithmetic, too heavy for a growth probe; the
-    # r9 operator rewrite to adjacency-array intersection already cut
-    # that scale point 266s -> 62s by never materializing wedges).
-    from event_pipeline_spark.operators.graphrank import triangle_stats
 
-    tri_mult = min(mult, 3)
+def _triangle_base_edges(spark, sf_dir: str):
+    """The co-purchase base edge list, MATERIALIZED (persist + count)
+    outside any timed region."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.session import read_table
+
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    x = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).alias("x")
+    x = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).alias("x")
     y = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
     ).alias("y")
@@ -471,7 +480,26 @@ def _scale_section(spark, sf_dir: str) -> dict:
         .dropDuplicates(["a", "b"])
         .persist()
     )
-    base_edges.count()  # materialize before any timing starts
+    n = base_edges.count()  # materialize before any timing starts
+    return base_edges, n
+
+
+def _scale_triangles(spark, sf_dir: str, mult: int) -> dict:
+    # r8/r9: triangle counting — growth mode is m× more communities of
+    # the same size (replica-unique node keys over a base edge list
+    # MATERIALIZED outside the timed region), so per-copy work is
+    # constant and total work ~m. Triangle work is Θ(Σ deg²) — the
+    # sf0.1 co-purchase graph packs 72M wedge-operations per copy, so
+    # the multiplier is capped at 3 here (x10 is ~720M merge steps ≈
+    # a minute of honest arithmetic, too heavy for a growth probe; the
+    # r9 operator rewrite to adjacency-array intersection already cut
+    # that scale point 266s -> 62s by never materializing wedges).
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.graphrank import triangle_stats
+
+    tri_mult = min(mult, 3)
+    base_edges, _ = _triangle_base_edges(spark, sf_dir)
 
     def edges_at(m: int):
         parts = [
@@ -486,13 +514,16 @@ def _scale_section(spark, sf_dir: str) -> dict:
             d = d.unionByName(pt)
         return d
 
-    t1 = _time_once(triangle_stats(edges_at(1)))
-    tm = _time_once(triangle_stats(edges_at(tri_mult)))
-    out["graph_triangles"] = {
+    t1 = _time_once(spark, triangle_stats(edges_at(1)))
+    tm = _time_once(spark, triangle_stats(edges_at(tri_mult)))
+    base_edges.unpersist()
+    return {
         "mult": tri_mult,
-        "x1": t1, "xN": tm, "ratio": round(tm / max(t1, 1e-9), 2)
+        "x1": t1, "xN": tm, "ratio": round(tm / max(t1, 1e-9), 2),
     }
 
+
+def _scale_triangles_skewed_hub(spark, sf_dir: str, mult: int) -> dict:
     # r10: hub-skewed fixture — a LOW-ID hub (node 0) joined to every
     # other node, sized so the hub sits in ~30% of edges. Under the old
     # id-orientation the hub kept its FULL neighbor list and met it on
@@ -500,7 +531,12 @@ def _scale_section(spark, sf_dir: str) -> dict:
     # degree-ordered orientation points every spoke INTO the hub, so
     # per-edge arrays stay bounded and growth stays ~linear (checked by
     # the same replica growth mode: each replica gets its own hub).
-    n_base = base_edges.count()
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.graphrank import triangle_stats
+
+    tri_mult = min(mult, 3)
+    base_edges, n_base = _triangle_base_edges(spark, sf_dir)
     # hub share = h/(E+h) ≈ 30% -> h = (3/7)E; spokes are NEW nodes
     # (degree 1) so the stress is the hub's degree itself, not extra
     # triangle structure
@@ -527,18 +563,102 @@ def _scale_section(spark, sf_dir: str) -> dict:
             d = d.unionByName(pt)
         return d
 
-    s1 = _time_once(triangle_stats(skewed_at(1)))
-    sm = _time_once(triangle_stats(skewed_at(tri_mult)))
+    s1 = _time_once(spark, triangle_stats(skewed_at(1)))
+    sm = _time_once(spark, triangle_stats(skewed_at(tri_mult)))
     base_edges.unpersist()
-    out["graph_triangles_skewed_hub"] = {
+    return {
         "mult": tri_mult, "hub_degree": hub_deg,
         "hub_edge_share": round(hub_deg / (n_base + hub_deg), 3),
         "x1": s1, "xN": sm, "ratio": round(sm / max(s1, 1e-9), 2),
     }
+
+
+#: Scale-section entries in recorded order. Each function takes
+#: (spark, sf_dir, mult) and returns its JSON fragment.
+SCALE_ENTRIES = {
+    "fuzzy_name_pairs": _scale_fuzzy,
+    "dedup_ngram_jaccard": _scale_jaccard,
+    "fuzzy_name_pairs_salted": _scale_fuzzy_salted,
+    "fuzzy_hot_block": _scale_fuzzy_hot_block,
+    "dedup_minhash_pairs": _scale_minhash,
+    "minhash_hot_bucket": _scale_minhash_hot_bucket,
+    "rank_bm25_topk": _scale_bm25,
+    "interval_join": _scale_interval_join,
+    "graph_triangles": _scale_triangles,
+    "graph_triangles_skewed_hub": _scale_triangles_skewed_hub,
+}
+
+
+def _run_scale_entry(spark, sf_dir: str, name: str) -> dict:
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "10"))
+    return SCALE_ENTRIES[name](spark, sf_dir, mult)
+
+
+def _scale_section(spark, sf_dir: str) -> dict:
+    """Time the pair/explode-heavy operators at 1× and N× input, EACH
+    ENTRY IN A SUBPROCESS-FRESH SESSION.
+
+    Round-11 measurement fix: the former single-session loop was
+    contamination-prone — entries run after several prior 10× fixtures
+    measured up to 4× slower than the same plan in a fresh session
+    (residue: un-destroyed broadcast variables from earlier warms plus
+    JVM old-gen/GC pressure; pin-release and clearCache touch neither).
+    The recorded interval_join ratio inflated from ~10 (its honest
+    linear value, fresh) to 19-50 in-section. Per-entry subprocesses
+    give every x1/xN pair an identical, residue-free JVM; each entry
+    still times x1 before xN inside its own session, so the pair shares
+    codegen/JIT warmth exactly as before. ``SPARK_GRAFT_BENCH_SCALE_INPROC=1``
+    restores the legacy shared-session path (debug only).
+    """
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "10"))
+    out = {"mult": mult}
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE_INPROC") == "1":
+        for name in SCALE_ENTRIES:
+            out[name] = _run_scale_entry(spark, sf_dir, name)
+        return out
+
+    import subprocess
+
+    script = os.path.abspath(__file__)
+    for name in SCALE_ENTRIES:
+        proc = subprocess.run(
+            [sys.executable, script, "--scale-entry", name, sf_dir],
+            capture_output=True,
+            text=True,
+        )
+        entry = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    entry = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                break
+        if entry is None:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-5:]
+            entry = {"error": f"rc={proc.returncode}: " + " | ".join(tail)}
+        out[name] = entry
     return out
 
 
+def _scale_entry_main(name: str, sf_dir: str) -> None:
+    """Subprocess entry point: run ONE scale entry in this fresh
+    session and print its JSON fragment as the last stdout line."""
+    spark = get_session("bench-scale")
+    print(json.dumps(_run_scale_entry(spark, sf_dir, name)))
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-entry":
+        sf_dir = (
+            sys.argv[3]
+            if len(sys.argv) > 3
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
+        _scale_entry_main(sys.argv[2], sf_dir)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
     queries = all_queries()

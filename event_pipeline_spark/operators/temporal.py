@@ -384,6 +384,7 @@ def interval_join(
     r_hi: str,
     bin_width: float,
     on: list[str] | None = None,
+    broadcast_build: bool | None = None,
 ) -> DataFrame:
     """Interval×interval overlap join: every (left, right) pair with
     ``l_lo <= r_hi AND r_lo <= l_hi`` (closed intervals), optionally
@@ -398,6 +399,22 @@ def interval_join(
     Column names must be disjoint across the two inputs, and exact
     duplicate input ROWS collapse (the pair de-dupe keys on all output
     columns) — carry a unique id per side if duplicates matter.
+
+    ``broadcast_build`` is three-state (the ``fuzzy.fuzzy_pairs``
+    discipline):
+
+    - ``None`` (default): no hint — Catalyst plans from statistics and
+      AQE re-checks the real binned sizes at runtime (the production
+      path).
+    - ``True``: force-broadcast the binned RIGHT side — only when the
+      caller KNOWS it fits executor memory after the explode.
+    - ``False``: force a sort-merge bin join (spill-safe). This is the
+      escape for AQE-off or stale-statistics contexts, where Catalyst's
+      STATIC size estimate of the exploded ``Generate(Union(...))``
+      side can stay under the broadcast threshold and plan a
+      BroadcastHashJoin over a multi-million-row built side (observed
+      at bench-scale mult 4: BHJ BuildRight over an 840k-row binned
+      side).
     """
     on = on or []
     clash = set(left.columns) & set(right.columns) - set(on)
@@ -416,9 +433,15 @@ def interval_join(
             ),
         )
 
+    binned_l = binned(left, l_lo, l_hi)
+    binned_r = binned(right, r_lo, r_hi)
+    if broadcast_build is True:
+        binned_r = F.broadcast(binned_r)
+    elif broadcast_build is False:
+        binned_r = binned_r.hint("merge")
     joined = (
-        binned(left, l_lo, l_hi)
-        .join(binned(right, r_lo, r_hi), on + [BIN_COL], "inner")
+        binned_l
+        .join(binned_r, on + [BIN_COL], "inner")
         .where(
             (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
         )

@@ -78,6 +78,36 @@ def test_interval_join_matches_naive_overlap(spark):
     assert got == naive == {(1, 7), (3, 7), (2, 8)}
 
 
+def test_interval_join_broadcast_escape_is_not_bhj(spark):
+    """Round-11 guard: ``broadcast_build=False`` must force a
+    sort-merge bin join whatever Catalyst's static size estimate says.
+    Under AQE-off (or stale stats at real scale) the estimate of the
+    exploded ``Generate(Union(...))`` side can stay under the broadcast
+    threshold and plan a BroadcastHashJoin over a multi-million-row
+    built side; the escape pins the spill-safe plan. Results must be
+    identical on both paths."""
+    a = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 10.0, 20.0), (3, 4.0, 11.0)],
+        "a_id long, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(7, 4.5, 6.0), (8, 19.0, 30.0), (9, 100.0, 101.0)],
+        "b_id long, b_lo double, b_hi double",
+    )
+    kw = dict(l_lo="a_lo", l_hi="a_hi", r_lo="b_lo", r_hi="b_hi",
+              bin_width=3.0)
+    forced = interval_join(a, b, broadcast_build=False, **kw)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
+    got = {(r["a_id"], r["b_id"]) for r in forced.collect()}
+    auto = {
+        (r["a_id"], r["b_id"])
+        for r in interval_join(a, b, **kw).collect()
+    }
+    assert got == auto == {(1, 7), (3, 7), (2, 8)}
+
+
 def test_interval_join_rejects_column_collisions(spark):
     df = spark.createDataFrame([(1, 0.0, 1.0)], "id long, lo double, hi double")
     with pytest.raises(ValueError, match="collide"):

@@ -128,3 +128,19 @@ def test_unk_paths(spark):
 
 def test_character_coverage_no_unk_on_corpus(segmented):
     assert all(r["pieces"] != UNK for r in segmented.values())
+
+
+def test_segmentation_plan_is_one_arrow_udf(spark, sf_dir):
+    """Round-11 regression guard: the DP must reach the engine as ONE
+    Arrow-batched UDF over the distinct-word table — the former
+    unrolled-projection form fused into a whole-stage-codegen method
+    beyond janino's 64 KB limit, silently dropping the corpus-side
+    aggregate to interpreted execution."""
+    plan = (
+        q_unigram_tokens(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
