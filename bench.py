@@ -730,6 +730,14 @@ def main() -> None:
         plan = overrides.get(name, queries[name])(spark, sf_dir)
         plan.toPandas()
         op_timings[name] = round(min(_samples(plan)), 4)
+        # r11: scrub between entries — dead plan/clone references hold
+        # JVM broadcast variables and shuffle bookkeeping alive until a
+        # GC lets the ContextCleaner reap them; without this, late
+        # entries time against accumulated old-gen pressure (the same
+        # residue class the scale section now avoids via per-entry
+        # subprocesses; measured there at up to 4x inflation).
+        del plan
+        spark._jvm.System.gc()
 
     # same-run DuckDB baseline: each headline query's own oracle SQL over
     # the same parquet, warm best-of-2 — so the ratio reported per round

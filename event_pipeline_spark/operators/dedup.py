@@ -303,6 +303,14 @@ def minhash_candidate_pairs(
         ).alias("_bucket"),
     ).select("_id", "_bucket.band", "_bucket.bh")
     banded = _cap_buckets(banded, max_bucket)
+    # the banded table feeds BOTH sides of the self-join below; without
+    # pinning, the minhash UDF re-runs over the whole corpus for each
+    # side whenever the planner broadcasts one of them (exchange reuse
+    # only covers the symmetric shuffled plan). 16 rows of ~50 bytes
+    # per doc — ~1% of corpus size — so the persist is cheap at any
+    # scale next to a second full UDF pass. Released via
+    # cache.release_pins() after the caller materializes.
+    banded = pin(banded)
 
     left = banded.alias("l")
     right = banded.alias("r")

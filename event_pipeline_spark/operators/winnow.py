@@ -115,9 +115,19 @@ def winnow_pairs(
     fingerprints, after dropping fingerprints appearing in more than
     ``max_df`` documents (the MOSS noise rule — ultra-common
     fingerprints are boilerplate and would force a quadratic join)."""
+    from event_pipeline_spark.cache import pin
+
     fps = winnow_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, w=w
     ).select(F.col(id_col).alias("_id"), "fp").distinct()
+    # the fingerprint table is consumed three times (df cap + both join
+    # sides); without pinning, the per-doc gram-hash/window-select
+    # compute re-runs per consumer (exchange reuse covers only the two
+    # identically-projected join sides). Digest-only rows — ~1/w of the
+    # gram count — so the persist is small at any corpus size. Released
+    # via cache.release_pins() after the caller materializes (the
+    # ngram_jaccard_pairs discipline).
+    fps = pin(fps)
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
