@@ -473,8 +473,17 @@ def ngram_novelty(
     DISTRIBUTED (plain equi-join on the gram hash — the reference is a
     train corpus, never broadcast-sized); counting is
     map-side-combinable; novelty is one exact division, rounded 7 dp."""
-    doc_g = _gram_hashes(docs, text_col, id_col, n).dropDuplicates(
-        [id_col, "gram_hash"]
+    # one exchange on the join key serves BOTH the per-doc dedup and
+    # the reference join: hash-partitioning by gram_hash alone satisfies
+    # the (id, gram_hash) dedup's clustering (subset partitioning), and
+    # the aggregate preserves it, so the left join below adds no doc-side
+    # exchange — one full shuffle of the gram table instead of two.
+    # (Map-side partial dedup is lost; within-doc repeat grams are a
+    # small fraction, a full extra shuffle is not.)
+    doc_g = (
+        _gram_hashes(docs, text_col, id_col, n)
+        .repartition("gram_hash")
+        .dropDuplicates([id_col, "gram_hash"])
     )
     ref_g = (
         _gram_hashes(
@@ -517,21 +526,32 @@ def q_decontam_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains the deterministic split with the novelty readout: a
     low-novelty eval doc is train text in disguise even when no single
     8-gram matches (the decontam_scan trigger)."""
+    from event_pipeline_spark.cache import pin
     from event_pipeline_spark.operators.sampling import split_assign
 
     docs = _docs(spark, sf_dir)
-    splits = split_assign(
-        docs.select("doc_id", "source"), "source", "doc_id"
-    ).select("doc_id", "split")
-    ev = docs.join(
-        splits.where(F.col("split") != "train"), "doc_id"
+    # pin the (doc_id, split) table: it is consumed three times (the
+    # ev-side filter, the train-side filter, and the final split
+    # re-attach), and each consumer would otherwise recompute the
+    # per-source ranking window + documents scan. ~16 bytes/doc,
+    # distributed — cheap at any corpus size. Released via
+    # cache.release_pins() after the caller materializes.
+    splits = pin(
+        split_assign(
+            docs.select("doc_id", "source"), "source", "doc_id"
+        ).select("doc_id", "split")
     )
+    ev_ids = splits.where(F.col("split") != "train")
+    ev = docs.join(ev_ids.select("doc_id"), "doc_id")
     train = docs.join(
         splits.where(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     rep = ngram_novelty(ev.select("doc_id", "text"), train, n=3)
+    # re-attach split from the pinned id table, not from a rebuilt ev
+    # subtree (rep's ids are ev ids by construction, so the inner join
+    # against all eval ids is the same row set)
     return (
-        rep.join(ev.select("doc_id", "split"), "doc_id")
+        rep.join(ev_ids, "doc_id")
         .select("doc_id", "split", "n_grams", "n_novel", "novelty")
         .orderBy("doc_id")
     )

@@ -302,15 +302,18 @@ def minhash_candidate_pairs(
             )
         ).alias("_bucket"),
     ).select("_id", "_bucket.band", "_bucket.bh")
+    # One explicit hash exchange on the banding key BEFORE the cap and
+    # the self-join: the banded table feeds the cap window AND both
+    # join sides, and without a shared shuffle the minhash UDF re-runs
+    # per consumer whenever the planner broadcasts a side (a broadcast
+    # build recomputes its subtree; exchange reuse only covered the
+    # symmetric shuffled plan). Partitioning by (band, bh) satisfies
+    # the cap window's and both join sides' clustering requirement, so
+    # all three consume ONE ReusedExchange and the signature pass runs
+    # exactly once per execution — no cache, any scale. AQE still
+    # right-sizes the partition count.
+    banded = banded.repartition("band", "bh")
     banded = _cap_buckets(banded, max_bucket)
-    # the banded table feeds BOTH sides of the self-join below; without
-    # pinning, the minhash UDF re-runs over the whole corpus for each
-    # side whenever the planner broadcasts one of them (exchange reuse
-    # only covers the symmetric shuffled plan). 16 rows of ~50 bytes
-    # per doc — ~1% of corpus size — so the persist is cheap at any
-    # scale next to a second full UDF pass. Released via
-    # cache.release_pins() after the caller materializes.
-    banded = pin(banded)
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -272,9 +272,11 @@ def sorted_neighborhood_pairs(
     u = outs[0]
     for o in outs[1:]:
         u = u.unionByName(o)
+    # thresholded kernel: exact distance when <= max_dist (the only
+    # rows that survive), -1 past the bound — O(d*min(m,n)) per pair
     return u.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).where(F.col("dist") <= max_dist)
+        "dist", F.levenshtein("name_a", "name_b", max_dist)
+    ).where(F.col("dist") != -1)
 
 
 def q_fuzzy_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +405,12 @@ def fellegi_sunter_pairs(
         (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.id") < F.col("b.id")),
     )
-    name_agree = F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2
+    # thresholded kernel (the module's own r4 discipline): abandons the
+    # DP once the running distance exceeds 2 (returns -1), O(d*min(m,n))
+    # per pair instead of O(m*n); `!= -1` is exactly `distance <= 2`.
+    name_agree = (
+        F.levenshtein(F.col("a.name"), F.col("b.name"), 2) != -1
+    )
     seg_agree = F.col("a.seg") == F.col("b.seg")
     bal_agree = F.abs(F.col("a.bal") - F.col("b.bal")) <= 500
     score = (

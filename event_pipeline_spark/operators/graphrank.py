@@ -472,6 +472,7 @@ def kcore_members(
     a_col: str = "a",
     b_col: str = "b",
     checkpoint_every: int = 0,
+    broadcast_keep: bool | None = None,
 ) -> DataFrame:
     """(node, degree): members of the k-core — the maximal subgraph
     where every node keeps degree ≥ k — after ``rounds`` synchronous
@@ -503,20 +504,36 @@ def kcore_members(
         a_col=a_col,
         b_col=b_col,
         checkpoint_every=checkpoint_every,
+        broadcast_keep=broadcast_keep,
     ).groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
 
 
-def kcore_sweep(alive: DataFrame, k: int) -> DataFrame:
+def kcore_sweep(
+    alive: DataFrame, k: int, *, broadcast_keep: bool | None = None
+) -> DataFrame:
     """ONE synchronous peeling sweep over a (node, nbr) adjacency:
-    drop every node with degree < k, return the induced adjacency."""
+    drop every node with degree < k, return the induced adjacency.
+
+    ``broadcast_keep`` is three-state (the ``fuzzy.broadcast_build``
+    discipline): ``None`` adds no hint — Catalyst plans from static
+    stats and AQE re-decides at runtime (measured at sf0.1: AQE
+    broadcasts every keep side at runtime, converting all 10 sweep
+    joins SMJ -> BHJ); ``True`` forces the broadcast in the STATIC
+    plan too — only when the caller knows the surviving-node set fits
+    executor memory (a k-core candidate set at extreme scale may not);
+    ``False`` forces the shuffled sort-merge form."""
     keep = (
         alive.groupBy("node")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= k)
         .select("node")
     )
+    if broadcast_keep is True:
+        keep = F.broadcast(keep)
+    elif broadcast_keep is False:
+        keep = keep.hint("merge")
     return alive.join(keep, "node").join(
         keep.withColumnRenamed("node", "nbr"), "nbr"
     )
@@ -530,6 +547,7 @@ def kcore_adjacency(
     a_col: str = "a",
     b_col: str = "b",
     checkpoint_every: int = 0,
+    broadcast_keep: bool | None = None,
 ) -> DataFrame:
     """The (node, nbr) adjacency surviving ``rounds`` peeling sweeps —
     the composable core of ``kcore_members`` (tests run one extra
@@ -545,14 +563,18 @@ def kcore_adjacency(
     )
     alive = sym
     for i in range(rounds):
-        alive = kcore_sweep(alive, k)
+        alive = kcore_sweep(alive, k, broadcast_keep=broadcast_keep)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             alive = alive.localCheckpoint()
     return alive
 
 
 def q_graph_kcore(
-    spark: SparkSession, sf_dir: str, *, checkpoint_every: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    checkpoint_every: int = 2,
+    broadcast_keep: bool | None = None,
 ) -> DataFrame:
     """75-core of the co-purchase graph after 5 peeling sweeps (the
     fixpoint on this corpus — asserted in tests).
@@ -583,7 +605,9 @@ def q_graph_kcore(
     # optimizer otherwise re-plans a 15-join tree; measured 14x faster
     # at gate scale with identical results)
     return kcore_members(
-        edges, checkpoint_every=checkpoint_every
+        edges,
+        checkpoint_every=checkpoint_every,
+        broadcast_keep=broadcast_keep,
     ).orderBy("node")
 
 

@@ -115,26 +115,39 @@ def winnow_pairs(
     fingerprints, after dropping fingerprints appearing in more than
     ``max_df`` documents (the MOSS noise rule — ultra-common
     fingerprints are boilerplate and would force a quadratic join)."""
-    from event_pipeline_spark.cache import pin
-
-    fps = winnow_fingerprints(
-        docs, id_col=id_col, text_col=text_col, k=k, w=w
-    ).select(F.col(id_col).alias("_id"), "fp").distinct()
-    # the fingerprint table is consumed three times (df cap + both join
-    # sides); without pinning, the per-doc gram-hash/window-select
-    # compute re-runs per consumer (exchange reuse covers only the two
-    # identically-projected join sides). Digest-only rows — ~1/w of the
-    # gram count — so the persist is small at any corpus size. Released
-    # via cache.release_pins() after the caller materializes (the
-    # ngram_jaccard_pairs discipline).
-    fps = pin(fps)
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_df)
-        .select("fp")
+    # ONE hash exchange on ``fp`` carries the whole pipeline: the
+    # repartition satisfies the (_id, fp) dedup's clustering (subset
+    # partitioning), the df-cap window's, and both self-join sides' —
+    # so the expensive per-doc selection is shuffled exactly once and
+    # nothing downstream re-exchanges until the final pair aggregate.
+    # (Map-side partial dedup is lost, but per-doc fingerprints are
+    # already array_distinct'd, so cross-position duplicates are few.)
+    fps = (
+        winnow_fingerprints(
+            docs, id_col=id_col, text_col=text_col, k=k, w=w
+        )
+        .select(F.col(id_col).alias("_id"), "fp")
+        .repartition("fp")
+        .distinct()
     )
-    fr = fps.join(rare, "fp")
+    # df cap as a COUNT WINDOW over the join key (the ``_cap_buckets``
+    # discipline), not a separate aggregate + join: a groupBy("fp")
+    # subtree gets column-pruned to fp-only, which makes its exchange
+    # differ from the self-join sides' (_id, fp) exchange and defeats
+    # exchange reuse — the expensive per-doc gram-hash/window-select
+    # compute then re-runs per consumer (r10 bench: 2.5s for ~0.8s of
+    # fingerprinting). The window needs clustering on fp, exactly what
+    # both self-join sides need, and ``fr`` is the SAME subtree on both
+    # sides — so the whole plan holds ONE exchange over the fingerprint
+    # selection (ReusedExchange on the other side), and the selection
+    # runs once per execution with no cache involved, at any scale.
+    fr = (
+        fps.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
     a, b = fr.alias("a"), fr.alias("b")
     return (
         a.join(

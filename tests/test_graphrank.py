@@ -230,6 +230,32 @@ def test_kcore_hand_case_and_fixpoint(spark):
     }
 
 
+def test_kcore_broadcast_keep_same_result_and_plan(spark):
+    """broadcast_keep=True must change ONLY the join strategy (every
+    sweep's keep-side join becomes a broadcast hash join in the static
+    plan, the shape AQE produces at runtime), never the result."""
+    from event_pipeline_spark.operators.graphrank import kcore_members
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+
+    default = kcore_members(edges, k=2, rounds=3)
+    hinted = kcore_members(edges, k=2, rounds=3, broadcast_keep=True)
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_kcore_gate_fixpoint(spark, sf_dir):
     """The registered query's 5 rounds reach the fixpoint on the gate
     corpus (the fixed-round contract's convergence claim)."""
