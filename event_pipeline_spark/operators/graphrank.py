@@ -561,7 +561,18 @@ def kcore_adjacency(
             F.col(a_col).cast("long").alias("nbr"),
         )
     )
-    alive = sym
+    # ONE upfront hash exchange on ``node`` (r11): every sweep's degree
+    # aggregate groups by node, and the keep-side joins preserve the
+    # partitioning whenever they run as broadcast joins (the strategy
+    # AQE picks at runtime for every sweep at gate scale, and the
+    # bench's measured form) — so all ``rounds`` aggregations become
+    # exchange-free complete aggregates over the established layout
+    # instead of re-shuffling the (shrinking) adjacency once per sweep
+    # (measured: 23 -> 15 hash exchanges in the static broadcast plan,
+    # local seconds unchanged — the win is shuffled bytes at scale).
+    # Under the sort-merge fallback the nbr-side join re-keys anyway
+    # and the upfront exchange is one among many, not a regression.
+    alive = sym.repartition("node")
     for i in range(rounds):
         alive = kcore_sweep(alive, k, broadcast_keep=broadcast_keep)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:

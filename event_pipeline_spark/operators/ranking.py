@@ -689,12 +689,21 @@ def tfidf_cosine_pairs(
             )
         ).alias("bg"),
     )
-    rare = bigrams.join(
-        bigrams.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("bdf"))
-        .where(F.col("bdf") <= max_df)
-        .select("bg"),
-        "bg",
+    # bigram df cap as a COUNT WINDOW over the join key (the winnow
+    # ``max_df`` discipline): a separate groupBy("bg") subtree gets
+    # column-pruned to bg-only, which defeats exchange reuse against
+    # the (_id, bg) self-join sides — the bigram explode then re-runs
+    # per consumer. The window needs exactly the clustering both
+    # self-join sides need, so the whole candidate stage holds ONE
+    # exchange over the bigram explode (ReusedExchange on the other
+    # join side) and the explode runs once per execution.
+    rare = (
+        bigrams.repartition("bg")
+        .withColumn(
+            "_bdf", F.count(F.lit(1)).over(Window.partitionBy("bg"))
+        )
+        .where(F.col("_bdf") <= max_df)
+        .drop("_bdf")
     )
     cand = (
         rare.alias("ra")
