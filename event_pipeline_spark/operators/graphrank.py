@@ -328,16 +328,34 @@ def triangle_stats(
     two-equi-join form wrote Σdeg² wedge rows to shuffle: 26 GB /
     266 s at a 720M-wedge point vs 62 s for the array form).
     Clustering stays ONE exact BIGINT division per node. ``deg`` is
-    pinned: the orientation joins and the final output all read it."""
+    pinned: the orientation joins and the final output all read it.
+
+    Exchange sharing (round 11): every multiply-consumed subtree ends
+    in an explicit ``repartition`` so its consumers take ONE reused
+    exchange instead of re-evaluating the subtree — the deduped edge
+    table (degree pass + orientation), the oriented edge list (adjacency
+    build + per-edge probe), and the adjacency table (``ou`` and ``ov``
+    join sides). Before this the executed static plan on the hub bench
+    fixture evaluated the orientation joins three times and the
+    adjacency aggregate twice (31 exchanges, 22 broadcast builds per
+    run); after, each computes once (winnow/minhash discipline, guide
+    §2.4). Degree also folds to one pass over the edges
+    (``explode(array(a, b))``) instead of a two-branch unionAll that
+    scanned the dedup output twice."""
     from event_pipeline_spark.cache import pin
 
-    e = edges.select(
-        F.col(a_col).cast("long").alias("a"),
-        F.col(b_col).cast("long").alias("b"),
-    ).dropDuplicates(["a", "b"])
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+        .repartition("a", "b")
+    )
     deg = pin(
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
@@ -357,9 +375,19 @@ def triangle_stats(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        # no-op at runtime (u/v come from inner joins on non-null keys)
+        # but load-bearing for exchange reuse: the downstream joins push
+        # isnotnull(u)/isnotnull(v) below the repartition, and the two
+        # consumers would otherwise carry DIFFERENT pushed filters —
+        # distinct subtrees, no ReusedExchange, orientation computed
+        # twice. Stating both filters here makes the subtrees identical.
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .repartition("u")
     )
-    adj = o.groupBy(F.col("u").alias("node")).agg(
-        F.sort_array(F.collect_list("v")).alias("out")
+    adj = (
+        o.groupBy(F.col("u").alias("node"))
+        .agg(F.collect_list("v").alias("out"))
+        .repartition("node")
     )
     per_edge = (
         o.join(
@@ -376,17 +404,34 @@ def triangle_stats(
         .withColumn("t", F.size("common"))
         .where(F.col("t") > 0)
     )
-    roles = (
-        per_edge.select(F.col("u").alias("node"), F.col("t").alias("n"))
-        .unionAll(
-            per_edge.select(F.col("v").alias("node"), F.col("t").alias("n"))
-        )
-        .unionAll(
-            per_edge.select(
-                F.explode("common").alias("node"), F.lit(1).alias("n")
+    # ONE generator pass emits every role contribution — u and v each
+    # count the intersection size, each w in it counts 1. The former
+    # three-way unionAll of per_edge projections re-evaluated the whole
+    # per_edge subtree (both adjacency joins included) once per branch:
+    # the executed static plan carried 3x the join work and 22
+    # broadcast builds per run on the hub fixture (r11 measurement).
+    # array_intersect hashes its inputs, so the out-lists need no
+    # sort_array either — content, not order, feeds every consumer.
+    roles = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"), F.col("t").alias("n")
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"), F.col("t").alias("n")
+                    ),
+                ),
+                F.transform(
+                    "common",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).alias("n")
+                    ),
+                ),
             )
-        )
-    )
+        ).alias("r")
+    ).select(F.col("r.node").alias("node"), F.col("r.n").alias("n"))
     t_per = roles.groupBy("node").agg(
         F.sum("n").cast("bigint").alias("triangles")
     )

@@ -93,8 +93,6 @@ GRADE_FIRST_OPERATORS = [
     "dedup_substring_spans",
     "fp_winnow_pairs",
     "dedup_ngram_jaccard",
-    "decontam_semantic",
-    "wordpiece_tokens",
     "text_segments_udtf",
     "curate_funnel",
     "rank_rrf_fusion",
@@ -102,7 +100,6 @@ GRADE_FIRST_OPERATORS = [
     "skew_salted_agg",
     "asof_join",
     "mm_image_neardup",
-    "pack_sequences_bpe",
     "select_token_budget_bpe",
     # Round-8 rotation: the r7-verdict task-4 five (all judge-green
     # last round, now driver-graded) plus the round-8 headliners
@@ -112,9 +109,7 @@ GRADE_FIRST_OPERATORS = [
     # GRADE_DEFER_CORE below) — they stay registered and
     # differential-checked every round; the lookup-DSL family remains
     # graded through q3 (exact/gt conjunction) and q9 (discard-anti).
-    "stats_welch_ttest",
     "fuzzy_sorted_neighborhood",
-    "events_interarrival",
     "sketch_cms_events",
     "ml_rolling_folds",
     "unigram_tokens",
@@ -130,7 +125,6 @@ GRADE_FIRST_OPERATORS = [
     # cdc_pit_purchases, and most operator queries), q22 scalar
     # builtins (every text operator exercises the same layer).
     "stats_ks_two_sample",
-    "sim_mmr_rerank",
     "ml_negative_samples",
     # Round-9 rotation: the new round-9 families earn graded slots —
     # the closed-form Holt fold (trend family's hardest oracle), the
@@ -144,10 +138,8 @@ GRADE_FIRST_OPERATORS = [
     # Every deferred name stays registered and differential-checked.
     "trend_holt",
     "tok_oov_rate",
-    "eval_rouge_pairs",
     "split_leakage_report",
     "graph_kcore",
-    "trend_theil_sen",
     # round-10 rotation (see note above)
     "trend_changepoint",
     "eval_ips_uniform",
@@ -155,6 +147,27 @@ GRADE_FIRST_OPERATORS = [
     "sim_reciprocal_pairs",
     "feat_hashing_trick",
     "stats_histogram_equidepth",
+    # Round-11 rotation (VERDICT r10 #4): the eight round-10 operators
+    # — all judge-green in the r10 sf0.01 differential — enter the
+    # graded prefix; eight long-stable entries defer to make room,
+    # each family keeping a graded representative (stats keeps
+    # ks/histogram/bootstrap; eval keeps ips/brier; events keeps the
+    # Markov pair + top-paths + asof/cdc; tokenizers keep
+    # unigram/triad/oov/select-budget; decontam keeps
+    # novelty + split-leakage; similarity keeps
+    # semantic-exact + reciprocal; trends keeps holt + changepoint).
+    # Deferred (stay registered, differential-checked every round):
+    # stats_welch_ttest, eval_rouge_pairs, events_interarrival,
+    # wordpiece_tokens, decontam_semantic, sim_mmr_rerank,
+    # pack_sequences_bpe, trend_theil_sen.
+    "stats_bootstrap_ci",
+    "events_markov_transitions",
+    "events_markov_ksteps",
+    "corpus_doc_entropy",
+    "decontam_novelty",
+    "eval_brier_decomposition",
+    "corpus_token_concentration",
+    "events_top_paths",
 ]
 
 #: Core q-entries deferred OUT of the graded prefix (round-8 rotation):

@@ -290,3 +290,32 @@ def test_kcore_gate_fixpoint(spark, sf_dir):
         )
     )
     assert deg(kcore_sweep(at_r, KCORE_K)) == deg(at_r)
+
+
+def test_triangle_stats_single_pass_roles_and_exchange_reuse(spark):
+    """Round-11 plan shape: the role contributions come from ONE
+    generator pass over per_edge (explode of concat'd structs — the
+    former three-way unionAll re-evaluated the per-edge join subtree
+    once per branch), and the multiply-consumed subtrees behind the
+    explicit repartitions are served by ReusedExchange under static
+    planning. Results are covered by the hand-case tests above; this
+    pins the executed shape those costs depend on."""
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.graphrank import triangle_stats
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(0, 8) for b in range(a + 1, 8)],
+        "a long, b long",
+    )
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = triangle_stats(df)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+    # one generator pass emits u/v/witness contributions together
+    assert plan.count("Generate explode(concat(array(struct") == 1
+    # the shared-subtree repartitions actually get reused (o at least;
+    # the deduped edge exchange folds too when pruning agrees)
+    assert plan.count("ReusedExchange") >= 2
