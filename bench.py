@@ -182,12 +182,28 @@ def _evict_cached_blocks(spark, keep_ids=()) -> None:
     0.47s warm-pin vs 1.8s with blocks evicted — the same
     stage-reuse under-report class the round-9 shuffle rework
     eliminated). ``keep_ids`` exempts fixtures deliberately
-    materialized OUTSIDE the timed region (the triangle base edges)."""
-    bmm = spark.sparkContext._jsc.sc().env().blockManager().master()
+    materialized OUTSIDE the timed region (the triangle base edges).
+
+    Checkpointed RDDs are skipped (r12, ADVICE fix): a checkpointed /
+    locally-checkpointed RDD has TRUNCATED lineage — evicting its
+    blocks would make re-execution impossible ("checkpoint block not
+    found"), not force a recompute. No timed plan checkpoints today
+    (the kcore bench form sets checkpoint_every=0), so this changes no
+    current number; it is the guard that keeps a future checkpointing
+    entry from crashing the bench."""
+    sc = spark.sparkContext._jsc.sc()
+    bmm = sc.env().blockManager().master()
     keep = set(keep_ids)
-    for rid in _persistent_rdd_ids(spark):
-        if rid not in keep:
-            bmm.removeRdd(rid, True)
+    m = sc.getPersistentRDDs()
+    it = m.iterator()
+    while it.hasNext():
+        kv = it.next()
+        rid, rdd = kv._1(), kv._2()
+        if rid in keep:
+            continue
+        if rdd.isCheckpointed() or rdd.isLocallyCheckpointed():
+            continue
+        bmm.removeRdd(rid, True)
 
 
 def _drop_all_shuffle_outputs(spark) -> None:
@@ -460,11 +476,18 @@ def _scale_minhash_hot_bucket(spark, sf_dir: str, mult: int) -> dict:
         ).alias("text"),
     )
     dirty = docs.select("doc_id", "text").unionByName(flood)
+    # Build + time each plan COMPLETELY before building the next (r12,
+    # ADVICE fix): _time_once ends with release_pins(), which would
+    # unpersist a co-existing plan's pinned pair frame — the capped
+    # entry then recomputed its signature pass per consumer while the
+    # uncapped entry kept within-sample pin reuse (asymmetric; biased
+    # the reported cap speedup DOWNWARD — conservative, but skewed:
+    # r11 recorded speedup 2.35 under the asymmetry).
     uncapped_plan = minhash_candidate_pairs(dirty)
-    capped_plan = minhash_candidate_pairs(dirty, max_bucket=100)
     u_pairs = uncapped_plan.count()
-    c_pairs = capped_plan.count()
     ut = _time_once(spark, uncapped_plan)
+    capped_plan = minhash_candidate_pairs(dirty, max_bucket=100)
+    c_pairs = capped_plan.count()
     ct = _time_once(spark, capped_plan)
     return {
         "flood_docs": flood_b,

@@ -111,6 +111,12 @@ def _viterbi_one(
     ascending piece length with a ``>=`` fold (longest last piece wins
     ties), SENTINEL for unreachable prefixes, backtrack from
     ``len(word)``. Returns (pieces, n_pieces, logp_units-or-None)."""
+    if word is None:
+        # preserve the replaced column-based form's null semantics
+        # (F.length(NULL) -> NULL routed to the [UNK] branch); corpus
+        # words come from split/explode and are never null, but a null
+        # here must degrade, not TypeError the whole Arrow batch
+        return [UNK], 1, None
     n = len(word)
     if n == 0 or n > max_len:
         return [UNK], 1, None

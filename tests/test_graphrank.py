@@ -230,6 +230,60 @@ def test_kcore_hand_case_and_fixpoint(spark):
     }
 
 
+def test_kcore_members_delta_form_matches_adjacency_form(spark):
+    """The r12 delta-tracked kcore_members must equal the adjacency
+    form's groupBy-count for every (k, rounds) — the docstring's gated
+    equivalence claim (each edge decrements its surviving endpoint
+    exactly once, at the sweep its other endpoint first dies)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from event_pipeline_spark.operators.graphrank import (
+        kcore_adjacency,
+        kcore_members,
+    )
+
+    rnd = random.Random(7)
+    edges = [
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if rnd.random() < 0.3
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    for k in (2, 4):
+        for rounds in (1, 3):
+            new = sorted(
+                map(tuple, kcore_members(df, k=k, rounds=rounds).collect())
+            )
+            old = sorted(
+                map(
+                    tuple,
+                    kcore_adjacency(df, k=k, rounds=rounds)
+                    .groupBy("node")
+                    .agg(
+                        F.count(F.lit(1)).cast("bigint").alias("degree")
+                    )
+                    .collect(),
+                )
+            )
+            assert new == old, (k, rounds)
+
+
+def test_kcore_zero_degree_survivor_excluded(spark):
+    """A node whose every neighbor peels in one sweep reaches degree 0:
+    the adjacency form drops it implicitly (no rows), the delta form
+    must drop it via the c > 0 exclusion — star of 5 spokes, k=2,
+    rounds=1: spokes die (degree 1), the hub survives the sweep test
+    (degree 5) but ends with zero alive edges -> empty members."""
+    from event_pipeline_spark.operators.graphrank import kcore_members
+
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "a long, b long")
+    assert kcore_members(df, k=2, rounds=1).collect() == []
+
+
 def test_kcore_broadcast_keep_same_result_and_plan(spark):
     """broadcast_keep=True must change ONLY the join strategy (every
     sweep's keep-side join becomes a broadcast hash join in the static
@@ -246,10 +300,15 @@ def test_kcore_broadcast_keep_same_result_and_plan(spark):
         map(tuple, hinted.collect())
     )
 
+    # build a FRESH DataFrame after disabling AQE: ``hinted`` above has
+    # already materialized its lazy executedPlan during collect(), so
+    # asserting on it would read the cached AQE plan, not the static
+    # plan this test pins (the triangle plan-shape test's discipline)
     prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        static = kcore_members(edges, k=2, rounds=3, broadcast_keep=True)
+        plan = static._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prior)
     assert "SortMergeJoin" not in plan
