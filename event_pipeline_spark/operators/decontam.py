@@ -526,30 +526,36 @@ def q_decontam_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains the deterministic split with the novelty readout: a
     low-novelty eval doc is train text in disguise even when no single
     8-gram matches (the decontam_scan trigger)."""
-    from event_pipeline_spark.cache import pin
     from event_pipeline_spark.operators.sampling import split_assign
 
     docs = _docs(spark, sf_dir)
-    # pin the (doc_id, split) table: it is consumed three times (the
-    # ev-side filter, the train-side filter, and the final split
-    # re-attach), and each consumer would otherwise recompute the
-    # per-source ranking window + documents scan. ~16 bytes/doc,
-    # distributed — cheap at any corpus size. Released via
-    # cache.release_pins() after the caller materializes.
-    splits = pin(
-        split_assign(
-            docs.select("doc_id", "source"), "source", "doc_id"
-        ).select("doc_id", "split")
-    )
+    # The (doc_id, split) table is consumed three times (the ev-side
+    # filter, the train-side filter, and the final split re-attach) —
+    # but NO pin is needed for exchange sharing (r12, recovering the
+    # r11 pin's measured regression: driver shelf 1.35 -> 2.72s): the
+    # split filters reference the window-derived ``split`` column, so
+    # they CANNOT push below the ranking Window — every consumer's
+    # subtree below the window's hashpartitioning(source) exchange is
+    # identical, and ReusedExchange folds them. The documents scan and
+    # the shuffle of (doc_id, source) run ONCE per execution; only the
+    # narrow sort+window+CASE above the reused exchange re-evaluates
+    # per consumer (16-byte rows, already partitioned — noise at any
+    # scale next to the gram pipeline below). No InMemoryRelation, no
+    # per-sample re-cache cost, any scale.
+    splits = split_assign(
+        docs.select("doc_id", "source"), "source", "doc_id"
+    ).select("doc_id", "split")
     ev_ids = splits.where(F.col("split") != "train")
     ev = docs.join(ev_ids.select("doc_id"), "doc_id")
     train = docs.join(
         splits.where(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     rep = ngram_novelty(ev.select("doc_id", "text"), train, n=3)
-    # re-attach split from the pinned id table, not from a rebuilt ev
-    # subtree (rep's ids are ev ids by construction, so the inner join
-    # against all eval ids is the same row set)
+    # re-attach split from the shared split table, not from a rebuilt
+    # ev subtree (rep's ids are ev ids by construction, so the inner
+    # join against all eval ids is the same row set); this third
+    # consumer reads the same reused window exchange as the filters
+    # above
     return (
         rep.join(ev_ids, "doc_id")
         .select("doc_id", "split", "n_grams", "n_novel", "novelty")
