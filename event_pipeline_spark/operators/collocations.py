@@ -43,7 +43,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_pipeline_spark.cache import pin
 
 QUERIES = {}
 ORACLES = {}
@@ -192,20 +191,36 @@ def cooccurrence_pmi(
             F.least("wa", "wb").alias("a"),
             F.greatest("wa", "wb").alias("b"),
         )
+        # no-op at runtime (least/greatest of non-null split tokens),
+        # but load-bearing for exchange reuse (r12 — pin dropped): the
+        # downstream marginal/score joins push isnotnull(a) /
+        # isnotnull(b) below the aggregate, and each of the pair
+        # table's consumers would otherwise carry a DIFFERENT pushed
+        # subset — distinct subtrees, no ReusedExchange, and the
+        # tokenize -> offset-join -> partial-count pipeline would
+        # re-run once per consumer. Stating both guards here makes
+        # every consumer's subtree identical, so the count aggregate's
+        # one (a, b) hash exchange is planned once and reused: the
+        # expensive pipeline below it runs once per execution, with no
+        # cache at any scale (the r11 pin also paid a full re-cache
+        # per execution under the bench's honest block eviction). Only
+        # the cheap final count merge above the reused exchange
+        # re-evaluates per consumer.
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    # three consumers read the pair table — the eager total, the
-    # marginals (twice via the union), and the scored join; without the
-    # pin each rebuilds tokenize -> offset-join -> groupBy from scratch
-    # (the evaluation.py pinned-gram-table discipline)
-    pairs = pin(pairs)
     total = pairs.agg(F.sum("c").cast("bigint").alias("p")).collect()[0][
         "p"
     ] or 0
+    # single-pass marginal (r12): explode((a, b)) reads the pair table
+    # ONCE where the former two-branch unionAll read it twice — with
+    # the pin gone, that is one fewer re-evaluation of the count merge
+    # above the reused exchange per execution
     marg = (
-        pairs.select(F.col("a").alias("x"), "c")
-        .unionAll(pairs.select(F.col("b").alias("x"), "c"))
+        pairs.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("x"), "c"
+        )
         .groupBy("x")
         .agg(F.sum("c").cast("bigint").alias("f"))
     )

@@ -762,15 +762,24 @@ def rouge_n_pairs(
             lambda w: w != "",
         ).alias("toks"),
     )
-    from event_pipeline_spark.cache import pin
-
     spark = docs.sparkSession
-    # ONE unioned gram table over all orders, pinned: it feeds both
-    # pair sides and the totals (3 references), and the tokenize +
-    # explode + count chain would otherwise recompute per reference
-    # (honest re-execution measured 12s at sf0.1 before pinning vs
-    # ~2s after; an earlier "pinning is slower" reading was an artifact
-    # of the bench's stale-shuffle reuse, fixed in bench.py round 9)
+    # ONE unioned gram table over all orders, shared via EXCHANGE REUSE
+    # (r12 — pin dropped): it feeds both pair sides and the totals (3
+    # references), and the tokenize + explode + count chain would
+    # otherwise recompute per reference (honest re-execution measured
+    # 12s at sf0.1 before sharing vs ~2s shared). The r11 pin paid a
+    # full re-cache per execution under the bench's honest block
+    # eviction AND holds the gram table memory-resident at any corpus
+    # size; the winnow discipline below shares the shuffle instead:
+    # every consumer's subtree is made IDENTICAL (the explicit
+    # isNotNull filter states the superset of every consumer's pushed
+    # join predicates, so pushdown cannot differentiate the subtrees —
+    # the triangle-orientation trick), and the trailing
+    # ``repartition("id")`` gives them one hash exchange to fold onto:
+    # hashpartitioning(id) satisfies the totals aggregate's (n, id)
+    # clustering (subset) and the id_a pair-side join outright, so the
+    # gram pipeline below the exchange runs once per execution with no
+    # cache at any scale.
     def _gram_fn(width: int):
         # one-arg closure: a two-parameter lambda would make
         # F.transform pass the ARRAY INDEX as the second argument
@@ -798,8 +807,16 @@ def rouge_n_pairs(
     grams = gram_tbls[0]
     for t in gram_tbls[1:]:
         grams = grams.unionByName(t)
-    grams = pin(grams)
-    pairs = pin(pairs)  # bounded candidate list, referenced twice
+    grams = grams.where(
+        F.col("id").isNotNull() & F.col("g").isNotNull()
+    ).repartition("id")
+    # bounded candidate list, referenced twice (the overlap join and
+    # the spine re-attach) — same exchange-sharing discipline, keyed by
+    # the first join's key; both consumers push the same {id_a, id_b}
+    # null guards, stated explicitly so the subtrees stay identical
+    pairs = pairs.where(
+        F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+    ).repartition("id_a")
     totals = grams.groupBy("n", "id").agg(
         F.sum("c").cast("bigint").alias("t")
     )
