@@ -197,16 +197,23 @@ def bm25_topk(
         F.explode(corpus_tokens(F.col(text_col))).alias("token"),
     ).where(F.col("token").isin(query_terms))
     tf = toks.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(corpus_tokens(F.col(text_col)))).alias(
-                "token"
-            ),
-        )
-        .where(F.col("token").isin(query_terms))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # r12: document frequency DERIVED from the tf table — tf holds
+    # exactly one row per (doc, query-term) with >= 1 occurrence, so
+    # counting its rows per token IS the document frequency (identical
+    # integers; the former separate tokenize + array_distinct + explode
+    # pass over the whole corpus is gone: 3 corpus tokenize passes ->
+    # 2). The count is phrased as sum(tf > 0) — always 1 per row — ON
+    # PURPOSE: a plain count(1) makes the inner tf aggregate's count
+    # unused, and RemoveRedundantAggregates then rewrites this branch's
+    # tf subtree into a keys-only distinct whose exchange no longer
+    # hash-equals the contrib branch's — the scan+tokenize would run
+    # twice again (observed in the static plan). Referencing ``tf``
+    # keeps both branches' subtrees identical, so the broadcast build
+    # reads the ReusedExchange instead of re-scanning the corpus.
+    dfreq = tf.groupBy("token").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("df")
     )
     stats = df.select(
         F.count(F.lit(1)).alias("n_docs"),
