@@ -38,7 +38,7 @@ driver loop, not the per-step plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -327,23 +327,20 @@ def triangle_stats(
     per-edge JVM merge; nothing wedge-shaped ever shuffles (the prior
     two-equi-join form wrote Σdeg² wedge rows to shuffle: 26 GB /
     266 s at a 720M-wedge point vs 62 s for the array form).
-    Clustering stays ONE exact BIGINT division per node. ``deg`` is
-    pinned: the orientation joins and the final output all read it.
+    Clustering stays ONE exact BIGINT division per node.
 
-    Exchange sharing (round 11): every multiply-consumed subtree ends
-    in an explicit ``repartition`` so its consumers take ONE reused
-    exchange instead of re-evaluating the subtree — the deduped edge
-    table (degree pass + orientation), the oriented edge list (adjacency
-    build + per-edge probe), and the adjacency table (``ou`` and ``ov``
-    join sides). Before this the executed static plan on the hub bench
-    fixture evaluated the orientation joins three times and the
-    adjacency aggregate twice (31 exchanges, 22 broadcast builds per
-    run); after, each computes once (winnow/minhash discipline, guide
-    §2.4). Degree also folds to one pass over the edges
-    (``explode(array(a, b))``) instead of a two-branch unionAll that
-    scanned the dedup output twice."""
-    from event_pipeline_spark.cache import pin
-
+    Exchange sharing (round 11, extended round 12): every
+    multiply-consumed subtree ends in an explicit ``repartition`` so
+    its consumers take ONE reused exchange instead of re-evaluating
+    the subtree — the deduped edge table (degree passes +
+    orientation) and the oriented edge list (window, adjacency build,
+    both per-edge sides). Round 12 dropped the former ``deg`` PIN:
+    the cached degree table's rebuild plan is compiled separately, so
+    its edge-dedup exchange could never fold with the orientation's —
+    the whole scan + dedup chain executed TWICE per honest execution
+    (plan-verified: 8 file scans with the pin, 2 without). Unpinned,
+    the orientation's two degree sides share one reused exchange and
+    only the cheap count merge re-evaluates; no cache at any scale."""
     e = (
         edges.select(
             F.col(a_col).cast("long").alias("a"),
@@ -352,7 +349,7 @@ def triangle_stats(
         .dropDuplicates(["a", "b"])
         .repartition("a", "b")
     )
-    deg = pin(
+    deg = (
         e.select(
             F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
         )
@@ -389,10 +386,23 @@ def triangle_stats(
         .agg(F.collect_list("v").alias("out"))
         .repartition("node")
     )
+    # r12 (closing the r11 residual — the adjacency collect_list ran
+    # TWICE per execution): each directed edge's ``ou`` now comes from
+    # a COLLECT_LIST WINDOW over the same ``u`` exchange the adjacency
+    # aggregate consumes — the u-side adjacency join disappears
+    # entirely (one SMJ fewer) and the aggregate is built exactly ONCE,
+    # for the v-side (plan-verified: 4 -> 2 ObjectHashAggregate; the
+    # former shape could not fold the pair because the ou-side embedded
+    # o's exchange as Exchange where the ov-side saw ReusedExchange, so
+    # the outer exchanges never hash-matched). Shuffled bytes are
+    # unchanged: the old join1 output crossed the v-exchange carrying
+    # (u, v, ou) — exactly this window output. List order differs from
+    # the aggregate's (window emits partition-sort order) — irrelevant:
+    # array_intersect hashes its inputs, content not order feeds every
+    # consumer.
     per_edge = (
-        o.join(
-            adj.select(F.col("node").alias("u"), F.col("out").alias("ou")),
-            "u",
+        o.withColumn(
+            "ou", F.collect_list("v").over(Window.partitionBy("u"))
         )
         .join(
             adj.select(F.col("node").alias("v"), F.col("out").alias("ov")),
@@ -535,23 +545,86 @@ def kcore_members(
     identity) and the round count is part of the contract, exactly the
     ``pagerank``/``hits`` unrolled-iteration discipline above.
 
-    Scale shape: one sweep = a map-side-combinable degree count + two
-    semi-joins of the adjacency against the survivor set (hash joins
-    on node id); adjacency only ever SHRINKS. Pass
-    ``checkpoint_every`` to cut lineage/plan depth on long peels (the
-    ``duplicate_clusters`` discipline — planning a 3·rounds-join tree
-    otherwise dominates at small data and bloats the optimizer at
-    any data)."""
-    return kcore_adjacency(
-        edges,
-        k=k,
-        rounds=rounds,
-        a_col=a_col,
-        b_col=b_col,
-        checkpoint_every=checkpoint_every,
-        broadcast_keep=broadcast_keep,
-    ).groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
+    Scale shape (r12 rewrite — the partition-preserving DELTA form):
+    the former implementation re-materialized the induced ADJACENCY
+    every sweep (two survivor joins over the edge table; under the
+    sort-merge fallback the nbr-side join re-keyed the full adjacency
+    once per sweep — two edge-sized exchanges × rounds). Membership
+    only needs per-node DEGREES, and a sweep changes a node's degree
+    by exactly the number of its newly-dead neighbors — so the sweep
+    state here is the NODE-sized degree table, updated by aggregated
+    deltas:
+
+    - the symmetrized edge table is hash-partitioned by ``node`` ONCE;
+      every consumer (the initial degree count and each sweep's
+      dead-incident probe) reads that one exchange (ReusedExchange);
+    - sweep i: ``dead`` = alive nodes with degree < k (a filter on the
+      degree table — no scan); the edges incident to dead nodes are
+      found by an equi-join on ``node`` against the SAME partitioning
+      (symmetry: (x,y) ∈ sym ⟺ (y,x) ∈ sym, so dead-NEIGHBOR edges
+      keyed by the surviving endpoint are exactly dead-NODE rows
+      flipped — no re-key of the edge table, ever); their counts per
+      surviving endpoint aggregate map-side and shuffle as NODE-sized
+      partial counts — the only per-sweep exchange;
+    - the degree update (drop dead, subtract deltas) is co-partitioned
+      on ``node`` throughout — no further exchanges.
+
+    Per sweep the old form shuffled 2×|alive| edge rows; this form
+    shuffles ≤ |touched nodes| count rows. Each edge (x,y) decrements
+    y exactly once — at the sweep its other endpoint first dies while
+    y is alive (dead sets are disjoint across sweeps), so the running
+    degree equals the induced-subgraph degree the adjacency form
+    recomputed from scratch; nodes whose degree reaches 0 are excluded
+    at the end exactly as they vanish from a groupBy over adjacency
+    rows. Result-equality against ``kcore_adjacency`` is pytest-gated.
+    Pass ``checkpoint_every`` to cut lineage/plan depth on long peels
+    (now checkpointing the NODE-sized degree table, not the edge
+    table). ``broadcast_keep`` keeps its three-state contract, applied
+    to the node-sized build sides (``None`` lets statistics + AQE
+    decide; ``True`` hints broadcast; ``False`` forces merge)."""
+    sym = edges.select(
+        F.col(a_col).cast("long").alias("node"),
+        F.col(b_col).cast("long").alias("nbr"),
+    ).unionAll(
+        edges.select(
+            F.col(b_col).cast("long").alias("node"),
+            F.col(a_col).cast("long").alias("nbr"),
+        )
+    ).repartition("node")
+
+    def _hinted(df: DataFrame) -> DataFrame:
+        if broadcast_keep is True:
+            return F.broadcast(df)
+        if broadcast_keep is False:
+            return df.hint("merge")
+        return df
+
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+    for i in range(rounds):
+        # dead/survivor split is a FILTER pair on the degree table, not
+        # an anti-join — one fewer join per sweep and the degree table
+        # is referenced twice per sweep instead of three times (the
+        # unrolled logical tree grows 2^rounds, not 3^rounds; execution
+        # collapses to one pass via the reused ``sym`` exchange either
+        # way, but the optimizer walks the logical tree)
+        dead = deg.where(F.col("c") < k).select("node")
+        delta = (
+            sym.join(_hinted(dead), "node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = (
+            deg.where(F.col("c") >= k)
+            .join(_hinted(delta), "node", "left")
+            .select(
+                "node",
+                (F.col("c") - F.coalesce("d", F.lit(0))).alias("c"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            deg = deg.localCheckpoint()
+    return deg.where(F.col("c") > 0).select(
+        "node", F.col("c").cast("bigint").alias("degree")
     )
 
 
@@ -657,9 +730,11 @@ def q_graph_kcore(
         .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    # checkpoint_every=2 keeps the unrolled-plan depth bounded (the
-    # optimizer otherwise re-plans a 15-join tree; measured 14x faster
-    # at gate scale with identical results)
+    # checkpoint_every=2 keeps the unrolled-plan depth bounded on the
+    # gate/differential paths (the degree table is referenced twice per
+    # sweep, so the un-checkpointed logical tree grows 2^rounds; the
+    # r12 delta form checkpoints the NODE-sized degree table, not the
+    # former edge-sized adjacency)
     return kcore_members(
         edges,
         checkpoint_every=checkpoint_every,
