@@ -106,16 +106,23 @@ def _bench_plan_overrides():
     checkpoint-free build; the differential/gate path keeps
     checkpoint_every=2 where it only bounds plan depth.
 
-    broadcast_keep=True (r11): the bench's STATIC clone plans from
-    static size estimates, which keep every sweep's keep-side join a
-    SortMergeJoin; the production AQE path broadcasts every keep side
-    at runtime (verified in the executed AQE plan at sf0.1: all 10
-    sweep joins become BroadcastHashJoin). The hint makes the timed
-    static plan match the plan production actually runs — measured
-    7.9-12.8s (SMJ form) vs 1.8-2.7s (broadcast form) at sf0.1. The
-    REGISTERED query keeps the scale-safe default (no hint): a k-core
-    candidate set at extreme scale may not fit executor memory, and
-    there AQE correctly keeps the shuffled join."""
+    broadcast_keep=True (r11, re-evidenced r12 for the delta form):
+    the bench's STATIC clone plans from static size estimates, which
+    keep the delta form's node-sized sweep sides SortMergeJoins; the
+    production AQE path broadcasts every one at runtime — COMMITTED
+    EVIDENCE: plans/r12/graph_kcore_ckpt0_executed_aqe.txt, the
+    post-collect() final adaptive plan of this exact hint-free bench
+    form at sf0.1 (0 SortMergeJoin / 15 BroadcastHashJoin / 2 scans).
+    The hint makes the timed static plan match the plan production
+    actually runs — r12 delta form measured 3.97s (unhinted static,
+    SMJ) vs 2.11s (broadcast form) at sf0.1. The REGISTERED query
+    keeps the scale-safe default (no hint): a surviving-node table at
+    extreme scale may not fit executor memory, and there AQE correctly
+    keeps the shuffled join. (Caveat recorded: the registered
+    checkpoint_every=2 form's post-checkpoint sweeps DO run SMJ at
+    runtime — the checkpoint boundary hides the dead side's size from
+    AQE; see plans/r12/graph_kcore_executed_aqe.txt. The bench form is
+    checkpoint-free, where the all-broadcast conversion is total.)"""
     from event_pipeline_spark.operators.graphrank import q_graph_kcore
 
     return {
