@@ -782,8 +782,15 @@ def rouge_n_pairs(
     # cache at any scale.
     def _gram_fn(width: int):
         # one-arg closure: a two-parameter lambda would make
-        # F.transform pass the ARRAY INDEX as the second argument
-        return lambda i: F.array_join(F.slice("toks", i, width), " ")
+        # F.transform pass the ARRAY INDEX as the second argument.
+        # concat_ws over ``width`` element lookups, not
+        # array_join(slice(...)): no per-position array allocation
+        # (the winnow r12 micro-form; the size >= n guard above keeps
+        # every lookup in bounds, and concat_ws would skip a null
+        # exactly as the slice clamps)
+        return lambda i: F.concat_ws(
+            " ", *[F.try_element_at("toks", i + d) for d in range(width)]
+        )
 
     gram_tbls = []
     for n in orders:

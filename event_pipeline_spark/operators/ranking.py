@@ -690,7 +690,17 @@ def tfidf_cosine_pairs(
                         F.sequence(
                             F.lit(1), F.greatest(F.size(a) - 1, F.lit(1))
                         ),
-                        lambda i: F.array_join(F.slice(a, i, 2), " "),
+                        # concat_ws over 2 element lookups, not
+                        # array_join(slice(...)) — no per-position array
+                        # allocation; try_element_at past the end is
+                        # NULL, which concat_ws skips, matching the
+                        # slice's clamp on 1-token docs exactly (winnow
+                        # r12 micro-form)
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.try_element_at(a, i),
+                            F.try_element_at(a, i + F.lit(1)),
+                        ),
                     ),
                 )
             )

@@ -48,7 +48,15 @@ def _gram_hash_structs(text_col: Column, k: int) -> Column:
     At k=4 the byte redundancy is only 4x, so dispatch count dominates;
     the rolling kernel wins where the window is large (substring dedup
     at window=50 uses it — 50x byte redundancy AND an expression tree
-    the naive form cannot even build)."""
+    the naive form cannot even build).
+
+    r12 micro-form: ``concat_ws`` over k ``try_element_at`` lookups
+    replaces ``array_join(slice(...))`` — no per-position array
+    allocation; ``try_element_at`` past the end yields NULL, which
+    ``concat_ws`` skips, reproducing the slice's clamp on docs shorter
+    than k EXACTLY (identity checked on the corpus and on 1..8-token
+    hand docs; selection stage measured 0.875 -> 0.764s at sf0.1
+    together with the ``least`` window-min below)."""
     from event_pipeline_spark.operators.text import bind
 
     return bind(
@@ -58,7 +66,12 @@ def _gram_hash_structs(text_col: Column, k: int) -> Column:
                 F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))
             ),
             lambda i: F.struct(
-                F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.try_element_at(toks, i + d) for d in range(k)],
+                    )
+                ).alias("h"),
                 (-i).alias("negpos"),
             ),
         ),
@@ -87,10 +100,19 @@ def winnow_fingerprints(
     )
     hs = F.col("_hs")
     n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    # r12: unrolled ``least`` over w ``try_element_at`` lookups instead
+    # of ``array_min(slice(...))`` — no per-window array allocation;
+    # least skips the NULLs a past-the-end lookup yields, reproducing
+    # the slice's clamp on docs with fewer than w k-grams exactly (the
+    # struct comparison — hash asc, negpos asc = rightmost-on-ties —
+    # is the same total order either way; identity checked on corpus +
+    # short-doc hand cases)
     selected = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(hs, j, w)),
+            lambda j: F.least(
+                *[F.try_element_at(hs, j + d) for d in range(w)]
+            ),
         )
     )
     return hashed.select(
