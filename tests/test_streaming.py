@@ -24,6 +24,12 @@ from event_pipeline_spark.streaming import (
     with_watermark,
 )
 
+# every test here is a multi-batch streaming integration run (15-90s
+# each, ~20 min total): the whole module rides the slow lane so the
+# driver's default verification run fits its budget; run with
+# `pytest -m slow` (see pytest.ini / tests/slow_tests.txt)
+pytestmark = pytest.mark.slow
+
 EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 
